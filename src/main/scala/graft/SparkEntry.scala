@@ -1,13 +1,250 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.broadcast.Broadcast
+import graft.functions.F
+import graft.kg.Kg
+import graft.nlp.Pipeline
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.pack.{ModelPack, SynthPack}
+import graft.sources.Docs
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** shared regex, identical semantics in Spark (Java regex) and DuckDB (RE2) */
+  private val Tok = TextStats.TokRe
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // one broadcast pack per SparkSession (pinned model state for executors)
+  private val packCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, Broadcast[ModelPack]]()
+  def packBc(s: SparkSession): Broadcast[ModelPack] =
+    packCache.computeIfAbsent(s, ss => ss.sparkContext.broadcast(SynthPack.build()))
+
+  /** Parsed Russian corpus (full NLP inference) for a test dir. */
+  def parsed(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.nlp.ParsedSent] =
+    Pipeline.parse(Docs.sentences(Docs.russianDocs(s, dir)), packBc(s))
+
+  /** Flagship: the full KG-construction pipeline (sentenize -> batched
+    * NER+morph+syntax inference -> dep-pattern triples -> entity linking ->
+    * canonicalization) on the deterministic interleaved corpus.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Kg.canonicalize(spark, Kg.link(spark, Kg.triples(parsed(spark, "/root/testdata/sf0.001"))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis (SQL-checked) ----
+    "q_tok_count" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(Tok), lit(0))).cast("long").as("n_tokens"))),
+    "q_quality" -> ((s, d) => TextStats.quality(tbl(s, d, "documents"))),
+    "q_langid" -> ((s, d) => TextStats.langId(tbl(s, d, "documents"))),
+    "q_fp_norm" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        md5(array_join(TextStats.tokens(lower(col("text"))), " ")).as("norm_fp"))),
+    "q_fp_poly" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"), F.poly_hash(col("text")).as("poly_fp"))),
+
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
+    "q_jaccard_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1)),
+    "q_minhash_dups" -> ((s, d) =>
+      Dedup.minhashDupPairs(tbl(s, d, "documents"), 3, 32, 8, 0.1)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
+    "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(tbl(s, d, "embeddings"), 0.4)),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.bruteTopK(e, e.where(col("vec_id") % 97 === 0), 5)
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.annLsh(e, e.where(col("vec_id") % 97 === 0), 5)
+    }),
+
+    // ---- relational analogues of the reference's aggregation/sort ops ----
+    "q_agg_acc" -> ((s, d) => // Acc/Mean merge semantics (score.py:12-53)
+      tbl(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)), 6).as("acc"),
+          count(lit(1)).as("n"))),
+    "q_topk_orders" -> ((s, d) => { // SortBuffer/topk (buffer.py:38-47)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, d, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"))
+    }),
+    "q_join_agg" -> ((s, d) =>
+      tbl(s, d, "orders").join(tbl(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))),
+    "q_distinct_sort" -> ((s, d) => // rels-vocab build (07_syntax main.ipynb)
+      tbl(s, d, "events").select("event_type").distinct().orderBy("event_type")),
+    "q_vocab_encode" -> ((s, d) => { // Vocab.encode as broadcast join (vocab.py:29-31)
+      import s.implicits._
+      val vocab = Seq("scan", "filter", "join", "agg", "window", "sort")
+        .zipWithIndex.toDF("word", "word_id")
+      tbl(s, d, "documents")
+        .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("word_id").isNull, 1)).as("n_unk"))
+    }),
+
+    // ---- interleaved span passthrough (SQL-checked invariant) ----
+    "q_span_passthrough" -> ((s, d) =>
+      Docs.fromDocuments(s, d).select(
+        col("doc_id"), (col("i") * 2 + col("sub")).cast("long").as("ord"),
+        col("span.kind").as("kind"), col("span.text").as("text"),
+        col("span.media_ref").as("media_ref"))),
+
+    // ---- NLP + KG pipeline (planted-corpus; verified by sbt golden tests;
+    //      rows-only check here: model inference is not SQL-expressible) ----
+    "q_ner_spans" -> ((s, d) => {
+      import s.implicits._
+      parsed(s, d).flatMap(p => p.nerSpans.map(sp =>
+          (p.docId, p.spanOrder, p.sentIdx, sp.start, sp.stop, sp.tpe,
+            p.text.substring(sp.start, sp.stop))))
+        .toDF("doc_id", "span_order", "sent_idx", "start", "stop", "tpe", "mention")
+    }),
+    "q_morph_tags" -> ((s, d) => {
+      import s.implicits._
+      parsed(s, d).flatMap(p => p.morph.zipWithIndex.map { case (m, i) =>
+          (p.docId, p.spanOrder, p.sentIdx, i, m.text, m.pos,
+            graft.text.Conll.formatTag(m.pos, m.feats))
+        })
+        .toDF("doc_id", "span_order", "sent_idx", "tok_idx", "word", "pos", "tag")
+    }),
+    "q_syntax_parse" -> ((s, d) => {
+      import s.implicits._
+      parsed(s, d).flatMap(p => p.syn.map(t =>
+          (p.docId, p.spanOrder, p.sentIdx, t.id, t.text, t.headId, t.rel)))
+        .toDF("doc_id", "span_order", "sent_idx", "tok_id", "word", "head_id", "rel")
+    }),
+    "q_triples" -> ((s, d) => Kg.triples(parsed(s, d)).toDF()),
+    "q_triples_canonical" -> ((s, d) =>
+      Kg.canonicalize(s, Kg.link(s, Kg.triples(parsed(s, d))))),
+    "q_entities" -> ((s, d) => Kg.canonicalMap(s)
+      .select(col("id").as("entity_id"), col("component").as("canonical_id"))),
+    "q_span_invariant" -> ((s, d) => {
+      import s.implicits._
+      // per-doc hash of the (kind,text,media_ref,order) sequence before and
+      // after flowing through the pipeline's explode/reassemble scaffold
+      val docs = Docs.russianDocs(s, d)
+      val pre = docs.map(dd => (dd.doc_id,
+        dd.spans.map(x => s"${x.kind}|${x.text}|${x.media_ref}").mkString("")))
+        .toDF("doc_id", "pre_sig")
+      val post = docs.flatMap(dd => dd.spans.zipWithIndex.map { case (x, i) =>
+          (dd.doc_id, i, x.kind, x.text, x.media_ref)
+        })
+        .toDF("doc_id", "ord", "kind", "text", "media_ref")
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("ord"),
+          concat_ws("|", coalesce(col("kind"), lit("null")),
+            coalesce(col("text"), lit("null")),
+            coalesce(col("media_ref"), lit("null"))).as("sig")))),
+          x => x.getField("sig")), "").as("post_sig"))
+      pre.join(post, Seq("doc_id"))
+        .select(col("doc_id"), (col("pre_sig") === col("post_sig")).as("invariant_holds"))
+    }),
+
+    // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
+    "q_media_features" -> ((s, d) => ops.Multimodal.features(s, d))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val tokSql = Tok // backslashes are literal inside single-quoted SQL strings
+    def toks(c: String) = s"regexp_extract_all($c, '$tokSql')"
+    Map(
+      "q_tok_count" ->
+        s"SELECT doc_id, len(${toks("text")}) AS n_tokens FROM documents",
+      "q_quality" -> s"""
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(${toks("text")}) AS n_tokens,
+          round(len(list_filter(${toks("text")}, x -> x IN ('the','a','of','and','in','to'))) / greatest(len(${toks("text")}), 1), 6) AS stopword_ratio,
+          round(len(list_filter(${toks("text")}, x -> regexp_full_match(x, '[\\p{L}]+'))) / greatest(len(${toks("text")}), 1), 6) AS alpha_ratio,
+          round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio
+        FROM documents""",
+      "q_langid" -> """
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^а-яёА-ЯЁ]', '', 'g')) > length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) THEN 'ru'
+               WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) > 0 THEN 'en'
+               ELSE 'unk' END AS lang_pred
+        FROM documents""",
+      "q_fp_norm" ->
+        s"SELECT doc_id, md5(array_to_string(${toks("lower(text)")}, ' ')) AS norm_fp FROM documents",
+      "q_dedup_exact" -> """
+        SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""",
+      "q_jaccard_pairs" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
+        rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+        shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1""",
+      "q_embed_dups" -> """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+      "q_ann_topk" -> """
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS rank,
+                 e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+          FROM embeddings e JOIN embeddings q ON q.vec_id % 97 = 0 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5""",
+      "q_agg_acc" -> """
+        SELECT l_returnflag,
+               round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 6) AS acc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1""",
+      "q_topk_orders" -> """
+        SELECT o_custkey, rn, o_orderkey FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3""",
+      "q_join_agg" -> """
+        SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1""",
+      "q_distinct_sort" -> "SELECT DISTINCT event_type FROM events ORDER BY 1",
+      "q_vocab_encode" -> s"""
+        WITH w AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS word FROM documents),
+        v AS (SELECT * FROM (VALUES ('scan'),('filter'),('join'),('agg'),('window'),('sort')) AS t(word))
+        SELECT doc_id, count(*) AS n,
+               count(*) FILTER (WHERE v.word IS NULL) AS n_unk
+        FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1""",
+      "q_span_passthrough" -> """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, cast(ceil(len(tk)/8.0) AS int) - 1)) AS i FROM t),
+        chunks AS (SELECT doc_id, i, array_to_string(tk[i*8+1:i*8+8], ' ') AS chunk FROM g)
+        SELECT doc_id, i*2 AS ord, 'text' AS kind, chunk AS text, NULL AS media_ref FROM chunks
+        UNION ALL
+        SELECT doc_id, i*2+1 AS ord, 'media' AS kind, NULL AS text,
+               's3://media/' || doc_id || '/' || i || '.bin' AS media_ref
+        FROM chunks WHERE (doc_id + i) % 4 = 0"""
+    )
+  }
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (codegen'd — they live inside
+  * WholeStageCodegen spans, unlike Scala UDFs which break them).
+  */
+object F {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def word_shape(c: Column): Column = column(WordShapeExpr(expression(c)))
+  def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
+}
+
+/** word_shape as a scalar expression (semantics: graft.text.Shape,
+  * reference slovnet/shape.py:76-86). Codegen emits a static call, so the
+  * surrounding stage stays in whole-stage codegen.
+  */
+case class WordShapeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.text.Shape.wordShape(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.Shape.wordShape($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Cosine similarity over two float-array columns, computed in double
+  * precision (parity with the DuckDB oracle). The hot kernel of the ANN
+  * brute-force path.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+object CosineSim {
+  /** static so generated code can call it */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Deterministic 64-bit polynomial rolling hash of a string (document
+  * fingerprinting): h = Σ h*31 + codePoint, over the raw string.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.compute($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object PolyHash {
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 1125899906842597L
+    var i = 0
+    while (i < str.length) { h = 31 * h + str.charAt(i); i += 1 }
+    h
+  }
+}

@@ -1,0 +1,68 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge DataFrame via alternating
+  * large-star / small-star (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds on
+  * adversarial chains, each round = groupBy + join (shuffle on node id),
+  * so it scales to billions of edges; `localCheckpoint` cuts lineage per
+  * round. This is the canonicalization engine for alias same-as edges
+  * (graft stage; no counterpart in the reference).
+  */
+object ConnectedComponents {
+
+  /** @param edges    (src, dst) string ids, undirected
+    * @param vertices (id) — all ids, including isolated ones
+    * @return (id, component) where component = min id in the component
+    */
+  def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+
+    // orient u > v, drop self-loops
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: over the bidirectional neighborhood of u, connect every
+      // LARGER neighbor to m = min(N(u) ∪ u)
+      val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: for each u over its smaller neighbors (plus u itself),
+      // connect all of them to the minimum
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionAll(minsS.select(col("u").as("a"), col("m")))
+        .where(col("a") =!= col("m"))
+        .select(greatest(col("a"), col("m")).as("u"),
+          least(col("a"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint()
+
+      // converged when the edge set is stable (size + content hash)
+      val oldSig = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v"))), lit(0L)))
+        .first()
+      val newSig = small.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v"))), lit(0L)))
+        .first()
+      converged = oldSig == newSig
+      e = small
+      iter += 1
+    }
+
+    vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.nlp.ParsedSent
+import graft.corpus.RuCorpus
+import scala.collection.mutable.ArrayBuffer
+
+/** Candidate triple from dependency-pattern matching (graft stage;
+  * tree shape per reference markup.py:162-193).
+  */
+final case class Triple(
+    docId: String, spanOrder: Int, sentIdx: Int,
+    subj: String, subjType: String,
+    pred: String,
+    obj: String, objType: String)
+
+final case class LinkedTriple(
+    docId: String, spanOrder: Int, sentIdx: Int,
+    subjId: String, subjType: String,
+    pred: String,
+    objId: String, objType: String)
+
+object Kg {
+
+  /** Dependency-pattern triple extraction over parsed sentences:
+    *  - pred   = the root verb (rel == "root")
+    *  - subj   = an nsubj token, extended by following contiguous
+    *             flat:name tokens (multi-token names)
+    *  - obj    = an obj token -> (subj, verb, obj)
+    *  - obl    = an obl token with a case marker directly before it
+    *             -> (subj, verb_<case>, obl)
+    * Entity types come from the NER span covering the token.
+    * Pure per-sentence flatMap — no shuffle.
+    */
+  def extract(p: ParsedSent): Seq[Triple] = {
+    val syn = p.syn
+    val rootIdx = syn.indexWhere(_.rel == "root")
+    if (rootIdx < 0) return Nil
+    val verb = syn(rootIdx).text
+
+    def typeOf(i: Int): String =
+      p.nerSpans.find(s => s.start <= p.tokens(i).start && p.tokens(i).stop <= s.stop)
+        .map(_.tpe).getOrElse("NOUN")
+
+    def mention(i: Int): String = {
+      val sb = new StringBuilder(p.tokens(i).text)
+      var j = i + 1
+      while (j < syn.length && syn(j).rel == "flat:name") {
+        sb.append(' ').append(p.tokens(j).text)
+        j += 1
+      }
+      sb.toString
+    }
+
+    val subjs = syn.indices.filter(i => syn(i).rel == "nsubj")
+      .map(i => (mention(i), typeOf(i)))
+    if (subjs.isEmpty) return Nil
+
+    val out = new ArrayBuffer[Triple]
+    var i = 0
+    while (i < syn.length) {
+      val rel = syn(i).rel
+      if (rel == "obj") {
+        for ((sm, st) <- subjs)
+          out += Triple(p.docId, p.spanOrder, p.sentIdx, sm, st, verb,
+            mention(i), typeOf(i))
+      } else if (rel == "obl" && i > 0 && syn(i - 1).rel == "case") {
+        for ((sm, st) <- subjs)
+          out += Triple(p.docId, p.spanOrder, p.sentIdx, sm, st,
+            verb + "_" + p.tokens(i - 1).text, mention(i), typeOf(i))
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def triples(parsed: Dataset[ParsedSent]): Dataset[Triple] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.flatMap(extract _)
+  }
+
+  /** Alias dictionary as a DataFrame (synthetic Wikidata slice). */
+  def aliasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    RuCorpus.aliasDict.toDF("alias", "entity_id", "tpe")
+  }
+
+  /** Entity linking: normalized-mention equi-join against the broadcast
+    * alias dictionary (blocked scoring: the block key IS the normalized
+    * alias; deterministic winner = min entity_id). Unlinkable mentions
+    * become literal nodes `M:<norm>`.
+    * Dict is broadcast here (small); at a real Wikidata-slice size the same
+    * plan works with a shuffled hash join + AQE skew split — nothing in the
+    * query pins the strategy.
+    */
+  def link(spark: SparkSession, triples: Dataset[Triple]): Dataset[LinkedTriple] = {
+    import spark.implicits._
+    // one alias row per alias: deterministic representative before the join
+    val dict = broadcast(
+      aliasDf(spark).groupBy("alias").agg(min("entity_id").as("entity_id")))
+    val t = triples.toDF()
+      .withColumn("subj_norm", lower(col("subj")))
+      .withColumn("obj_norm", lower(col("obj")))
+    val linked = t
+      .join(dict.as("ds"), col("subj_norm") === col("ds.alias"), "left")
+      .withColumnRenamed("entity_id", "subj_eid")
+      .drop("alias")
+      .join(dict.as("do"), col("obj_norm") === col("do.alias"), "left")
+      .withColumnRenamed("entity_id", "obj_eid")
+      .drop("alias")
+    linked.select(
+      col("docId"), col("spanOrder"), col("sentIdx"),
+      coalesce(col("subj_eid"), concat(lit("M:"), col("subj_norm"))).as("subjId"),
+      col("subjType"), col("pred"),
+      coalesce(col("obj_eid"), concat(lit("M:"), col("obj_norm"))).as("objId"),
+      col("objType")
+    ).as[LinkedTriple]
+  }
+
+  /** same-as edges: entity ids sharing an alias (self-join on alias key). */
+  def aliasEdges(spark: SparkSession): DataFrame = {
+    val d = aliasDf(spark)
+    d.as("a").join(d.as("b"), col("a.alias") === col("b.alias") &&
+        col("a.entity_id") < col("b.entity_id"))
+      .select(col("a.entity_id").as("src"), col("b.entity_id").as("dst"))
+      .distinct()
+  }
+
+  /** entity_id -> canonical_id (component minimum over alias edges). */
+  def canonicalMap(spark: SparkSession): DataFrame = {
+    val edges = aliasEdges(spark)
+    val vertices = aliasDf(spark).select(col("entity_id").as("id")).distinct()
+    ConnectedComponents.run(edges, vertices)
+  }
+
+  /** Remap linked triples to canonical entity ids. */
+  def canonicalize(spark: SparkSession, linked: Dataset[LinkedTriple]): DataFrame = {
+    val cm = broadcast(canonicalMap(spark))
+    linked.toDF()
+      .join(cm.as("cs"), col("subjId") === col("cs.id"), "left")
+      .withColumn("subj_c", coalesce(col("cs.component"), col("subjId")))
+      .drop("id", "component")
+      .join(cm.as("co"), col("objId") === col("co.id"), "left")
+      .withColumn("obj_c", coalesce(col("co.component"), col("objId")))
+      .select(col("docId"), col("spanOrder"), col("sentIdx"),
+        col("subj_c").as("subj_id"), col("subjType").as("subj_type"),
+        col("pred"),
+        col("obj_c").as("obj_id"), col("objType").as("obj_type"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.nlp
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.pack.ModelPack
+import graft.text._
+import scala.collection.mutable.ArrayBuffer
+
+/** One sentence of one text span of one interleaved doc. */
+final case class SentRow(docId: String, spanOrder: Int, sentIdx: Int,
+                         start: Int, stop: Int, text: String)
+
+/** Full per-sentence annotation produced by one shared inference pass:
+  * the three reference pipelines (exec/infer.py NER/Morph/Syntax) fused so
+  * the input encoding + embedding + CNN input is computed once per batch.
+  */
+final case class ParsedSent(
+    docId: String, spanOrder: Int, sentIdx: Int, text: String,
+    tokens: Array[Token],
+    nerSpans: Array[Span],
+    morph: Array[MorphTok],
+    syn: Array[SynTok])
+
+object Pipeline {
+
+  /** Batched inference over one partition iterator — the Spark analogue of
+    * the reference's generator pipeline (exec/infer.py:37-51): lazy, bounded
+    * memory, model state pinned per executor via the broadcast value.
+    * Batching mirrors `chop` (api.py:33-35); callers should length-bucket
+    * upstream (sortWithinPartitions) to minimize pad waste
+    * (encoders/buffer.py:38-47).
+    */
+  def inferPartition(rows: Iterator[SentRow], pack: ModelPack,
+                     batchSize: Int): Iterator[ParsedSent] =
+    rows.grouped(batchSize).flatMap(batch => inferBatch(batch, pack))
+
+  def inferBatch(batch: Seq[SentRow], pack: ModelPack): Seq[ParsedSent] = {
+    val n = batch.length
+    val toks: Array[Array[Token]] = batch.iterator.map(r => Tokenizer.tokenize(r.text)).toArray
+    val seqLen = math.max(1, toks.iterator.map(_.length).max)
+    val wordIds = new Array[Int](n * seqLen)
+    val shapeIds = new Array[Int](n * seqLen)
+    val padMask = new Array[Boolean](n * seqLen)
+    val wv = pack.wordVocab; val sv = pack.shapeVocab
+    java.util.Arrays.fill(wordIds, wv.padId)
+    java.util.Arrays.fill(shapeIds, sv.padId)
+    var b = 0
+    while (b < n) {
+      val ts = toks(b)
+      var s = 0
+      while (s < seqLen) {
+        if (s < ts.length) {
+          val w = ts(s).text
+          wordIds(b * seqLen + s) = wv.encode(w.toLowerCase(java.util.Locale.ROOT))
+          shapeIds(b * seqLen + s) = sv.encode(Shape.wordShape(w))
+        } else padMask(b * seqLen + s) = true
+        s += 1
+      }
+      b += 1
+    }
+    val valid = padMask.map(!_)
+
+    // NER: emissions -> CRF Viterbi -> BIO tags -> char spans
+    val emissions = pack.ner.forward(wordIds, shapeIds, n, seqLen, padMask)
+    val nerPaths = pack.ner.crf.decode(emissions, n, seqLen, valid)
+    // Morph: logits -> masked argmax -> conll tag parse
+    val morphLogits = pack.morph.forward(wordIds, shapeIds, n, seqLen, padMask)
+    // Syntax: biaffine head + rel decode
+    val (headIds, relIds) = pack.syntax.forward(wordIds, shapeIds, n, seqLen, padMask)
+
+    val out = new ArrayBuffer[ParsedSent](n)
+    b = 0
+    while (b < n) {
+      val row = batch(b)
+      val ts = toks(b)
+      val m = ts.length
+      val tags = new Array[String](m)
+      var i = 0
+      while (i < m) { tags(i) = pack.nerTags.decode(nerPaths(b)(i)); i += 1 }
+      val spans = Bio.bioSpans(ts, scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
+      val morph = new Array[MorphTok](m)
+      i = 0
+      while (i < m) {
+        val tagId = graft.kernel.Kernels.argmaxFirst(
+          morphLogits, (b * seqLen + i) * pack.morphTags.size, pack.morphTags.size)
+        val (pos, feats) = Conll.parseTag(pack.morphTags.decode(tagId))
+        morph(i) = MorphTok(ts(i).text, pos, feats)
+        i += 1
+      }
+      val syn = new Array[SynTok](m)
+      i = 0
+      while (i < m) {
+        syn(i) = SynTok(i + 1, ts(i).text, headIds(b * seqLen + i),
+          pack.rels.decode(relIds(b * seqLen + i)))
+        i += 1
+      }
+      out += ParsedSent(row.docId, row.spanOrder, row.sentIdx, row.text,
+        ts, spans, morph, syn)
+      b += 1
+    }
+    out.toSeq
+  }
+
+  /** Dataset-level pipeline: sentences -> fully parsed sentences.
+    * Length bucketing inside partitions (SortBuffer analogue,
+    * encoders/buffer.py:38-47) minimizes pad waste without a shuffle.
+    */
+  def parse(sents: Dataset[SentRow], bpack: Broadcast[ModelPack],
+            batchSize: Int = 64): Dataset[ParsedSent] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents
+      .sortWithinPartitions(org.apache.spark.sql.functions.length($"text"))
+      .mapPartitions(it => inferPartition(it, bpack.value, batchSize))
+  }
+
+  /** Single-threaded oracle for one document's text — the parity reference
+    * for the distributed path (analogue of the reference's in-process API,
+    * slovnet/api.py:33-38). Uses batch size 1, so equality with the batched
+    * distributed output also proves padding/batch-composition invariance.
+    */
+  def oracleParse(pack: ModelPack, docId: String, spanOrder: Int,
+                  text: String): Seq[ParsedSent] = {
+    Tokenizer.sentenize(text).zipWithIndex.toSeq.map { case (sent, i) =>
+      inferBatch(Seq(SentRow(docId, spanOrder, i, sent.start, sent.stop, sent.text)),
+        pack).head
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Docs
+
+/** Multimodal columns: media as opaque binary + typed metadata.
+  *
+  * The Spark-side plumbing (schema, partition-friendly batch processing,
+  * deterministic payloads) is real; the actual image/audio DECODE is
+  * STUBBED (no codec libs in this container) with a deterministic fake:
+  * payload bytes are md5(media_ref) repeated, "decoded" features are byte
+  * statistics. Swap `fakeDecode` for a real decoder (e.g. mapInPandas with
+  * PIL on PySpark, or javax.imageio here) off-sandbox.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_ref: String, payload: Array[Byte],
+                            width: Int, height: Int)
+  final case class MediaFeat(media_ref: String, width: Int, height: Int,
+                             n_bytes: Int, mean_byte: Double, feature: Array[Float])
+
+  /** Media table derived from the interleaved corpus' media spans. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Docs.russianDocs(spark, sfDir)
+      .flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
+      .map { ref =>
+        // STUB payload: deterministic pseudo-bytes from the ref (md5 x4)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(ref.getBytes("UTF-8"))
+        val payload = Array.fill(4)(md).flatten
+        val h = graft.corpus.RuCorpus.mix(ref.hashCode.toLong)
+        MediaRow(ref, payload, 16 + (h % 16).toInt.abs, 16 + ((h >> 8) % 16).toInt.abs)
+      }.toDF()
+  }
+
+  /** Batched "decode + feature extract" over media payloads.
+    * Runs as mapPartitions so a real decoder can amortize per-batch init
+    * (model load, codec context) exactly like the NLP inference path.
+    */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .select("media_ref", "payload", "width", "height")
+      .as[(String, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (ref, payload, w, h) =>
+          // STUB decode: byte statistics as the "embedding"
+          var sum = 0L
+          payload.foreach(b => sum += (b & 0xff))
+          val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+          val feat = new Array[Float](8)
+          var i = 0
+          while (i < payload.length) {
+            feat(i % 8) += (payload(i) & 0xff) / 255f
+            i += 1
+          }
+          MediaFeat(ref, w, h, payload.length, math.rint(mean * 1e6) / 1e6, feat)
+        }
+      }.toDF()
+  }
+}

@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Text analysis ops for training-data pipelines (language-ID, quality
+  * scoring, token counting, fingerprinting). All expressed with built-in
+  * codegen'd functions + our native expressions — no UDFs, filters and
+  * projections stay pushdown-able.
+  */
+object TextStats {
+
+  /** Tokenizer pattern shared verbatim with the DuckDB oracle SQL:
+    * identical semantics in Java regex and RE2 (explicit unicode classes;
+    * reference analogue: bert_chunks `\w+|[^\w\s]`, slovnet/bert.py:5-9).
+    */
+  val TokRe = "[\\p{L}\\p{N}_]+|[^\\p{L}\\p{N}_\\s]"
+
+  def tokens(c: Column): Column = regexp_extract_all(c, lit(TokRe), lit(0))
+
+  /** Per-doc quality metrics. */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val t = docs.withColumn("toks", tokens(col("text")))
+    t.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      round(
+        size(filter(col("toks"), x => x.isin(stop.map(lit(_)): _*))) /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6)
+        .as("stopword_ratio"),
+      round(
+        size(filter(col("toks"), x => x.rlike("^[\\p{L}]+$"))) /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6)
+        .as("alpha_ratio"),
+      round(
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")) /
+          greatest(length(col("text")), lit(1)).cast("double"), 6)
+        .as("punct_ratio"))
+  }
+
+  /** n-gram-heuristic language ID: Cyrillic vs Latin char mass + a tiny
+    * stopword vote. Deterministic, SQL-free of UDFs.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val cyr = length(regexp_replace(col("text"), "[^а-яёА-ЯЁ]", ""))
+    val lat = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    docs.select(col("doc_id"),
+      when(cyr > lat, "ru").when(lat > 0, "en").otherwise("unk").as("lang_pred"))
+  }
+
+  /** Rolling-hash document fingerprint (native codegen expression) +
+    * md5 content fingerprint of the token-normalized text.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      F.poly_hash(col("text")).as("poly_fp"),
+      md5(array_join(tokens(lower(col("text"))), " ")).as("norm_fp"))
+}
+
+/** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. Shapes chosen for 100 TB: everything is
+  * shuffle-by-key or bounded self-join on a blocking key — never an
+  * unblocked cross join.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, shingle) pairs of n-token shingles. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
+    t.select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs >= threshold. The blocking key is the
+    * shingle itself (pairs that share no shingle have J=0 and are never
+    * materialized). At scale, frequent shingles are the skew risk: drop
+    * super-frequent shingles (stop-shingles) before the self-join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = shingles(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleFreq)
+    val shf = sh.join(rare.select("shingle"), Seq("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = shf.as("a").join(shf.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: k independent hash slots via murmur3(shingle, k).
+    * shuffle = one groupBy(doc, k); signature join key = (band, band hash).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    shingles(docs, n)
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(min(hash(col("shingle"), col("k"))).as("mh"))
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verification. */
+  def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes)
+      .withColumn("band", (col("k") / rows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(hash(array_sort(collect_list(concat_ws(":", col("k"), col("mh"))))).as("bh"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact jaccard (semi-join back to shingles)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand.join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token murmur hashes (row-local, no shuffle). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Simhash.of(text)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-dup pairs via embedding cosine >= threshold; blocked brute force
+    * (self-join) — correct baseline; the LSH path is Similarity.annLsh.
+    */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(F.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+}
+
+object Simhash {
+  private val TokP = java.util.regex.Pattern.compile(graft.ops.TextStats.TokRe)
+
+  /** murmur-free deterministic 64-bit token hash (splitmix over chars). */
+  def tokenHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def of(text: String): Long = {
+    val counts = new Array[Int](64)
+    val m = TokP.matcher(text)
+    while (m.find()) {
+      val h = tokenHash(m.group())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Similarity search over an embedding column. */
+object Similarity {
+
+  /** Brute-force cosine top-k: queries broadcast against the full table,
+    * per-query top-k via window rank. Exact baseline; O(Q*N) sims but fully
+    * distributed and the scan side is a single pass.
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = emb.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucketing (the scale path): sign-bit signature,
+    * candidates restricted to equal buckets, then exact cosine re-rank.
+    * Hyperplanes are seeded-deterministic and broadcast.
+    */
+  def annLsh(emb: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+             dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val planes: Array[Array[Double]] = {
+      val rnd = new java.util.Random(seed)
+      Array.fill(bits, dim)(rnd.nextGaussian())
+    }
+    val bp = spark.sparkContext.broadcast(planes)
+    val sig = udf { (v: Seq[Float]) =>
+      val ps = bp.value
+      var s = 0
+      var b = 0
+      while (b < ps.length) {
+        var d = 0.0
+        var i = 0
+        val p = ps(b)
+        val n = math.min(p.length, v.length)
+        while (i < n) { d += p(i) * v(i); i += 1 }
+        if (d >= 0) s |= (1 << b)
+        b += 1
+      }
+      s
+    }
+    val base = emb.withColumn("bucket", sig(col("embedding")))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")).withColumn("q_bucket", sig(col("q_emb"))))
+    val scored = base.join(q,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.RuCorpus
+import graft.nlp.SentRow
+import graft.text.Tokenizer
+
+/** Interleaved doc span (BASELINE.json input_hint): exactly
+  * (kind:string, text:string, media_ref:string, offset:int32).
+  */
+final case class SpanT(kind: String, text: String, media_ref: String, offset: Int)
+
+final case class InterleavedDoc(doc_id: String, spans: Array[SpanT])
+
+object Docs {
+
+  /** Deterministic Russian corpus as an interleaved table, generated
+    * DISTRIBUTEDLY from `spark.range` — content is a pure function of the
+    * row id, so this scales to any count with no driver materialization
+    * and no skew (ids are uniformly partitioned).
+    */
+  def russianDocs(spark: SparkSession, nDocs: Long): Dataset[InterleavedDoc] = {
+    import spark.implicits._
+    spark.range(nDocs).as[Long].map { id =>
+      InterleavedDoc(s"d$id",
+        RuCorpus.docSpans(id).map(s => SpanT(s.kind, s.text, s.media_ref, s.offset)).toArray)
+    }
+  }
+
+  /** Russian corpus for a test-data dir (row count scales with sf). */
+  def russianDocs(spark: SparkSession, sfDir: String): Dataset[InterleavedDoc] =
+    russianDocs(spark, RuCorpus.docCount(sfDir))
+
+  /** Text spans -> sentences. Media spans are NOT dropped here; they flow
+    * around the NLP stage and are reassembled by (doc_id, spanOrder) — the
+    * per-row span-sequence invariant (kind, text, media_ref, order) is
+    * asserted in tests and via the q_span_invariant query.
+    */
+  def sentences(docs: Dataset[InterleavedDoc]): Dataset[SentRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      d.spans.iterator.zipWithIndex.collect {
+        case (s, order) if s.kind == "text" && s.text != null =>
+          Tokenizer.sentenize(s.text).zipWithIndex.map { case (sent, i) =>
+            SentRow(d.doc_id, order, i, sent.start, sent.stop, sent.text)
+          }
+      }.flatten
+    }
+  }
+
+  /** Interleaved docs derived from the driver's documents.parquet by a
+    * DuckDB-expressible deterministic transform (8-token chunks; a media
+    * span after chunk i when (doc_id + i) % 4 == 0). Used by the
+    * SQL-oracle-checked passthrough/invariant queries.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = toks
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          (ceil(size(col("toks")) / lit(8.0)) - 1).cast("int"))).as(Seq("pos", "i")),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), col("i") * 8 + 1, lit(8)), " ").as("chunk"))
+    // each chunk is a text span; media span follows when (doc_id+i)%4==0
+    chunks.select(col("doc_id"), col("i"),
+      struct(lit("text").as("kind"), col("chunk").as("text"),
+        lit(null).cast("string").as("media_ref")).as("span"))
+      .unionAll(
+        chunks.where((col("doc_id") + col("i")) % 4 === 0)
+          .select(col("doc_id"), col("i"),
+            struct(lit("media").as("kind"), lit(null).cast("string").as("text"),
+              concat(lit("s3://media/"), col("doc_id"), lit("/"), col("i"),
+                lit(".bin")).as("media_ref")).as("span")))
+      .withColumn("sub", when(col("span.kind") === "media", 1).otherwise(0))
+      .select(col("doc_id"), col("i"), col("sub"), col("span"))
+  }
+}

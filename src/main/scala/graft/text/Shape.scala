@@ -1,0 +1,127 @@
+package graft.text
+
+/** Word-shape classifier.
+  *
+  * Re-creates the behavior of the reference's shape module
+  * (reference: slovnet/shape.py:16-95): a word is classified as
+  * RU / EN / NUM / PUNCT / OTHER by a first-match alternation anchored at
+  * the start of the word, and letter words additionally get a
+  * capitalization outline (X / x / XX / xx / Xx / Xx-Xx / OTHER).
+  *
+  * Parity notes vs the Python original:
+  *  - Python `re.match` anchors at position 0 and `lastgroup` reports the
+  *    alternative that matched — we test the alternatives in the same order.
+  *  - Python `str.isupper`/`islower` require at least one cased character
+  *    and all cased characters upper/lower — reproduced in [[pyIsUpper]] /
+  *    [[pyIsLower]].
+  */
+object Shape {
+  val RU = "RU"
+  val EN = "EN"
+  val NUM = "NUM"
+  val PUNCT = "PUNCT"
+  val OTHER = "OTHER"
+
+  /** Punct inventory (slovnet/shape.py:9-15). */
+  val PUNCTS: String =
+    "!#$%&()[]\\/*+,.:;<=>?@^_{|}~" +
+      "-‐−‒⁃–—―" +
+      "`\"'«»„“ʼʻ”" +
+      "№…"
+
+  private val punctSet: Set[Char] = PUNCTS.toSet
+
+  // Alternation order matters: RU | EN | NUM | PUNCT (first match wins).
+  private val RuRe = "(?iu)[а-яё]+".r
+  private val EnRe = "(?i)[a-z]+".r
+  private val NumRe = "[+-]?[0-9]+".r
+  private val PunctRe = ("[" + java.util.regex.Pattern.quote(PUNCTS) + "]+").r
+
+  val X = "X"
+  val xS = "x"
+  val XX = "XX"
+  val xx = "xx"
+  val Xx = "Xx"
+  val Xx_Xx = "Xx-Xx"
+
+  /** Python str.isupper: >=1 cased char, no lowercase cased chars. */
+  def pyIsUpper(s: String): Boolean = {
+    var cased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLowerCase(c)) return false
+      if (Character.isUpperCase(c) || Character.isTitleCase(c)) cased = true
+      i += 1
+    }
+    cased
+  }
+
+  /** Python str.islower: >=1 cased char, no uppercase/titlecase chars. */
+  def pyIsLower(s: String): Boolean = {
+    var cased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isUpperCase(c) || Character.isTitleCase(c)) return false
+      if (Character.isLowerCase(c)) cased = true
+      i += 1
+    }
+    cased
+  }
+
+  /** slovnet/shape.py:34-35 */
+  def isTitle(word: String): Boolean =
+    word.length > 1 && Character.isUpperCase(word.charAt(0)) &&
+      pyIsLower(word.substring(1))
+
+  /** slovnet/shape.py:38-41 */
+  def isDashTitle(word: String): Boolean = {
+    val i = word.indexOf('-')
+    i >= 0 && isTitle(word.substring(0, i)) && isTitle(word.substring(i + 1))
+  }
+
+  /** slovnet/shape.py:44-60 */
+  def wordOutline(word: String): String =
+    if (word.length == 1) {
+      if (pyIsUpper(word)) X else xS
+    } else {
+      if (pyIsUpper(word)) XX
+      else if (pyIsLower(word)) xx
+      else if (isTitle(word)) Xx
+      else if (isDashTitle(word)) Xx_Xx
+      else OTHER
+    }
+
+  /** First-match-at-start classification (slovnet/shape.py:63-69). */
+  def wordType(word: String): String = {
+    if (RuRe.findPrefixOf(word).isDefined) RU
+    else if (EnRe.findPrefixOf(word).isDefined) EN
+    else if (NumRe.findPrefixOf(word).isDefined) NUM
+    else if (PunctRe.findPrefixOf(word).isDefined) PUNCT
+    else OTHER
+  }
+
+  def formatShape(tpe: String, value: String): String = s"${tpe}_$value"
+
+  /** slovnet/shape.py:76-86 */
+  def wordShape(word: String): String = {
+    val tpe = wordType(word)
+    if (tpe == RU || tpe == EN) formatShape(tpe, wordOutline(word))
+    else if (tpe == PUNCT) {
+      val v =
+        if (word.length > 1 || !punctSet.contains(word.charAt(0))) OTHER
+        else word
+      formatShape(PUNCT, v)
+    } else tpe // NUM | OTHER
+  }
+
+  val OUTLINES: Seq[String] = Seq(X, xS, XX, xx, Xx, Xx_Xx, OTHER)
+
+  /** The fixed 81-entry shape vocabulary (slovnet/shape.py:89-95). */
+  val SHAPES: Seq[String] =
+    OUTLINES.map(formatShape(RU, _)) ++
+      OUTLINES.map(formatShape(EN, _)) ++
+      PUNCTS.map(c => formatShape(PUNCT, c.toString)) ++
+      Seq(formatShape(PUNCT, OTHER), NUM, OTHER)
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel._
+
+/** Kernel parity: closed-form checks + brute-force references
+  * (semantics per slovnet/exec/model.py).
+  */
+class KernelSpec extends AnyFunSuite {
+
+  test("Linear: x·W + b") {
+    // 2x3 input, W 3x2, b 2
+    val lin = Linear(Array(1f, 0f, 0f, 1f, 1f, 1f), 3, 2, Array(10f, 20f))
+    val out = lin(Array(1f, 2f, 3f, 4f, 5f, 6f), 2)
+    // row0: [1+3, 2+3]+b ; row1: [4+6, 5+6]+b
+    assert(out.toSeq == Seq(14f, 25f, 20f, 31f))
+  }
+
+  test("Conv1d: kernel-3 same-pad conv vs hand computation") {
+    // 1 batch, 1 in-channel, seq 4, 1 filter, weight [1,1,1] bias 0
+    val conv = Conv1d(Array(1f, 1f, 1f), 1, 1, 3, Array(0f), 1)
+    val out = conv(Array(1f, 2f, 3f, 4f), 1, 4)
+    assert(out.toSeq == Seq(3f, 6f, 9f, 7f)) // [0+1+2, 1+2+3, 2+3+4, 3+4+0]
+  }
+
+  test("Conv1d multi-channel center tap = identity passthrough") {
+    // 2 in, 2 filters: f0 <- in1 center, f1 <- in0 center
+    val w = new Array[Float](2 * 2 * 3)
+    w((0 * 2 + 1) * 3 + 1) = 1f
+    w((1 * 2 + 0) * 3 + 1) = 1f
+    val conv = Conv1d(w, 2, 2, 3, Array(0f, 0f), 1)
+    val in = Array(1f, 2f, 3f, /*ch1*/ 4f, 5f, 6f) // [B=1,C=2,S=3]
+    assert(conv(in, 1, 3).toSeq == Seq(4f, 5f, 6f, 1f, 2f, 3f))
+  }
+
+  test("BatchNorm1d per-channel affine") {
+    val bn = BatchNorm1d(Array(2f), Array(1f), Array(3f), Array(2f))
+    val x = Array(5f, 7f) // (x-3)/2*2+1 = x-2
+    bn.applyInPlace(x, 1, 1, 2)
+    assert(x.toSeq == Seq(3f, 5f))
+  }
+
+  test("CRF Viterbi equals brute-force best path (with transitions)") {
+    val rnd = new scala.util.Random(7)
+    val T = 4
+    for (trial <- 0 until 30) {
+      val seqLen = 1 + rnd.nextInt(5)
+      val trans = Array.fill(T * T)(rnd.nextFloat() * 2 - 1)
+      val emis = Array.fill(seqLen * T)(rnd.nextFloat() * 2 - 1)
+      val mask = Array.fill(seqLen)(true)
+      val crf = CRF(trans, T)
+      val got = crf.decode(emis, 1, seqLen, mask)(0).toSeq
+      // brute force over all T^seqLen paths
+      def score(path: Seq[Int]): Float = {
+        var s = emis(path.head)
+        for (i <- 1 until path.length)
+          s += trans(path(i - 1) * T + path(i)) + emis(i * T + path(i))
+        s
+      }
+      val all = Seq.fill(seqLen)(0 until T).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, r) => acc.flatMap(p => r.map(p :+ _))
+      }
+      val best = all.maxBy(score)
+      assert(math.abs(score(got) - score(best)) < 1e-4, s"trial=$trial")
+    }
+  }
+
+  test("CRF respects mask: tags only for valid prefix") {
+    val T = 3
+    val crf = CRF(new Array[Float](T * T), T)
+    val emis = Array(
+      0f, 1f, 0f, // -> 1
+      2f, 0f, 0f, // -> 0
+      0f, 0f, 9f) // masked
+    val mask = Array(true, true, false)
+    val got = crf.decode(emis, 1, 3, mask)(0).toSeq
+    assert(got == Seq(1, 0))
+  }
+
+  test("NavecEmbedding: PQ gather reconstructs planted codes") {
+    val indexes = Array(3, 0, 1, 7) // one word, qdim 4
+    val codes = new Array[Float](4 * 8 * 3)
+    for (q <- 0 until 4; c <- 0 until 8; k <- 0 until 3)
+      codes((q * 8 + c) * 3 + k) = ((c >> k) & 1).toFloat
+    val nav = NavecEmbedding(indexes, 4, codes, 8, 3)
+    val out = new Array[Float](12)
+    nav.lookup(0, out, 0)
+    assert(out.toSeq == Seq(1f, 1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f, 1f, 1f, 1f))
+  }
+
+  test("SyntaxHead/SyntaxRel rigged pack semantics on one sentence") {
+    val pack = graft.pack.SynthPack.build()
+    val sent = "Иван Петров купил завод в Москве."
+    val toks = graft.text.Tokenizer.tokenize(sent)
+    val wv = pack.wordVocab; val sv = pack.shapeVocab
+    val n = toks.length
+    val wids = toks.map(t => wv.encode(t.text.toLowerCase(java.util.Locale.ROOT)))
+    val sids = toks.map(t => sv.encode(graft.text.Shape.wordShape(t.text)))
+    val padMask = Array.fill(n)(false)
+    val (heads, rels) = pack.syntax.forward(wids, sids, 1, n, padMask)
+    // words: Иван Петров купил завод в Москве .  (verb at index 2 -> id 3)
+    assert(heads.toSeq == Seq(3, 3, 0, 3, 3, 3, 3))
+    assert(rels.map(pack.rels.decode).toSeq ==
+      Seq("nsubj", "flat:name", "root", "obj", "case", "obl", "punct"))
+  }
+
+  test("NER + morph rigged decode on one sentence") {
+    val pack = graft.pack.SynthPack.build()
+    val sent = "« Газпром » купил завод ."
+    val words = sent.split(" ")
+    val wids = words.map(w => pack.wordVocab.encode(w.toLowerCase))
+    val sids = words.map(w => pack.shapeVocab.encode(graft.text.Shape.wordShape(w)))
+    val n = words.length
+    val padMask = Array.fill(n)(false)
+    val em = pack.ner.forward(wids, sids, 1, n, padMask)
+    val tags = pack.ner.crf.decode(em, 1, n, padMask.map(!_))(0).map(pack.nerTags.decode)
+    assert(tags.toSeq == Seq("O", "B-ORG", "O", "O", "O", "O"))
+    val ml = pack.morph.forward(wids, sids, 1, n, padMask)
+    val morphs = (0 until n).map(i =>
+      pack.morphTags.decode(Kernels.argmaxFirst(ml, i * pack.morphTags.size, pack.morphTags.size)))
+    assert(morphs == Seq("PUNCT", "PROPN|Case=Nom", "PUNCT",
+      "VERB|Gender=Masc|Number=Sing|Tense=Past",
+      "NOUN|Case=Acc|Gender=Masc|Number=Sing", "PUNCT"))
+  }
+
+  test("batch composition does not change per-sentence results (padding invariance)") {
+    val pack = graft.pack.SynthPack.build()
+    import graft.nlp.{Pipeline, SentRow}
+    val sents = Seq(
+      "Иван Петров купил завод.",
+      "«Газпром» открыл филиал.",
+      "Мария Смирнов посетил музей в Казани.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    val together = Pipeline.inferBatch(sents, pack)
+    val separate = sents.flatMap(s => Pipeline.inferBatch(Seq(s), pack))
+    assert(together.map(p => (p.docId, p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq)) ==
+      separate.map(p => (p.docId, p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq)))
+  }
+}

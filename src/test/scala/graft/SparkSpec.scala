@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** End-to-end pipeline goldens: the distributed output must equal the
+  * planted corpus annotations AND the single-threaded oracle.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import graft.corpus.RuCorpus
+  import graft.nlp.Pipeline
+  import graft.sources.Docs
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("distributed parse equals single-threaded oracle on 60 docs") {
+    val pack = SparkEntry.packBc(spark)
+    val docs = Docs.russianDocs(spark, 60L)
+    val parsed = Pipeline.parse(Docs.sentences(docs), pack)
+      .collect()
+      .map(p => (p.docId, p.spanOrder, p.sentIdx) ->
+        (p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq))
+      .toMap
+    val local = docs.collect()
+    var checked = 0
+    for (d <- local; (sp, order) <- d.spans.zipWithIndex if sp.kind == "text") {
+      for (o <- Pipeline.oracleParse(pack.value, d.doc_id, order, sp.text)) {
+        val got = parsed((o.docId, o.spanOrder, o.sentIdx))
+        assert(got == ((o.nerSpans.toSeq, o.morph.toSeq, o.syn.toSeq)),
+          s"doc=${d.doc_id} order=$order")
+        checked += 1
+      }
+    }
+    assert(checked > 60)
+  }
+
+  test("NER spans match planted dictionary entities") {
+    val pack = SparkEntry.packBc(spark)
+    val docs = Docs.russianDocs(spark, 40L)
+    val parsed = Pipeline.parse(Docs.sentences(docs), pack).collect()
+    assert(parsed.nonEmpty)
+    for (p <- parsed; sp <- p.nerSpans) {
+      val mention = p.text.substring(sp.start, sp.stop)
+      val words = mention.split(" ")
+      sp.tpe match {
+        case "PER" =>
+          assert(RuCorpus.firstNames.contains(words.head) &&
+            RuCorpus.surnames.contains(words.last), mention)
+        case "LOC" => assert(RuCorpus.cities.contains(mention), mention)
+        case "ORG" => assert((RuCorpus.orgsSubj ++ RuCorpus.orgsObj).contains(mention), mention)
+        case t => fail(s"unexpected type $t")
+      }
+    }
+    // every planted PER mention is found: count sentences of template 0/1/3
+    val perSents = parsed.count(_.nerSpans.exists(_.tpe == "PER"))
+    assert(perSents > 10)
+  }
+
+  test("triples equal golden planted triples exactly") {
+    import spark.implicits._
+    val nDocs = 50L
+    val got = graft.kg.Kg.triples(
+      Pipeline.parse(Docs.sentences(Docs.russianDocs(spark, nDocs)), SparkEntry.packBc(spark)))
+      .collect()
+      .map(t => (t.docId, t.spanOrder, t.sentIdx, t.subj, t.pred, t.obj))
+      .toSet
+    val expected = (0L until nDocs).flatMap { id =>
+      val spans = RuCorpus.docSpans(id)
+      spans.zipWithIndex.collect { case (s, order) if s.kind == "text" =>
+        // span k is sentence k of the doc: sentIdx within span = 0
+        val textIdx = spans.take(order).count(_.kind == "text")
+        RuCorpus.goldenTriples(id, textIdx).map(g =>
+          (s"d$id", order, 0, g.subj, g.pred, g.obj))
+      }.flatten
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("span-sequence invariant holds via q_span_invariant") {
+    val df = SparkEntry.queries("q_span_invariant")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(1)), "invariant violated")
+  }
+
+  test("entity linking + canonicalization merge duplicate org ids") {
+    import spark.implicits._
+    val linked = graft.kg.Kg.link(spark,
+      graft.kg.Kg.triples(Pipeline.parse(
+        Docs.sentences(Docs.russianDocs(spark, 80L)), SparkEntry.packBc(spark))))
+    val canon = graft.kg.Kg.canonicalize(spark, linked)
+    val subjIds = canon.select("subj_id").as[String].collect().toSet
+    // PER/ORG subjects resolve to entity ids, not mention literals
+    assert(subjIds.exists(_.startsWith("Q")) || subjIds.exists(_.startsWith("L")))
+    // canonical map collapses planted duplicate ids: L-ids and their Q twin
+    val cm = graft.kg.Kg.canonicalMap(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dupPairs = RuCorpus.aliasDict.groupBy(_.alias).values.filter(_.size > 1)
+    assert(dupPairs.nonEmpty)
+    for (group <- dupPairs) {
+      val comps = group.map(a => cm(a.entityId)).toSet
+      assert(comps.size == 1, s"alias group not merged: $group")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).limit(5).count() > 0)
+  }
+}
+
+class CcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("connected components on a chain + star + isolated vertex") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), // chain -> comp a
+      ("x", "y"), ("x", "z"),             // star  -> comp x
+      ("m", "n")).toDF("src", "dst")
+    val vertices = Seq("a", "b", "c", "d", "x", "y", "z", "m", "n", "solo").toDF("id")
+    val got = graft.kg.ConnectedComponents.run(edges, vertices)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x",
+      "m" -> "m", "n" -> "m", "solo" -> "solo"))
+  }
+
+  test("long chain converges (log-round algorithm)") {
+    import spark.implicits._
+    val n = 64
+    val edges = (0 until n - 1).map(i => (s"v${"%03d".format(i)}", s"v${"%03d".format(i + 1)}"))
+      .toDF("src", "dst")
+    val vertices = (0 until n).map(i => s"v${"%03d".format(i)}").toDF("id")
+    val got = graft.kg.ConnectedComponents.run(edges, vertices).collect()
+    assert(got.forall(_.getString(1) == "v000"))
+  }
+}
