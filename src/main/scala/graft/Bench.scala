@@ -1,24 +1,116 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  *  - value = headline triples/sec of the full KG pipeline (sentenize ->
+  *    fused NER/morph/syntax inference -> triples -> linking ->
+  *    canonicalization) at the high parallelism level
+  *  - queries = per-query wall seconds for the whole SparkEntry catalog
+  *  - scaling = the same pipeline at N and 4N EXECUTORS (separate JVMs via
+  *    Spark local-cluster — the closest in-sandbox analogue of a real
+  *    multi-executor cluster; falls back to local[N] threads if
+  *    local-cluster cannot spawn) + efficiency = thr(4N)/(4*thr(N))
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def classesPath: String =
+    new java.io.File(getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      .getAbsolutePath
+
+  private def clusterSession(workers: Int, coresPerWorker: Int): SparkSession = {
+    System.setProperty("spark.test.home", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$workers,$coresPerWorker,6144]")
+      .appName(s"graft-bench-${workers}x$coresPerWorker")
+      .config("spark.executor.extraClassPath", classesPath)
+      // size each executor's GC/JIT pools for ITS core share, not the box
+      .config("spark.executor.extraJavaOptions",
+        s"-XX:ActiveProcessorCount=$coresPerWorker -XX:+UseParallelGC")
+      .config("spark.sql.shuffle.partitions", (workers * coresPerWorker).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def localSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** end-to-end pipeline: returns (triples, seconds) */
+  private def pipeline(spark: SparkSession, nDocs: Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val docs = graft.sources.Docs.russianDocs(spark, nDocs)
+    val parsed = graft.nlp.Pipeline.parse(graft.sources.Docs.sentences(docs),
+      SparkEntry.packBc(spark))
+    val canon = graft.kg.Kg.canonicalize(spark,
+      graft.kg.Kg.link(spark, graft.kg.Kg.triples(parsed)))
+    val n = canon.count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** warmup + best-of-3 (the sandbox VM has host-steal noise; min is the
+    * honest steady-state estimate)
+    */
+  private def measure(s: SparkSession, scaleDocs: Long): (Long, Double) = {
+    pipeline(s, 5000L)
+    (1 to 3).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusLow = math.max(1, cpus / 4)
+    // scaling legs need enough work to amortize fixed job overhead: 20x
+    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 20
+
+    // --- N executors, then 4N executors (each leg its own session)
+    val coresPerWorker = 4
+    def leg(totalCores: Int): (Long, Double, String) =
+      try {
+        val s = clusterSession(math.max(1, totalCores / coresPerWorker), coresPerWorker)
+        try { val (n, t) = measure(s, scaleDocs); (n, t, "local-cluster") }
+        finally s.stop()
+      } catch {
+        case _: Throwable =>
+          val s = localSession(totalCores)
+          try { val (n, t) = measure(s, scaleDocs); (n, t, "local") }
+          finally s.stop()
+      }
+    val (nTriplesLow, tLow, modeLow) = leg(cpusLow)
+    val (nTriples, tHigh, modeHigh) = leg(cpus)
+    val thrLow = nTriplesLow / tLow
+    val thrHigh = nTriples / tHigh
+    val efficiency = thrHigh / (4.0 * thrLow)
+
+    // --- per-query catalog timings on plain local[cpus]
+    val spark = localSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val scaling =
+      f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"$modeLow/$modeHigh",""" +
+        f""""triples_low":$nTriplesLow,"sec_low":$tLow%.2f,"triples_per_sec_low":$thrLow%.1f,""" +
+        f""""triples_high":$nTriples,"sec_high":$tHigh%.2f,"triples_per_sec_high":$thrHigh%.1f,""" +
+        f""""efficiency":$efficiency%.3f}"""
+    println(
+      f"""{"metric":"triples_per_sec","value":$thrHigh%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"total_query_sec":${results.map(_._2).sum}%.1f}""")
     spark.stop()
   }
 }

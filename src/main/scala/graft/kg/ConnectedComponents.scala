@@ -13,6 +13,36 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Size-adaptive entry point: a graph that fits comfortably on the driver
+    * (like the broadcast alias dictionary's same-as edges — broadcastable by
+    * assumption) is solved with an in-memory union-find in O(E α(E));
+    * anything bigger takes the distributed large-star/small-star path.
+    */
+  def runAdaptive(edges: DataFrame, vertices: DataFrame,
+                  driverMaxEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val n = edges.limit((driverMaxEdges + 1).toInt).count()
+    if (n <= driverMaxEdges) {
+      import spark.implicits._
+      val es = edges.select("src", "dst").as[(String, String)].collect()
+      val vs = vertices.select("id").as[String].collect()
+      val parent = new java.util.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      es.foreach { case (a, b) => union(a, b) }
+      vs.map(v => (v, find(v))).toSeq.toDF("id", "component")
+    } else run(edges, vertices)
+  }
+
   /** @param edges    (src, dst) string ids, undirected
     * @param vertices (id) — all ids, including isolated ones
     * @return (id, component) where component = min id in the component

@@ -128,12 +128,19 @@ object Kg {
       .distinct()
   }
 
-  /** entity_id -> canonical_id (component minimum over alias edges). */
-  def canonicalMap(spark: SparkSession): DataFrame = {
-    val edges = aliasEdges(spark)
-    val vertices = aliasDf(spark).select(col("entity_id").as("id")).distinct()
-    ConnectedComponents.run(edges, vertices)
-  }
+  /** entity_id -> canonical_id (component minimum over alias edges).
+    * The dictionary is broadcast-scale by assumption, so the adaptive CC
+    * solves it driver-side; cached per session (dict-derived, reusable
+    * across buckets and queries).
+    */
+  private val canonCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  def canonicalMap(spark: SparkSession): DataFrame =
+    canonCache.computeIfAbsent(spark, s => {
+      val edges = aliasEdges(s)
+      val vertices = aliasDf(s).select(col("entity_id").as("id")).distinct()
+      ConnectedComponents.runAdaptive(edges, vertices).cache()
+    })
 
   /** Remap linked triples to canonical entity ids. */
   def canonicalize(spark: SparkSession, linked: Dataset[LinkedTriple]): DataFrame = {

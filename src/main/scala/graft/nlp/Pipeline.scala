@@ -51,7 +51,7 @@ object Pipeline {
       while (s < seqLen) {
         if (s < ts.length) {
           val w = ts(s).text
-          wordIds(b * seqLen + s) = wv.encode(w.toLowerCase(java.util.Locale.ROOT))
+          wordIds(b * seqLen + s) = wv.encode(Shape.lowerFast(w))
           shapeIds(b * seqLen + s) = sv.encode(Shape.wordShape(w))
         } else padMask(b * seqLen + s) = true
         s += 1
@@ -83,7 +83,7 @@ object Pipeline {
       while (i < m) {
         val tagId = graft.kernel.Kernels.argmaxFirst(
           morphLogits, (b * seqLen + i) * pack.morphTags.size, pack.morphTags.size)
-        val (pos, feats) = Conll.parseTag(pack.morphTags.decode(tagId))
+        val (pos, feats) = pack.morphParsed(tagId)
         morph(i) = MorphTok(ts(i).text, pos, feats)
         i += 1
       }
@@ -102,16 +102,22 @@ object Pipeline {
   }
 
   /** Dataset-level pipeline: sentences -> fully parsed sentences.
-    * Length bucketing inside partitions (SortBuffer analogue,
-    * encoders/buffer.py:38-47) minimizes pad waste without a shuffle.
+    * Length bucketing via a BOUNDED in-stream sort buffer (the reference's
+    * SortBuffer, encoders/buffer.py:38-47): sort a sliding window of
+    * `bufferSize` sentences by token-ish length, then batch — minimizes pad
+    * waste with constant memory and NO serialization boundary (the whole
+    * sentenize -> infer -> extract chain stays fused at the object level;
+    * a DataFrame sortWithinPartitions here would force an encoder
+    * round-trip of every row).
     */
   def parse(sents: Dataset[SentRow], bpack: Broadcast[ModelPack],
-            batchSize: Int = 64): Dataset[ParsedSent] = {
-    val spark = sents.sparkSession
-    import spark.implicits._
-    sents
-      .sortWithinPartitions(org.apache.spark.sql.functions.length($"text"))
-      .mapPartitions(it => inferPartition(it, bpack.value, batchSize))
+            batchSize: Int = 64, bufferSize: Int = 4096): Dataset[ParsedSent] = {
+    sents.mapPartitions { it =>
+      it.grouped(bufferSize).flatMap { window =>
+        window.sortBy(_.text.length)
+          .grouped(batchSize).flatMap(b => inferBatch(b, bpack.value))
+      }
+    }(org.apache.spark.sql.Encoders.product[ParsedSent])
   }
 
   /** Single-threaded oracle for one document's text — the parity reference

@@ -89,4 +89,11 @@ final case class ModelPack(
     ner: NerModel,
     morph: MorphModel,
     syntax: SyntaxModel
-) extends Serializable
+) extends Serializable {
+  /** tag id -> (pos, feats) parsed once per executor — morph tagsets are
+    * tiny, so sharing the Map objects avoids a per-token allocation storm
+    * at 32 threads (conll.py:14-23 parse, hoisted).
+    */
+  @transient lazy val morphParsed: Array[(String, Map[String, String])] =
+    morphTags.items.map(graft.text.Conll.parseTag)
+}

@@ -22,7 +22,11 @@ object Docs {
     */
   def russianDocs(spark: SparkSession, nDocs: Long): Dataset[InterleavedDoc] = {
     import spark.implicits._
-    spark.range(nDocs).as[Long].map { id =>
+    // tasks finer than cores (8x): smooths stragglers and matches how a
+    // real 100 TB input arrives (many splits per executor, sized by data)
+    val slices = math.max(spark.sparkContext.defaultParallelism * 8,
+      math.min(nDocs, 32L).toInt)
+    spark.range(0, nDocs, 1, slices).as[Long].map { id =>
       InterleavedDoc(s"d$id",
         RuCorpus.docSpans(id).map(s => SpanT(s.kind, s.text, s.media_ref, s.offset)).toArray)
     }

@@ -104,16 +104,40 @@ object Shape {
 
   def formatShape(tpe: String, value: String): String = s"${tpe}_$value"
 
+  // interned shape strings — wordShape is called once per token at 32
+  // threads, so returning shared constants (not fresh concats) keeps the
+  // hot loop allocation-free
+  private lazy val ruShapes: Map[String, String] =
+    OUTLINES.map(o => o -> s"RU_$o").toMap
+  private lazy val enShapes: Map[String, String] =
+    OUTLINES.map(o => o -> s"EN_$o").toMap
+  private lazy val punctShapes: Map[Char, String] =
+    PUNCTS.map(c => c -> s"PUNCT_$c").toMap
+  private val PunctOther = "PUNCT_OTHER"
+
   /** slovnet/shape.py:76-86 */
   def wordShape(word: String): String = {
     val tpe = wordType(word)
-    if (tpe == RU || tpe == EN) formatShape(tpe, wordOutline(word))
+    if (tpe == RU) ruShapes(wordOutline(word))
+    else if (tpe == EN) enShapes(wordOutline(word))
     else if (tpe == PUNCT) {
-      val v =
-        if (word.length > 1 || !punctSet.contains(word.charAt(0))) OTHER
-        else word
-      formatShape(PUNCT, v)
+      if (word.length > 1 || !punctSet.contains(word.charAt(0))) PunctOther
+      else punctShapes(word.charAt(0))
     } else tpe // NUM | OTHER
+  }
+
+  /** Python str.lower() for vocab lookup; returns the SAME instance when
+    * already lowercase (the common case) to avoid per-token garbage.
+    */
+  def lowerFast(s: String): String = {
+    var i = 0
+    var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      if (c != Character.toLowerCase(c)) needs = true
+      i += 1
+    }
+    if (needs) s.toLowerCase(java.util.Locale.ROOT) else s
   }
 
   val OUTLINES: Seq[String] = Seq(X, xS, XX, xx, Xx, Xx_Xx, OTHER)

@@ -23,9 +23,23 @@ object Tokenizer {
   private val JoinPunct: Set[Char] = "-‐−‒⁃–—―.…!?".toSet
   private def isDash(c: Char): Boolean = "-‐−‒⁃–—―".contains(c)
 
-  /** Split into atoms: (start, stop, kind) where kind: 0=word 1=digits 2=other char. */
-  private def atoms(text: String): ArrayBuffer[(Int, Int, Int)] = {
-    val out = new ArrayBuffer[(Int, Int, Int)]
+  // Atoms packed into one Long each — (start << 34) | (stop << 4) | kind,
+  // kind: 0=word 1=digits 2=other char. Avoids a Tuple3 + 3 boxed Ints per
+  // atom in the hottest loop of the engine (tens of millions of atoms).
+  private def pk(start: Int, stop: Int, kind: Int): Long =
+    (start.toLong << 34) | (stop.toLong << 4) | kind
+  @inline private def pkStart(a: Long): Int = (a >>> 34).toInt
+  @inline private def pkStop(a: Long): Int = ((a >>> 4) & 0x3fffffffL).toInt
+  @inline private def pkKind(a: Long): Int = (a & 0xfL).toInt
+
+  /** Split into packed atoms; returns (array, count). */
+  private def atoms(text: String): (Array[Long], Int) = {
+    var out = new Array[Long](math.max(8, text.length / 4))
+    var m = 0
+    def push(v: Long): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(m) = v; m += 1
+    }
     var i = 0
     val n = text.length
     while (i < n) {
@@ -34,32 +48,34 @@ object Tokenizer {
       else if (isWordChar(c)) {
         val s = i
         while (i < n && isWordChar(text.charAt(i))) i += 1
-        out += ((s, i, 0))
+        push(pk(s, i, 0))
       } else if (isDigit(c)) {
         val s = i
         while (i < n && isDigit(text.charAt(i))) i += 1
-        out += ((s, i, 1))
+        push(pk(s, i, 1))
       } else {
-        out += ((i, i + 1, 2))
+        push(pk(i, i + 1, 2))
         i += 1
       }
     }
-    out
+    (out, m)
   }
 
   /** Tokenize one text into char-offset tokens. */
   def tokenize(text: String): Array[Token] = {
-    val as = atoms(text)
-    val out = new ArrayBuffer[Token](as.length)
+    val (as, m) = atoms(text)
+    val out = new ArrayBuffer[Token](m)
     var i = 0
-    while (i < as.length) {
-      var (s, e, k) = as(i)
+    while (i < m) {
+      val s = pkStart(as(i))
+      var e = pkStop(as(i))
+      val k = pkKind(as(i))
       if (k == 0 || k == 1) {
         // join word(-word)* and digit([.,]digit|-digit)* chains; atoms must be adjacent
         var done = false
-        while (!done && i + 2 < as.length) {
-          val (ms, me, mk) = as(i + 1)
-          val (rs, re, rk) = as(i + 2)
+        while (!done && i + 2 < m) {
+          val ms = pkStart(as(i + 1)); val me = pkStop(as(i + 1)); val mk = pkKind(as(i + 1))
+          val rs = pkStart(as(i + 2)); val re = pkStop(as(i + 2)); val rk = pkKind(as(i + 2))
           val midChar = if (mk == 2) text.charAt(ms) else ' '
           val joinableMid =
             (mk == 2 && me == ms + 1) &&
@@ -73,11 +89,9 @@ object Tokenizer {
       } else {
         // punct: join runs of joinable punct chars
         if (JoinPunct.contains(text.charAt(s))) {
-          while (i + 1 < as.length && {
-                   val (ns, ne, nk) = as(i + 1)
-                   nk == 2 && ns == e && JoinPunct.contains(text.charAt(ns))
-                 }) {
-            e = as(i + 1)._2
+          while (i + 1 < m && pkKind(as(i + 1)) == 2 && pkStart(as(i + 1)) == e &&
+                 JoinPunct.contains(text.charAt(pkStart(as(i + 1))))) {
+            e = pkStop(as(i + 1))
             i += 1
           }
         }

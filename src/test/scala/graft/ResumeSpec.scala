@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runtime.KgJob
+
+/** Kill/resume semantics: a job killed mid-run must resume without
+  * reprocessing committed buckets and produce exactly the single-run output
+  * (BASELINE.md "Resumability" row).
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("kgjob").toFile
+    d.getAbsolutePath
+  }
+
+  test("kill after 3 buckets, resume, output equals single-shot run") {
+    val sf = "/root/testdata/sf0.001"
+    val full = freshDir()
+    assert(KgJob.run(spark, sf, full, "run_full", nBuckets = 8) == 8)
+    val expected = KgJob.triples(spark, full).collect()
+      .map(_.toString).sorted.toSeq
+
+    val resumable = freshDir()
+    val boom = intercept[RuntimeException] {
+      KgJob.run(spark, sf, resumable, "run_a", nBuckets = 8, failAfterBuckets = 3)
+    }
+    assert(boom.getMessage.contains("injected failure"))
+    assert(KgJob.committedBuckets(spark, resumable).size == 3)
+
+    // resume: processes exactly the remaining 5 buckets
+    val processed = KgJob.run(spark, sf, resumable, "run_b", nBuckets = 8)
+    assert(processed == 5)
+    val got = KgJob.triples(spark, resumable).collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == expected)
+
+    // lineage: commit log records both run ids with per-bucket counters
+    val log = KgJob.commitLog(spark, resumable)
+    assert(log.select("run_id").distinct().count() == 2)
+    assert(log.count() == 8)
+    assert(log.selectExpr("sum(triples)").first().getLong(0) == expected.length)
+
+    // idempotence: a third run is a no-op
+    assert(KgJob.run(spark, sf, resumable, "run_c", nBuckets = 8) == 0)
+  }
+}
