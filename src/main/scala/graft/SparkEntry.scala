@@ -88,6 +88,20 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("revenue"))),
     "q_distinct_sort" -> ((s, d) => // rels-vocab build (07_syntax main.ipynb)
       tbl(s, d, "events").select("event_type").distinct().orderBy("event_type")),
+    "q_acc_agg" -> ((s, d) => { // typed Aggregator = Acc merge semantics (score.py:12-31)
+      import s.implicits._
+      tbl(s, d, "events").select(col("event_type"), col("value"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .agg(new graft.eval.AccOn[(String, Double)](_._2 > 100.0).toColumn.name("acc_raw"))
+        .toDF("event_type", "acc_raw")
+        .select(col("event_type"), round(col("acc_raw"), 6).as("acc"))
+    }),
+    "q_events_window" -> ((s, d) => // event-time tumbling window aggregation
+      tbl(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))),
     "q_vocab_encode" -> ((s, d) => { // Vocab.encode as broadcast join (vocab.py:29-31)
       import s.implicits._
       val vocab = Seq("scan", "filter", "join", "agg", "window", "sort")
@@ -230,6 +244,14 @@ object SparkEntry {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1""",
       "q_distinct_sort" -> "SELECT DISTINCT event_type FROM events ORDER BY 1",
+      "q_acc_agg" -> """
+        SELECT event_type,
+               round(avg(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END), 6) AS acc
+        FROM events GROUP BY 1""",
+      "q_events_window" -> """
+        SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2""",
       "q_vocab_encode" -> s"""
         WITH w AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS word FROM documents),
         v AS (SELECT * FROM (VALUES ('scan'),('filter'),('join'),('agg'),('window'),('sort')) AS t(word))

@@ -34,6 +34,36 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class ResizedRow(media_ref: String, width: Int, height: Int,
+                              payload: Array[Byte])
+  final case class FrameRow(media_ref: String, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB resize: real plumbing (schema, batch shape), fake resample —
+    * truncates/pads the payload to w*h bytes deterministically. Swap the
+    * body for javax.imageio / a Pandas UDF off-sandbox.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_ref", "payload").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, payload) =>
+        val out = java.util.Arrays.copyOf(payload, w * h) // ??? real resample
+        ResizedRow(ref, w, h, out)
+      }).toDF()
+  }
+
+  /** STUB frame sampling: every k-th 16-byte block is a "frame". */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_ref", "payload").as[(String, Array[Byte])]
+      .flatMap { case (ref, payload) =>
+        payload.grouped(16).zipWithIndex.collect {
+          case (block, i) if i % everyK == 0 => FrameRow(ref, i, block)
+        }
+      }.toDF()
+  }
+
   /** Batched "decode + feature extract" over media payloads.
     * Runs as mapPartitions so a real decoder can amortize per-batch init
     * (model load, codec context) exactly like the NLP inference path.

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Chop, Subword}
+
+class SubwordSpec extends AnyFunSuite {
+  test("bert_chunks splits like \\w+|[^\\w\\s] (bert.py:5-9)") {
+    assert(Subword.bertChunks("Привет, мир!").toSeq == Seq("Привет", ",", "мир", "!"))
+    assert(Subword.bertChunks("a1_b c").toSeq == Seq("a1_b", "c"))
+  }
+
+  test("wordpiece greedy longest-match-first with ## (bert.py:12-38)") {
+    val vocab = Set("un", "##aff", "##able", "##ffa", "##ble", "unaff")
+    assert(Subword.wordpiece("unaffable", vocab) ==
+      Some(List("unaff", "##able")))
+    assert(Subword.wordpiece("zzz", vocab).isEmpty)
+    assert(Subword.safeWordpiece("zzz", vocab) == List("zzz"))
+  }
+
+  test("chop/chop_drop/chop_weighted (chop.py:3-34)") {
+    assert(Chop.chop((1 to 7).iterator, 3).toSeq.map(_.toSeq) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7)))
+    assert(Chop.chopDrop((1 to 7).iterator, 3).toSeq.map(_.toSeq) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    // weights: batch while total <= budget; oversize item gets own batch
+    val got = Chop.chopWeighted(Seq(2, 3, 4, 10, 1).iterator, 5L, (x: Int) => x.toLong)
+      .toSeq.map(_.toSeq)
+    assert(got == Seq(Seq(2, 3), Seq(4), Seq(10), Seq(1)), got.toString)
+  }
+}
+
+class PackIoSpec extends AnyFunSuite {
+  test("dump + load round trip preserves model behavior exactly") {
+    val pack = graft.pack.SynthPack.build()
+    val dir = java.nio.file.Files.createTempDirectory("pack").toString
+    graft.pack.PackIO.dump(pack, dir)
+    val loaded = graft.pack.PackIO.load(dir)
+    assert(loaded.id == pack.id)
+    assert(loaded.wordVocab.items.toSeq == pack.wordVocab.items.toSeq)
+    assert(loaded.rels.items.toSeq == pack.rels.items.toSeq)
+    // behavioral equality on a sentence through all three models
+    import graft.nlp.{Pipeline, SentRow}
+    val rows = Seq("Иван Петров купил завод в Москве.", "«Газпром» открыл филиал.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    val a = Pipeline.inferBatch(rows, pack)
+    val b = Pipeline.inferBatch(rows, loaded)
+    assert(a.map(p => (p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq)) ==
+      b.map(p => (p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq)))
+  }
+
+  test("protocol check rejects wrong version") {
+    val pack = graft.pack.SynthPack.build()
+    val dir = java.nio.file.Files.createTempDirectory("pack").toString
+    graft.pack.PackIO.dump(pack, dir)
+    val meta = java.nio.file.Paths.get(dir, "meta.json")
+    java.nio.file.Files.writeString(meta,
+      java.nio.file.Files.readString(meta).replace("\"protocol\": 1", "\"protocol\": 2"))
+    intercept[IllegalArgumentException](graft.pack.PackIO.load(dir))
+  }
+}
+
+class ScoresSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("F1 aggregator semantics (score.py:56-81)") {
+    import spark.implicits._
+    // 3 predicted, 4 gold, 2 hits -> P=2/3 R=2/4
+    val data = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, true)).toDS()
+    val got = data.select(new graft.eval.F1Agg().toColumn).head()
+    assert(math.abs(got.precision - 2.0 / 3) < 1e-9)
+    assert(math.abs(got.recall - 0.5) < 1e-9)
+  }
+
+  test("pipeline triples reach P/R >= 0.95 vs golden (BASELINE gate)") {
+    import spark.implicits._
+    import graft.corpus.RuCorpus
+    val nDocs = 60L
+    val pred = graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
+        graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, nDocs)),
+        SparkEntry.packBc(spark)))
+      .map(t => (t.docId, t.spanOrder.toLong, t.subj, t.pred, t.obj))
+      .toDF("doc_id", "sent_key", "subj", "pred", "obj")
+    val gold = spark.range(nDocs).flatMap { id =>
+      val spans = RuCorpus.docSpans(id)
+      spans.zipWithIndex.collect { case (s, order) if s.kind == "text" =>
+        val textIdx = spans.take(order).count(_.kind == "text")
+        RuCorpus.goldenTriples(id, textIdx).map(g =>
+          (s"d$id", order.toLong, g.subj, g.pred, g.obj))
+      }.flatten
+    }.toDF("doc_id", "sent_key", "subj", "pred", "obj")
+    val prf = graft.eval.TripleEval.prf1(pred, gold)
+    assert(prf.precision >= 0.95 && prf.recall >= 0.95, prf.toString)
+    assert(prf.f1 == 1.0, prf.toString) // exact by construction
+  }
+}
+
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("incremental streaming processes new files exactly once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val docs = graft.sources.Docs.russianDocs(spark, 40L).cache()
+    docs.where($"doc_id".substr(2, 10).cast("long") < 20).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = graft.streaming.IncrementalKg.start(spark, in, out)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(s"$out/triples_stream").count()
+    assert(afterFirst > 0)
+
+    // append the rest; resume from checkpoint -> only new docs processed
+    docs.where($"doc_id".substr(2, 10).cast("long") >= 20).write.mode("append").parquet(in)
+    runOnce()
+    val afterSecond = spark.read.parquet(s"$out/triples_stream")
+    val total = afterSecond.count()
+    val batchTotal = graft.kg.Kg.link(spark, graft.kg.Kg.triples(
+      graft.nlp.Pipeline.parse(graft.sources.Docs.sentences(docs),
+        SparkEntry.packBc(spark)))).count()
+    assert(total == batchTotal, s"stream=$total batch=$batchTotal")
+    // no doc processed twice
+    val dups = afterSecond.groupBy("docId", "spanOrder", "sentIdx", "subjId", "pred", "objId")
+      .count().where($"count" > 1).count()
+    assert(dups == 0)
+    docs.unpersist()
+  }
+}
