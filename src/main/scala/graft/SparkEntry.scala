@@ -114,6 +114,27 @@ object SparkEntry {
           count(when(col("word_id").isNull, 1)).as("n_unk"))
     }),
 
+    "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
+      ops.Skew.saltedCount(
+        tbl(s, d, "documents")
+          .select(explode(TextStats.tokens(lower(col("text")))).as("word")),
+        col("word"), 16)
+        .select(col("k").as("word"), col("n"))),
+    "q_json_roundtrip" -> ((s, d) => { // format_jl/parse_jl analogue (io.py:6-42)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      tbl(s, d, "events")
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
+        .select(from_json(col("j"), schema).as("r"))
+        .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+          round(col("r.value"), 6).as("value"))
+    }),
+
     // ---- interleaved span passthrough (SQL-checked invariant) ----
     "q_span_passthrough" -> ((s, d) =>
       Docs.fromDocuments(s, d).select(
@@ -258,6 +279,12 @@ object SparkEntry {
         SELECT doc_id, count(*) AS n,
                count(*) FILTER (WHERE v.word IS NULL) AS n_unk
         FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1""",
+      "q_salted_wordcount" -> s"""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(${toks("lower(text)")}) AS word FROM documents)
+        GROUP BY 1""",
+      "q_json_roundtrip" ->
+        "SELECT event_id, event_type, round(value, 6) AS value FROM events",
       "q_span_passthrough" -> """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, cast(ceil(len(tk)/8.0) AS int) - 1)) AS i FROM t),

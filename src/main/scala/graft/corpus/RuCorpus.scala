@@ -73,9 +73,27 @@ object RuCorpus {
     */
   final case class GenSent(words: Vector[String], text: String)
 
+  // The distinct-sentence space is small (~37k combinations), so rendered
+  // sentences are memoized per executor: cuts the generator's allocation
+  // rate at 32 threads without changing any output (key = template +
+  // word indices, all derived from the same hash bits as the render).
+  private val sentCache = new java.util.concurrent.ConcurrentHashMap[Long, GenSent]()
+
   /** Render a sentence for (docId, sentIdx). 4 templates. */
   def sentence(docId: Long, sentIdx: Int): GenSent = {
     val h = mix(docId * 1000003L + sentIdx)
+    val key = (((h >>> 8) % 4) << 60) |
+      (((h % 8) + 8) % 8) | (((((h >>> 16) % 8) + 8) % 8) << 4) |
+      (((((h >>> 24) % 8) + 8) % 8) << 8) | (((((h >>> 32) % 8) + 8) % 8) << 12) |
+      (((((h >>> 40) % 8) + 8) % 8) << 16)
+    val cached = sentCache.get(key)
+    if (cached != null) return cached
+    val made = renderSentence(h)
+    if (sentCache.size() < 100000) sentCache.put(key, made)
+    made
+  }
+
+  private def renderSentence(h: Long): GenSent = {
     val t = ((h >>> 8) % 4).toInt
     val words: Vector[String] = t match {
       case 0 => // PER V OBJ .
