@@ -73,22 +73,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(1, cpus / 4)
-    // scaling legs need enough work to amortize fixed job overhead: 20x
-    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 20
+    // scaling legs need enough work to amortize fixed job overhead: 40x
+    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 40
 
     // --- N executors, then 4N executors (each leg its own session)
     val coresPerWorker = 4
-    def leg(totalCores: Int): (Long, Double, String) =
+    // local-cluster can fail to LAUNCH executors in foreign environments
+    // (missing SPARK_SCALA_VERSION etc.) — Spark would then hang waiting
+    // for resources, so probe liveness with a timeout before trusting it
+    def probe(s: SparkSession): Boolean = {
+      @volatile var ok = false
+      val t = new Thread(() => {
+        try ok = s.range(1000).repartition(4).count() == 1000L
+        catch { case _: Throwable => }
+      })
+      t.setDaemon(true); t.start(); t.join(90000)
+      ok
+    }
+    def leg(totalCores: Int): (Long, Double, String) = {
       try {
         val s = clusterSession(math.max(1, totalCores / coresPerWorker), coresPerWorker)
-        try { val (n, t) = measure(s, scaleDocs); (n, t, "local-cluster") }
-        finally s.stop()
-      } catch {
-        case _: Throwable =>
-          val s = localSession(totalCores)
-          try { val (n, t) = measure(s, scaleDocs); (n, t, "local") }
+        if (probe(s)) {
+          try { val (n, t) = measure(s, scaleDocs); return (n, t, "local-cluster") }
           finally s.stop()
-      }
+        } else s.stop()
+      } catch { case _: Throwable => }
+      val s = localSession(totalCores)
+      try { val (n, t) = measure(s, scaleDocs); (n, t, "local") }
+      finally s.stop()
+    }
     val (nTriplesLow, tLow, modeLow) = leg(cpusLow)
     val (nTriples, tHigh, modeHigh) = leg(cpus)
     val thrLow = nTriplesLow / tLow

