@@ -142,6 +142,26 @@ object SparkEntry {
         col("span.kind").as("kind"), col("span.text").as("text"),
         col("span.media_ref").as("media_ref"))),
 
+    "q_pipeline_tokens" -> ((s, d) => {
+      // REAL documents through the REAL NLP pipeline (tokenize -> batched
+      // inference -> ParsedSent); token counts are oracle-checkable because
+      // the corpus charset is [a-z ] where our tokenizer == the regex
+      import s.implicits._
+      val docs = Docs.fromDocuments(s, d)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          (col("i") * 2 + col("sub")).as("ord"), col("span"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("ord"), col("span")))).as("ss"))
+        .select(col("doc_id"),
+          expr("transform(ss, x -> struct(x.span.kind as kind, x.span.text as text, " +
+            "x.span.media_ref as media_ref, cast(x.ord as int) as offset))").as("spans"))
+        .as[graft.sources.InterleavedDoc]
+      Pipeline.parse(Docs.sentences(docs), packBc(s))
+        .map(p => (p.docId, p.tokens.length.toLong))
+        .toDF("doc_id", "n")
+        .groupBy("doc_id").agg(sum("n").as("n_tokens"))
+    }),
+
     // ---- NLP + KG pipeline (planted-corpus; verified by sbt golden tests;
     //      rows-only check here: model inference is not SQL-expressible) ----
     "q_ner_spans" -> ((s, d) => {
@@ -285,6 +305,9 @@ object SparkEntry {
         GROUP BY 1""",
       "q_json_roundtrip" ->
         "SELECT event_id, event_type, round(value, 6) AS value FROM events",
+      "q_pipeline_tokens" -> s"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, len(${toks("text")}) AS n_tokens
+        FROM documents""",
       "q_span_passthrough" -> """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, cast(ceil(len(tk)/8.0) AS int) - 1)) AS i FROM t),
