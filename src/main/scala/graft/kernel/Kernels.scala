@@ -46,9 +46,12 @@ object Kernels {
     best
   }
 
-  def relu(a: Array[Float]): Unit = {
+  def relu(a: Array[Float]): Unit = relu(a, a.length)
+
+  /** workspace buffers may be longer than the logical size */
+  def relu(a: Array[Float], n: Int): Unit = {
     var i = 0
-    while (i < a.length) { if (a(i) < 0f) a(i) = 0f; i += 1 }
+    while (i < n) { if (a(i) < 0f) a(i) = 0f; i += 1 }
   }
 }
 
@@ -59,6 +62,12 @@ final case class Linear(weight: Array[Float], inDim: Int, outDim: Int,
                         bias: Array[Float]) extends Serializable {
   def apply(input: Array[Float], rows: Int): Array[Float] = {
     val out = new Array[Float](rows * outDim)
+    into(input, rows, out)
+    out
+  }
+
+  /** write x·W + b into a caller-provided buffer (≥ rows*outDim). */
+  def into(input: Array[Float], rows: Int, out: Array[Float]): Unit = {
     Kernels.gemm(input, rows, inDim, weight, outDim, out)
     var r = 0
     while (r < rows) {
@@ -67,7 +76,6 @@ final case class Linear(weight: Array[Float], inDim: Int, outDim: Int,
       while (j < outDim) { out(off + j) += bias(j); j += 1 }
       r += 1
     }
-    out
   }
 }
 
@@ -78,59 +86,59 @@ final case class Linear(weight: Array[Float], inDim: Int, outDim: Int,
 final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
                         kernel: Int, bias: Array[Float], padding: Int)
     extends Serializable {
-  // pre-transposed [in*kernel, filters] for GEMM
-  private val wT: Array[Float] = {
-    val ik = inDim * kernel
-    val t = new Array[Float](ik * filters)
-    var f = 0
-    while (f < filters) {
-      var p = 0
-      while (p < ik) { t(p * filters + f) = weight(f * ik + p); p += 1 }
-      f += 1
-    }
-    t
-  }
 
   def apply(input: Array[Float], batch: Int, seqLen: Int): Array[Float] = {
-    val padded = seqLen + 2 * padding
-    val windows = padded - kernel + 1 // == seqLen when padding=(kernel-1)/2
-    val ik = inDim * kernel
-    val col = new Array[Float](windows * ik)
-    val prod = new Array[Float](windows * filters)
+    val windows = seqLen + 2 * padding - kernel + 1
     val out = new Array[Float](batch * filters * windows)
+    into(input, batch, seqLen, out)
+    out
+  }
+
+  /** Direct convolution, tap-accumulation form (numerically identical to
+    * the reference's im2col+GEMM: per output element the products are added
+    * in the same (channel-major, tap-minor) order, bias last). Each
+    * (filter, channel, tap) pass is a unit-stride saxpy over the sequence —
+    * JIT-vectorizable, no im2col materialization (the im2col inner loop was
+    * 56% of pipeline CPU in JFR), and taps with zero weight are skipped
+    * entirely. out ≥ batch*filters*seqLen (requires the reference's
+    * same-pad config: windows == seqLen).
+    */
+  def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float]): Unit = {
+    val k = kernel
     var b = 0
     while (b < batch) {
-      // im2col: col[w, c*kernel + t] = input[b, c, w + t - padding]
-      var w = 0
-      while (w < windows) {
-        val cOff = w * ik
+      val oBase = b * filters * seqLen
+      java.util.Arrays.fill(out, oBase, oBase + filters * seqLen, 0f)
+      var f = 0
+      while (f < filters) {
+        val oOff = oBase + f * seqLen
         var c = 0
         while (c < inDim) {
           val iOff = (b * inDim + c) * seqLen
+          val wOff = (f * inDim + c) * k
           var t = 0
-          while (t < kernel) {
-            val s = w + t - padding
-            col(cOff + c * kernel + t) =
-              if (s >= 0 && s < seqLen) input(iOff + s) else 0f
+          while (t < k) {
+            val v = weight(wOff + t)
+            if (v != 0f) {
+              val d = t - padding // out[s] += v * in[s + d]
+              var s = if (d < 0) -d else 0
+              val e = if (d > 0) seqLen - d else seqLen
+              val io = iOff + d
+              while (s < e) { out(oOff + s) += v * input(io + s); s += 1 }
+            }
             t += 1
           }
           c += 1
         }
-        w += 1
-      }
-      Kernels.gemm(col, windows, ik, wT, filters, prod)
-      // prod is [w, f]; output wants [f, w] (+bias)
-      var f = 0
-      while (f < filters) {
-        val oOff = (b * filters + f) * windows
         val bv = bias(f)
-        var w2 = 0
-        while (w2 < windows) { out(oOff + w2) = prod(w2 * filters + f) + bv; w2 += 1 }
+        if (bv != 0f) {
+          var s = 0
+          while (s < seqLen) { out(oOff + s) += bv; s += 1 }
+        }
         f += 1
       }
       b += 1
     }
-    out
   }
 }
 
@@ -187,15 +195,19 @@ final case class WordShapeEmbedding(word: NavecEmbedding, shape: Embedding)
   val dim: Int = word.dim + shape.dim
   /** wordIds/shapeIds [B*S] -> [B*S, dim] */
   def apply(wordIds: Array[Int], shapeIds: Array[Int]): Array[Float] = {
-    val n = wordIds.length
-    val out = new Array[Float](n * dim)
+    val out = new Array[Float](wordIds.length * dim)
+    into(wordIds, shapeIds, wordIds.length, out)
+    out
+  }
+
+  def into(wordIds: Array[Int], shapeIds: Array[Int], n: Int,
+           out: Array[Float]): Unit = {
     var i = 0
     while (i < n) {
       word.lookup(wordIds(i), out, i * dim)
       shape.lookup(shapeIds(i), out, i * dim + word.dim)
       i += 1
     }
-    out
   }
 }
 
@@ -208,49 +220,58 @@ final case class CNNEncoderLayer(conv: Conv1d, norm: BatchNorm1d) extends Serial
   */
 final case class CNNEncoder(layers: Seq[CNNEncoderLayer]) extends Serializable {
   val outDim: Int = layers.last.conv.filters
+  @transient private lazy val layerArr: Array[CNNEncoderLayer] = layers.toArray
 
-  /** input [B,S,E] row-major, padMask [B,S] (true = PAD) -> [B,S,outDim]. */
+  /** input [B,S,E] row-major, padMask [B,S] (true = PAD) -> [B,S,outDim].
+    * Allocating path (tests/oracle); the pipeline uses [[forwardT]] with a
+    * per-partition workspace.
+    */
   def apply(input: Array[Float], batch: Int, seqLen: Int, embDim: Int,
             padMask: Array[Boolean]): Array[Float] = {
-    // swap to [B,C,S]
-    var x = new Array[Float](batch * embDim * seqLen)
-    var b = 0
-    while (b < batch) {
-      var s = 0
-      while (s < seqLen) {
-        var c = 0
-        while (c < embDim) {
-          x((b * embDim + c) * seqLen + s) = input((b * seqLen + s) * embDim + c)
-          c += 1
-        }
-        s += 1
-      }
-      b += 1
-    }
+    val ws = new Workspace
+    val xT = new Array[Float](batch * embDim * seqLen)
+    CNNEncoder.transposeInto(input, batch, seqLen, embDim, xT)
+    val enc = forwardT(xT, batch, seqLen, embDim, padMask, ws)
+    java.util.Arrays.copyOf(enc, batch * seqLen * outDim)
+  }
+
+  /** xT [B,E,S] (left untouched, reusable across the three trunks) ->
+    * [B,S,outDim] written into ws(WS.ENC_OUT); valid until the next
+    * forwardT call on the same workspace.
+    */
+  def forwardT(xT: Array[Float], batch: Int, seqLen: Int, embDim: Int,
+               padMask: Array[Boolean], ws: Workspace): Array[Float] = {
+    val ls = layerArr
+    var x = xT
     var channels = embDim
-    for (layer <- layers) {
-      val y = layer.conv.apply(x, batch, seqLen)
-      Kernels.relu(y)
-      layer.norm.applyInPlace(y, batch, layer.conv.filters, seqLen)
-      channels = layer.conv.filters
-      // zero masked positions
+    var li = 0
+    while (li < ls.length) {
+      val layer = ls(li)
+      val f = layer.conv.filters
+      val y = ws.f(if (li % 2 == 0) WS.ENC_A else WS.ENC_B, batch * f * seqLen)
+      layer.conv.into(x, batch, seqLen, y)
+      Kernels.relu(y, batch * f * seqLen)
+      layer.norm.applyInPlace(y, batch, f, seqLen)
+      // zero masked positions after EVERY layer (exec/model.py:277-286)
       var bb = 0
       while (bb < batch) {
         var s = 0
         while (s < seqLen) {
           if (padMask(bb * seqLen + s)) {
             var c = 0
-            while (c < channels) { y((bb * channels + c) * seqLen + s) = 0f; c += 1 }
+            while (c < f) { y((bb * f + c) * seqLen + s) = 0f; c += 1 }
           }
           s += 1
         }
         bb += 1
       }
       x = y
+      channels = f
+      li += 1
     }
     // swap back to [B,S,C]
-    val out = new Array[Float](batch * seqLen * channels)
-    b = 0
+    val out = ws.f(WS.ENC_OUT, batch * seqLen * channels)
+    var b = 0
     while (b < batch) {
       var s = 0
       while (s < seqLen) {
@@ -267,37 +288,62 @@ final case class CNNEncoder(layers: Seq[CNNEncoderLayer]) extends Serializable {
   }
 }
 
+object CNNEncoder {
+  /** [B,S,E] -> [B,E,S] */
+  def transposeInto(input: Array[Float], batch: Int, seqLen: Int, embDim: Int,
+                    out: Array[Float]): Unit = {
+    var b = 0
+    while (b < batch) {
+      var s = 0
+      while (s < seqLen) {
+        var c = 0
+        while (c < embDim) {
+          out((b * embDim + c) * seqLen + s) = input((b * seqLen + s) * embDim + c)
+          c += 1
+        }
+        s += 1
+      }
+      b += 1
+    }
+  }
+}
+
 /** Viterbi decode over transitions[T,T] (exec/model.py:148-186).
   * emissions [B,S,T]; mask [B,S] true = valid token. Ties: first argmax.
   */
 final case class CRF(transitions: Array[Float], tags: Int) extends Serializable {
   def decode(emissions: Array[Float], batch: Int, seqLen: Int,
-             mask: Array[Boolean]): Array[Array[Int]] = {
+             mask: Array[Boolean]): Array[Array[Int]] =
+    decode(emissions, batch, seqLen, mask, new Workspace)
+
+  def decode(emissions: Array[Float], batch: Int, seqLen: Int,
+             mask: Array[Boolean], ws: Workspace): Array[Array[Int]] = {
     val T = tags
-    val score = new Array[Float](batch * T)
+    val score = ws.f(WS.CRF_SCORE, batch * T)
     var b = 0
     while (b < batch) {
       System.arraycopy(emissions, (b * seqLen) * T, score, b * T, T)
       b += 1
     }
-    // history(step)(b*T + tCur) = best previous tag
-    val history = new Array[Array[Int]](math.max(0, seqLen - 1))
-    val cand = new Array[Float](T)
+    // history[(step-1)*batch*T + b*T + tCur] = best previous tag
+    val bt = batch * T
+    val history = ws.i(WS.CRF_HIST, math.max(0, seqLen - 1) * bt)
+    val cand = ws.f(WS.CRF_CAND, T)
+    val newScore = ws.f(WS.CRF_NS, T)
     var index = 1
     while (index < seqLen) {
-      val idx = new Array[Int](batch * T)
+      val hOff = (index - 1) * bt
       b = 0
       while (b < batch) {
         val eOff = (b * seqLen + index) * T
         val sOff = b * T
         if (mask(b * seqLen + index)) {
-          val newScore = new Array[Float](T)
           var tc = 0
           while (tc < T) {
             var tp = 0
             while (tp < T) { cand(tp) = score(sOff + tp) + transitions(tp * T + tc); tp += 1 }
             val bestPrev = Kernels.argmaxFirst(cand, 0, T)
-            idx(sOff + tc) = bestPrev
+            history(hOff + sOff + tc) = bestPrev
             newScore(tc) = cand(bestPrev) + emissions(eOff + tc)
             tc += 1
           }
@@ -309,13 +355,12 @@ final case class CRF(transitions: Array[Float], tags: Int) extends Serializable 
           while (tc < T) {
             var tp = 0
             while (tp < T) { cand(tp) = score(sOff + tp) + transitions(tp * T + tc); tp += 1 }
-            idx(sOff + tc) = Kernels.argmaxFirst(cand, 0, T)
+            history(hOff + sOff + tc) = Kernels.argmaxFirst(cand, 0, T)
             tc += 1
           }
         }
         b += 1
       }
-      history(index - 1) = idx
       index += 1
     }
     val out = new Array[Array[Int]](batch)
@@ -330,7 +375,7 @@ final case class CRF(transitions: Array[Float], tags: Int) extends Serializable 
       tags0(n - 1) = best
       var h = size - 2
       while (h >= 0) {
-        best = history(h)(b * T + best)
+        best = history(h * bt + b * T + best)
         tags0(h) = best
         h -= 1
       }
@@ -348,6 +393,10 @@ final case class FF(proj: Linear) extends Serializable {
     Kernels.relu(out)
     out
   }
+  def into(input: Array[Float], rows: Int, out: Array[Float]): Unit = {
+    proj.into(input, rows, out)
+    Kernels.relu(out, rows * proj.outDim)
+  }
 }
 
 /** Biaffine arc scorer (exec/model.py:388-412): scores[b,s,h] over
@@ -359,14 +408,23 @@ final case class SyntaxHead(head: FF, tail: FF, root: Array[Float],
     extends Serializable {
   /** input [B,S,D] -> scores [B,S,S+1] */
   def apply(input: Array[Float], batch: Int, seqLen: Int, dim: Int): Array[Float] = {
+    val out = new Array[Float](batch * seqLen * (seqLen + 1))
+    into(input, batch, seqLen, dim, new Workspace, out)
+    out
+  }
+
+  def into(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
+           ws: Workspace, out: Array[Float]): Unit = {
     val s1 = seqLen + 1
-    val withRoot = SyntaxOps.appendRoot(input, batch, seqLen, dim, root)
-    val h = head(withRoot, batch * s1) // [B,S+1,H]
-    val t = tail(withRoot, batch * s1)
+    val withRoot = ws.f(WS.SH_ROOT, batch * s1 * dim)
+    SyntaxOps.appendRootInto(input, batch, seqLen, dim, root, withRoot)
+    val h = ws.f(WS.SH_H, batch * s1 * hidden)
+    head.into(withRoot, batch * s1, h) // [B,S+1,H]
+    val t = ws.f(WS.SH_T, batch * s1 * hidden)
+    tail.into(withRoot, batch * s1, t)
     // x = (h x kernel) x t^T per batch -> [B,S+1,S+1], strip root row
-    val hk = new Array[Float](s1 * hidden)
-    val out = new Array[Float](batch * seqLen * s1)
-    val hBlock = new Array[Float](s1 * hidden)
+    val hk = ws.f(WS.SH_HK, s1 * hidden)
+    val hBlock = ws.f(WS.SH_HB, s1 * hidden)
     var b = 0
     while (b < batch) {
       System.arraycopy(h, b * s1 * hidden, hBlock, 0, s1 * hidden)
@@ -388,7 +446,6 @@ final case class SyntaxHead(head: FF, tail: FF, root: Array[Float],
       }
       b += 1
     }
-    out
   }
 
   /** Masked argmax decode (exec/model.py:397-403): valid (token i, head j)
@@ -396,12 +453,16 @@ final case class SyntaxHead(head: FF, tail: FF, root: Array[Float],
     * root-row-stripped; invalid filled with the global min.
     */
   def decode(pred: Array[Float], batch: Int, seqLen: Int,
-             valid: Array[Boolean]): Array[Int] = {
+             valid: Array[Boolean]): Array[Int] =
+    decodeInto(pred, batch, seqLen, valid, new Array[Int](batch * seqLen))
+
+  def decodeInto(pred: Array[Float], batch: Int, seqLen: Int,
+                 valid: Array[Boolean], out: Array[Int]): Array[Int] = {
     val s1 = seqLen + 1
+    val n = batch * seqLen * s1
     var mn = Float.MaxValue
     var i = 0
-    while (i < pred.length) { if (pred(i) < mn) mn = pred(i); i += 1 }
-    val out = new Array[Int](batch * seqLen)
+    while (i < n) { if (pred(i) < mn) mn = pred(i); i += 1 }
     var b = 0
     while (b < batch) {
       var s = 0
@@ -435,12 +496,21 @@ final case class SyntaxRel(head: FF, tail: FF, root: Array[Float],
   /** input [B,S,D], headIds [B,S] (0=root) -> scores [B,S,R] */
   def apply(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
             headIds: Array[Int]): Array[Float] = {
-    val gathered = SyntaxOps.gatherHead(input, batch, seqLen, dim, root, headIds)
-    val h = head(gathered, batch * seqLen) // [B,S,H]
-    val t = tail(input, batch * seqLen)    // [B,S,H]
-    val hk = new Array[Float](seqLen * hidden * rels)
     val out = new Array[Float](batch * seqLen * rels)
-    val hBlock = new Array[Float](seqLen * hidden)
+    into(input, batch, seqLen, dim, headIds, new Workspace, out)
+    out
+  }
+
+  def into(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
+           headIds: Array[Int], ws: Workspace, out: Array[Float]): Unit = {
+    val gathered = ws.f(WS.GATH, batch * seqLen * dim)
+    SyntaxOps.gatherHeadInto(input, batch, seqLen, dim, root, headIds, gathered)
+    val h = ws.f(WS.SH_H, batch * seqLen * hidden)
+    head.into(gathered, batch * seqLen, h) // [B,S,H]
+    val t = ws.f(WS.SH_T, batch * seqLen * hidden)
+    tail.into(input, batch * seqLen, t)    // [B,S,H]
+    val hk = ws.f(WS.SH_HK, seqLen * hidden * rels)
+    val hBlock = ws.f(WS.SH_HB, seqLen * hidden)
     var b = 0
     while (b < batch) {
       System.arraycopy(h, b * seqLen * hidden, hBlock, 0, seqLen * hidden)
@@ -464,16 +534,19 @@ final case class SyntaxRel(head: FF, tail: FF, root: Array[Float],
       }
       b += 1
     }
-    out
   }
 
   /** Masked argmax over rels with global-min fill (exec/model.py:439-445). */
   def decode(pred: Array[Float], batch: Int, seqLen: Int,
-             valid: Array[Boolean]): Array[Int] = {
+             valid: Array[Boolean]): Array[Int] =
+    decodeInto(pred, batch, seqLen, valid, new Array[Int](batch * seqLen))
+
+  def decodeInto(pred: Array[Float], batch: Int, seqLen: Int,
+                 valid: Array[Boolean], out: Array[Int]): Array[Int] = {
+    val n = batch * seqLen * rels
     var mn = Float.MaxValue
     var i = 0
-    while (i < pred.length) { if (pred(i) < mn) mn = pred(i); i += 1 }
-    val out = new Array[Int](batch * seqLen)
+    while (i < n) { if (pred(i) < mn) mn = pred(i); i += 1 }
     var p = 0
     while (p < batch * seqLen) {
       if (valid(p)) out(p) = Kernels.argmaxFirst(pred, p * rels, rels)
@@ -491,21 +564,33 @@ object SyntaxOps {
   /** Prepend learned ROOT vector (exec/model.py:364-371): [B,S,D] -> [B,S+1,D]. */
   def appendRoot(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
                  root: Array[Float]): Array[Float] = {
+    val out = new Array[Float](batch * (seqLen + 1) * dim)
+    appendRootInto(input, batch, seqLen, dim, root, out)
+    out
+  }
+
+  def appendRootInto(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
+                     root: Array[Float], out: Array[Float]): Unit = {
     val s1 = seqLen + 1
-    val out = new Array[Float](batch * s1 * dim)
     var b = 0
     while (b < batch) {
       System.arraycopy(root, 0, out, b * s1 * dim, dim)
       System.arraycopy(input, b * seqLen * dim, out, (b * s1 + 1) * dim, seqLen * dim)
       b += 1
     }
-    out
   }
 
   /** Select per-token predicted-head vectors (exec/model.py:415-427). */
   def gatherHead(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
                  root: Array[Float], headIds: Array[Int]): Array[Float] = {
     val out = new Array[Float](batch * seqLen * dim)
+    gatherHeadInto(input, batch, seqLen, dim, root, headIds, out)
+    out
+  }
+
+  def gatherHeadInto(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
+                     root: Array[Float], headIds: Array[Int],
+                     out: Array[Float]): Unit = {
     var b = 0
     while (b < batch) {
       var s = 0
@@ -520,6 +605,5 @@ object SyntaxOps {
       }
       b += 1
     }
-    out
   }
 }

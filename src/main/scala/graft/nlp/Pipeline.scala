@@ -2,6 +2,7 @@ package graft.nlp
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.kernel.{WS, Workspace}
 import graft.pack.ModelPack
 import graft.text._
 import scala.collection.mutable.ArrayBuffer
@@ -31,42 +32,69 @@ object Pipeline {
     * (encoders/buffer.py:38-47).
     */
   def inferPartition(rows: Iterator[SentRow], pack: ModelPack,
-                     batchSize: Int): Iterator[ParsedSent] =
-    rows.grouped(batchSize).flatMap(batch => inferBatch(batch, pack))
+                     batchSize: Int): Iterator[ParsedSent] = {
+    val ws = new Workspace
+    rows.grouped(batchSize).flatMap(batch => inferBatch(batch, pack, ws))
+  }
 
-  def inferBatch(batch: Seq[SentRow], pack: ModelPack): Seq[ParsedSent] = {
+  def inferBatch(batch: Seq[SentRow], pack: ModelPack): Seq[ParsedSent] =
+    inferBatch(batch, pack, new Workspace)
+
+  /** ws = per-partition scratch pool: the whole forward pass runs without
+    * allocating tensors (the measured 32-thread scaling limiter was
+    * allocation bandwidth, BASELINE.md round-1 analysis).
+    */
+  def inferBatch(batch: Seq[SentRow], pack: ModelPack, ws: Workspace): Seq[ParsedSent] = {
     val n = batch.length
     val toks: Array[Array[Token]] = batch.iterator.map(r => Tokenizer.tokenize(r.text)).toArray
     val seqLen = math.max(1, toks.iterator.map(_.length).max)
-    val wordIds = new Array[Int](n * seqLen)
-    val shapeIds = new Array[Int](n * seqLen)
-    val padMask = new Array[Boolean](n * seqLen)
-    val wv = pack.wordVocab; val sv = pack.shapeVocab
-    java.util.Arrays.fill(wordIds, wv.padId)
-    java.util.Arrays.fill(shapeIds, sv.padId)
+    val ns = n * seqLen
+    val wordIds = ws.i(WS.WORD_IDS, ns)
+    val shapeIds = ws.i(WS.SHAPE_IDS, ns)
+    val padMask = ws.b(WS.PAD_MASK, ns)
+    val valid = ws.b(WS.VALID, ns)
+    val wv = pack.wordVocab
+    val shapeByOrd = pack.shapeIdByOrdinal
+    java.util.Arrays.fill(wordIds, 0, ns, wv.padId)
+    java.util.Arrays.fill(shapeIds, 0, ns, pack.shapeVocab.padId)
     var b = 0
     while (b < n) {
       val ts = toks(b)
       var s = 0
       while (s < seqLen) {
+        val p = b * seqLen + s
         if (s < ts.length) {
           val w = ts(s).text
-          wordIds(b * seqLen + s) = wv.encode(Shape.lowerFast(w))
-          shapeIds(b * seqLen + s) = sv.encode(Shape.wordShape(w))
-        } else padMask(b * seqLen + s) = true
+          wordIds(p) = wv.encodeLower(w)
+          shapeIds(p) = shapeByOrd(Shape.shapeOrdinal(w))
+          padMask(p) = false; valid(p) = true
+        } else { padMask(p) = true; valid(p) = false }
         s += 1
       }
       b += 1
     }
-    val valid = padMask.map(!_)
+
+    // shared embedding + [B,E,S] transpose computed ONCE for all 3 trunks
+    // when the pack shares the instance (navec weight sharing)
+    def embT(emb: graft.kernel.WordShapeEmbedding): Array[Float] = {
+      val embOut = ws.f(WS.EMB, ns * emb.dim)
+      emb.into(wordIds, shapeIds, ns, embOut)
+      val xT = ws.f(WS.XT, ns * emb.dim)
+      graft.kernel.CNNEncoder.transposeInto(embOut, n, seqLen, emb.dim, xT)
+      xT
+    }
+    val sharedXT = if (pack.sharedEmb) embT(pack.ner.emb) else null
 
     // NER: emissions -> CRF Viterbi -> BIO tags -> char spans
-    val emissions = pack.ner.forward(wordIds, shapeIds, n, seqLen, padMask)
-    val nerPaths = pack.ner.crf.decode(emissions, n, seqLen, valid)
+    val emissions = pack.ner.forwardT(
+      if (sharedXT != null) sharedXT else embT(pack.ner.emb), n, seqLen, padMask, ws)
+    val nerPaths = pack.ner.crf.decode(emissions, n, seqLen, valid, ws)
     // Morph: logits -> masked argmax -> conll tag parse
-    val morphLogits = pack.morph.forward(wordIds, shapeIds, n, seqLen, padMask)
+    val morphLogits = pack.morph.forwardT(
+      if (sharedXT != null) sharedXT else embT(pack.morph.emb), n, seqLen, padMask, ws)
     // Syntax: biaffine head + rel decode
-    val (headIds, relIds) = pack.syntax.forward(wordIds, shapeIds, n, seqLen, padMask)
+    val (headIds, relIds) = pack.syntax.forwardT(
+      if (sharedXT != null) sharedXT else embT(pack.syntax.emb), n, seqLen, padMask, valid, ws)
 
     val out = new ArrayBuffer[ParsedSent](n)
     b = 0
@@ -113,9 +141,10 @@ object Pipeline {
   def parse(sents: Dataset[SentRow], bpack: Broadcast[ModelPack],
             batchSize: Int = 64, bufferSize: Int = 4096): Dataset[ParsedSent] = {
     sents.mapPartitions { it =>
+      val ws = new Workspace
       it.grouped(bufferSize).flatMap { window =>
         window.sortBy(_.text.length)
-          .grouped(batchSize).flatMap(b => inferBatch(b, bpack.value))
+          .grouped(batchSize).flatMap(b => inferBatch(b, bpack.value, ws))
       }
     }(org.apache.spark.sql.Encoders.product[ParsedSent])
   }

@@ -18,6 +18,62 @@ final case class Vocab(items: Array[String]) extends Serializable {
   }
   def decode(id: Int): String = items(id)
   def size: Int = items.length
+
+  // --- zero-allocation lower+encode (vocab.py:29-31: encode(word.lower()))
+  // Open-addressed table over the verbatim items, probed with the hash of
+  // the PER-CHAR-LOWERED input — avoids materializing the lowered string
+  // per token (the single largest garbage source in the NLP hot loop).
+  // Items containing cased uppercase chars can never equal a lowered input,
+  // exactly as in `encode(lowerFast(w))`.
+  @transient private lazy val probeTable: (Array[String], Array[Int], Int) = {
+    var cap = 16
+    while (cap < items.length * 2) cap <<= 1
+    val keys = new Array[String](cap)
+    val ids = new Array[Int](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < items.length) { // later duplicates overwrite (HashMap.put order)
+      val s = items(i)
+      var h = lowerHash(s) & mask
+      var placed = false
+      while (!placed) {
+        if (keys(h) == null || keys(h) == s) { keys(h) = s; ids(h) = i; placed = true }
+        else h = (h + 1) & mask
+      }
+      i += 1
+    }
+    (keys, ids, mask)
+  }
+
+  private def lowerHash(s: String): Int = {
+    var h = 0
+    var i = 0
+    while (i < s.length) { h = h * 31 + Character.toLowerCase(s.charAt(i)); i += 1 }
+    h & 0x7fffffff
+  }
+
+  private def eqLower(item: String, word: String): Boolean = {
+    if (item.length != word.length) return false
+    var i = 0
+    while (i < item.length) {
+      if (item.charAt(i) != Character.toLowerCase(word.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** encode(word.lower()) without allocating the lowered string. */
+  def encodeLower(word: String): Int = {
+    val (keys, ids, mask) = probeTable
+    var h = lowerHash(word) & mask
+    while (true) {
+      val k = keys(h)
+      if (k == null) return unkId
+      if (eqLower(k, word)) return ids(h)
+      h = (h + 1) & mask
+    }
+    unkId // unreachable
+  }
 }
 
 object Vocab {
@@ -34,12 +90,21 @@ object Vocab {
   */
 final case class NerModel(emb: WordShapeEmbedding, encoder: CNNEncoder,
                           proj: Linear, crf: CRF) extends Serializable {
-  /** emissions [B,S,T] */
+  /** emissions [B,S,T] (allocating path — tests/oracle) */
   def forward(wordIds: Array[Int], shapeIds: Array[Int], batch: Int, seqLen: Int,
               padMask: Array[Boolean]): Array[Float] = {
     val x = emb(wordIds, shapeIds)
     val enc = encoder(x, batch, seqLen, emb.dim, padMask)
     proj(enc, batch * seqLen)
+  }
+
+  /** xT = transposed embedding [B,E,S]; emissions land in ws(WS.NER_OUT). */
+  def forwardT(xT: Array[Float], batch: Int, seqLen: Int,
+               padMask: Array[Boolean], ws: Workspace): Array[Float] = {
+    val enc = encoder.forwardT(xT, batch, seqLen, emb.dim, padMask, ws)
+    val out = ws.f(WS.NER_OUT, batch * seqLen * proj.outDim)
+    proj.into(enc, batch * seqLen, out)
+    out
   }
 }
 
@@ -51,6 +116,17 @@ final case class MorphModel(emb: WordShapeEmbedding, encoder: CNNEncoder,
     val x = emb(wordIds, shapeIds)
     val enc = encoder(x, batch, seqLen, emb.dim, padMask)
     proj(enc, batch * seqLen)
+  }
+
+  /** logits land in ws(WS.MORPH_OUT) — syntax slots are disjoint, so they
+    * stay valid through the syntax pass until assembly.
+    */
+  def forwardT(xT: Array[Float], batch: Int, seqLen: Int,
+               padMask: Array[Boolean], ws: Workspace): Array[Float] = {
+    val enc = encoder.forwardT(xT, batch, seqLen, emb.dim, padMask, ws)
+    val out = ws.f(WS.MORPH_OUT, batch * seqLen * proj.outDim)
+    proj.into(enc, batch * seqLen, out)
+    out
   }
 }
 
@@ -72,6 +148,23 @@ final case class SyntaxModel(emb: WordShapeEmbedding, encoder: CNNEncoder,
     val headIds = head.decode(headScores, batch, seqLen, valid)
     val relScores = rel(enc, batch, seqLen, dim, headIds)
     val relIds = rel.decode(relScores, batch, seqLen, valid)
+    (headIds, relIds)
+  }
+
+  /** headIds/relIds land in ws int slots (valid until next batch). */
+  def forwardT(xT: Array[Float], batch: Int, seqLen: Int,
+               padMask: Array[Boolean], valid: Array[Boolean],
+               ws: Workspace): (Array[Int], Array[Int]) = {
+    val enc = encoder.forwardT(xT, batch, seqLen, emb.dim, padMask, ws)
+    val dim = encoder.outDim
+    val headScores = ws.f(WS.HEAD_SC, batch * seqLen * (seqLen + 1))
+    head.into(enc, batch, seqLen, dim, ws, headScores)
+    val headIds = head.decodeInto(headScores, batch, seqLen, valid,
+      ws.i(WS.HEAD_IDS, batch * seqLen))
+    val relScores = ws.f(WS.REL_SC, batch * seqLen * rel.rels)
+    rel.into(enc, batch, seqLen, dim, headIds, ws, relScores)
+    val relIds = rel.decodeInto(relScores, batch, seqLen, valid,
+      ws.i(WS.REL_IDS, batch * seqLen))
     (headIds, relIds)
   }
 }
@@ -96,4 +189,18 @@ final case class ModelPack(
     */
   @transient lazy val morphParsed: Array[(String, Map[String, String])] =
     morphTags.items.map(graft.text.Conll.parseTag)
+
+  /** shape ordinal (index into Shape.SHAPES) -> shape vocab id; turns the
+    * per-token `shapeVocab.encode(Shape.wordShape(w))` string-build +
+    * hash-lookup into one array index.
+    */
+  @transient lazy val shapeIdByOrdinal: Array[Int] =
+    graft.text.Shape.SHAPES.map(shapeVocab.encode).toArray
+
+  /** all three task models share one embedding instance (navec weight
+    * sharing, exec/model.py:536-557) — then emb + transpose run once per
+    * batch instead of three times.
+    */
+  @transient lazy val sharedEmb: Boolean =
+    (ner.emb eq morph.emb) && (ner.emb eq syntax.emb)
 }

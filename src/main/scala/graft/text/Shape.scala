@@ -93,8 +93,30 @@ object Shape {
       else OTHER
     }
 
-  /** First-match-at-start classification (slovnet/shape.py:63-69). */
+  /** First-match-at-start classification (slovnet/shape.py:63-69).
+    * The regex alternation only ever inspects the first char (plus one
+    * lookahead for the NUM sign) — implemented branch-wise, zero-alloc;
+    * [[wordTypeRegex]] keeps the literal translation and a property test
+    * pins equality.
+    */
   def wordType(word: String): String = {
+    if (word.isEmpty) return OTHER
+    val c = word.charAt(0)
+    if (isRuChar(c)) RU
+    else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) EN
+    else if (c >= '0' && c <= '9') NUM
+    else if ((c == '+' || c == '-') && word.length > 1 && {
+      val d = word.charAt(1); d >= '0' && d <= '9'
+    }) NUM
+    else if (PUNCTS.indexOf(c) >= 0) PUNCT
+    else OTHER
+  }
+
+  @inline private def isRuChar(c: Char): Boolean =
+    (c >= 'а' && c <= 'я') || (c >= 'А' && c <= 'Я') || c == 'ё' || c == 'Ё'
+
+  /** literal regex translation, kept as the parity oracle for wordType */
+  private[graft] def wordTypeRegex(word: String): String = {
     if (RuRe.findPrefixOf(word).isDefined) RU
     else if (EnRe.findPrefixOf(word).isDefined) EN
     else if (NumRe.findPrefixOf(word).isDefined) NUM
@@ -124,6 +146,36 @@ object Shape {
       if (word.length > 1 || !punctSet.contains(word.charAt(0))) PunctOther
       else punctShapes(word.charAt(0))
     } else tpe // NUM | OTHER
+  }
+
+  private def outlineIdx(word: String): Int =
+    if (word.length == 1) { if (pyIsUpper(word)) 0 else 1 }
+    else {
+      if (pyIsUpper(word)) 2
+      else if (pyIsLower(word)) 3
+      else if (isTitle(word)) 4
+      else if (isDashTitle(word)) 5
+      else 6
+    }
+
+  private val P = PUNCTS.length
+
+  /** Index of wordShape(word) in [[SHAPES]] — the hot-path form: one int,
+    * no string building, no map lookups. SHAPES layout: 7 RU outlines,
+    * 7 EN outlines, |PUNCTS| single-punct shapes, PUNCT_OTHER, NUM, OTHER.
+    */
+  def shapeOrdinal(word: String): Int = {
+    val tpe = wordType(word)
+    if (tpe eq RU) outlineIdx(word)
+    else if (tpe eq EN) 7 + outlineIdx(word)
+    else if (tpe eq PUNCT) {
+      if (word.length > 1) 14 + P
+      else {
+        val i = PUNCTS.indexOf(word.charAt(0))
+        if (i < 0) 14 + P else 14 + i
+      }
+    } else if (tpe eq NUM) 14 + P + 1
+    else 14 + P + 2 // OTHER
   }
 
   /** Python str.lower() for vocab lookup; returns the SAME instance when

@@ -32,6 +32,28 @@ class ShapeSpec extends AnyFunSuite {
     assert(SHAPES.takeRight(2) == Seq("NUM", "OTHER"))
   }
 
+  test("fast paths == reference formulations (wordType/shape/vocab-lower)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "абвгдеёжзиклмнопрстуфхцчшщъыьэюяАБВГДЕЁЖЗИКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ" +
+        "abczABCZ0189+-.,!?…«»№_@#%борщ BoRsch"
+    def randWord(): String = {
+      val n = 1 + rnd.nextInt(6)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val words = (1 to 5000).map(_ => randWord()) ++
+      Seq("", "В", "ИЛ-2", "105г", "+7", "-", "+", "3,5", "...", "№", "ёЁ")
+    val vocab = graft.pack.SynthPack.build().wordVocab
+    for (w <- words) {
+      assert(wordType(w) == wordTypeRegex(w), s"wordType mismatch on '$w'")
+      if (w.nonEmpty) {
+        assert(SHAPES(shapeOrdinal(w)) == wordShape(w), s"shapeOrdinal mismatch on '$w'")
+        assert(vocab.encodeLower(w) == vocab.encode(lowerFast(w)),
+          s"encodeLower mismatch on '$w'")
+      }
+    }
+  }
+
   test("python isupper/islower semantics") {
     assert(pyIsUpper("ИЛ-2"))
     assert(!pyIsUpper("и"))
