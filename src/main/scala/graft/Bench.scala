@@ -73,8 +73,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(1, cpus / 4)
-    // scaling legs need enough work to amortize fixed job overhead: 40x
-    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 40
+    // scaling legs need enough work to amortize fixed job overhead (the
+    // inference engine got ~2.4x faster in round 1, so 120x keeps each
+    // measured leg multi-second)
+    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 120
 
     // --- N executors, then 4N executors (each leg its own session)
     val coresPerWorker = 4

@@ -87,6 +87,30 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
                         kernel: Int, bias: Array[Float], padding: Int)
     extends Serializable {
 
+  // nonzero taps in (filter, channel, tap) ascending order — iterating only
+  // these preserves the per-output-element accumulation order while
+  // skipping the (dominant, for sparse weights) zero-weight scan
+  @transient private lazy val nzTaps: (Array[Int], Array[Int], Array[Float]) = {
+    val fs = Array.newBuilder[Int]   // filter
+    val cd = Array.newBuilder[Int]   // channel * 16 + (tap - padding + 8)
+    val vs = Array.newBuilder[Float]
+    var f = 0
+    while (f < filters) {
+      var c = 0
+      while (c < inDim) {
+        var t = 0
+        while (t < kernel) {
+          val v = weight((f * inDim + c) * kernel + t)
+          if (v != 0f) { fs += f; cd += c * 16 + (t - padding + 8); vs += v }
+          t += 1
+        }
+        c += 1
+      }
+      f += 1
+    }
+    (fs.result(), cd.result(), vs.result())
+  }
+
   def apply(input: Array[Float], batch: Int, seqLen: Int): Array[Float] = {
     val windows = seqLen + 2 * padding - kernel + 1
     val out = new Array[Float](batch * filters * windows)
@@ -104,34 +128,30 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
     * same-pad config: windows == seqLen).
     */
   def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float]): Unit = {
-    val k = kernel
+    val (nzF, nzCD, nzV) = nzTaps
+    val n = nzF.length
     var b = 0
     while (b < batch) {
       val oBase = b * filters * seqLen
+      val iBase = b * inDim * seqLen
       java.util.Arrays.fill(out, oBase, oBase + filters * seqLen, 0f)
+      var i = 0
+      while (i < n) {
+        val oOff = oBase + nzF(i) * seqLen
+        val cd = nzCD(i)
+        val d = (cd & 15) - 8 // out[s] += v * in[s + d]
+        val io = iBase + (cd >>> 4) * seqLen + d
+        val v = nzV(i)
+        var s = if (d < 0) -d else 0
+        val e = if (d > 0) seqLen - d else seqLen
+        while (s < e) { out(oOff + s) += v * input(io + s); s += 1 }
+        i += 1
+      }
       var f = 0
       while (f < filters) {
-        val oOff = oBase + f * seqLen
-        var c = 0
-        while (c < inDim) {
-          val iOff = (b * inDim + c) * seqLen
-          val wOff = (f * inDim + c) * k
-          var t = 0
-          while (t < k) {
-            val v = weight(wOff + t)
-            if (v != 0f) {
-              val d = t - padding // out[s] += v * in[s + d]
-              var s = if (d < 0) -d else 0
-              val e = if (d > 0) seqLen - d else seqLen
-              val io = iOff + d
-              while (s < e) { out(oOff + s) += v * input(io + s); s += 1 }
-            }
-            t += 1
-          }
-          c += 1
-        }
         val bv = bias(f)
         if (bv != 0f) {
+          val oOff = oBase + f * seqLen
           var s = 0
           while (s < seqLen) { out(oOff + s) += bv; s += 1 }
         }
@@ -312,6 +332,16 @@ object CNNEncoder {
   * emissions [B,S,T]; mask [B,S] true = valid token. Ties: first argmax.
   */
 final case class CRF(transitions: Array[Float], tags: Int) extends Serializable {
+  // with all-zero transitions, cand(tp) = score(tp) + 0f for every target
+  // tag, so the inner T×T loop collapses to one argmax over score — same
+  // arithmetic (x + 0f), same first-index tie-breaks, T ops instead of T²
+  @transient private lazy val zeroTransitions: Boolean = {
+    var i = 0
+    var z = true
+    while (z && i < transitions.length) { z = transitions(i) == 0f; i += 1 }
+    z
+  }
+
   def decode(emissions: Array[Float], batch: Int, seqLen: Int,
              mask: Array[Boolean]): Array[Array[Int]] =
     decode(emissions, batch, seqLen, mask, new Workspace)
@@ -337,7 +367,16 @@ final case class CRF(transitions: Array[Float], tags: Int) extends Serializable 
       while (b < batch) {
         val eOff = (b * seqLen + index) * T
         val sOff = b * T
-        if (mask(b * seqLen + index)) {
+        if (zeroTransitions) {
+          // collapsed inner loop; arithmetic identical to the general path
+          val bestPrev = Kernels.argmaxFirst(score, sOff, T)
+          java.util.Arrays.fill(history, hOff + sOff, hOff + sOff + T, bestPrev)
+          if (mask(b * seqLen + index)) {
+            val base = score(sOff + bestPrev) + 0f
+            var tc = 0
+            while (tc < T) { score(sOff + tc) = base + emissions(eOff + tc); tc += 1 }
+          }
+        } else if (mask(b * seqLen + index)) {
           var tc = 0
           while (tc < T) {
             var tp = 0

@@ -102,12 +102,9 @@ object Pipeline {
       val row = batch(b)
       val ts = toks(b)
       val m = ts.length
-      val tags = new Array[String](m)
-      var i = 0
-      while (i < m) { tags(i) = pack.nerTags.decode(nerPaths(b)(i)); i += 1 }
-      val spans = Bio.bioSpans(ts, scala.collection.immutable.ArraySeq.unsafeWrapArray(tags))
+      val spans = Bio.bioSpansIds(ts, nerPaths(b), m, pack.nerParts, pack.nerTypes)
       val morph = new Array[MorphTok](m)
-      i = 0
+      var i = 0
       while (i < m) {
         val tagId = graft.kernel.Kernels.argmaxFirst(
           morphLogits, (b * seqLen + i) * pack.morphTags.size, pack.morphTags.size)

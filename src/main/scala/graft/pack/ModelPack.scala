@@ -190,6 +190,16 @@ final case class ModelPack(
   @transient lazy val morphParsed: Array[(String, Map[String, String])] =
     morphTags.items.map(graft.text.Conll.parseTag)
 
+  /** ner tag id -> (part code, type-or-null), parsed once per executor
+    * (bio.py:6-12 hoisted out of the per-token loop).
+    */
+  @transient lazy val nerParts: Array[Int] = nerTags.items.map { t =>
+    graft.text.Bio.partCode(graft.text.Bio.parseBio(t)._1)
+  }
+  @transient lazy val nerTypes: Array[String] = nerTags.items.map { t =>
+    graft.text.Bio.parseBio(t)._2.orNull
+  }
+
   /** shape ordinal (index into Shape.SHAPES) -> shape vocab id; turns the
     * per-token `shapeVocab.encode(Shape.wordShape(w))` string-build +
     * hash-lookup into one array index.

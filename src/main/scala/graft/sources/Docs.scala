@@ -45,12 +45,22 @@ object Docs {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.flatMap { d =>
-      d.spans.iterator.zipWithIndex.collect {
-        case (s, order) if s.kind == "text" && s.text != null =>
-          Tokenizer.sentenize(s.text).zipWithIndex.map { case (sent, i) =>
-            SentRow(d.doc_id, order, i, sent.start, sent.stop, sent.text)
+      val out = new scala.collection.mutable.ArrayBuffer[SentRow](d.spans.length * 2)
+      var order = 0
+      while (order < d.spans.length) {
+        val s = d.spans(order)
+        if (s.kind == "text" && s.text != null) {
+          val sents = Tokenizer.sentenize(s.text)
+          var i = 0
+          while (i < sents.length) {
+            val sent = sents(i)
+            out += SentRow(d.doc_id, order, i, sent.start, sent.stop, sent.text)
+            i += 1
           }
-      }.flatten
+        }
+        order += 1
+      }
+      out
     }
   }
 

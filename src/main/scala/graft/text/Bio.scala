@@ -101,6 +101,57 @@ object Bio {
     out.toArray
   }
 
+  // part codes for the id-based decoder
+  val PartO = 0; val PartB = 1; val PartI = 2; val PartOther = 3
+
+  def partCode(part: String): Int =
+    if (part == O) PartO else if (part == B) PartB else if (part == I) PartI else PartOther
+
+  /** [[bioSpans]] over tag IDS with the per-id parse precomputed once per
+    * vocab (parts/types arrays) — the hot-path form: no string parsing, no
+    * Option boxing per token. Same state machine; `null` type = reference's
+    * None.
+    */
+  def bioSpansIds(tokens: Array[Token], tagIds: Array[Int], n: Int,
+                  parts: Array[Int], types: Array[String]): Array[Span] = {
+    var out: ArrayBuffer[Span] = null
+    var previous: String = null
+    var prevSet = false
+    var start = 0
+    var stop = 0
+    var i = 0
+    val m = math.min(tokens.length, n)
+    while (i < m) {
+      val part = parts(tagIds(i))
+      if (part == PartO) {
+        if (prevSet) {
+          if (out == null) out = new ArrayBuffer[Span](4)
+          out += Span(start, stop, previous)
+          prevSet = false; previous = null
+        }
+      } else if (part == PartB) {
+        if (prevSet) {
+          if (out == null) out = new ArrayBuffer[Span](4)
+          out += Span(start, stop, previous)
+        }
+        val t = types(tagIds(i))
+        previous = t; prevSet = t != null
+        start = tokens(i).start
+        stop = tokens(i).stop
+      } else if (part == PartI) {
+        stop = tokens(i).stop
+      }
+      i += 1
+    }
+    if (prevSet) {
+      if (out == null) out = new ArrayBuffer[Span](4)
+      out += Span(start, stop, previous)
+    }
+    if (out == null) Bio.emptySpans else out.toArray
+  }
+
+  private val emptySpans = new Array[Span](0)
+
   /** IO-scheme recovery: type change or B = boundary (slovnet/bio.py:53-75). */
   def ioSpans(tokens: IndexedSeq[Token], tags: IndexedSeq[String]): Array[Span] = {
     val out = new ArrayBuffer[Span]

@@ -20,8 +20,11 @@ object Tokenizer {
     Character.isLetter(c) || c == '_'
   private def isDigit(c: Char): Boolean = Character.isDigit(c)
   // joinable punct runs: dashes, dots, ellipsis, terminals
-  private val JoinPunct: Set[Char] = "-‐−‒⁃–—―.…!?".toSet
-  private def isDash(c: Char): Boolean = "-‐−‒⁃–—―".contains(c)
+  // (String.indexOf, not Set[Char] — avoids a Character box per lookup)
+  private final val JoinPunctS = "-‐−‒⁃–—―.…!?"
+  @inline private def isJoinPunct(c: Char): Boolean = JoinPunctS.indexOf(c) >= 0
+  private final val DashS = "-‐−‒⁃–—―"
+  @inline private def isDash(c: Char): Boolean = DashS.indexOf(c) >= 0
 
   // Atoms packed into one Long each — (start << 34) | (stop << 4) | kind,
   // kind: 0=word 1=digits 2=other char. Avoids a Tuple3 + 3 boxed Ints per
@@ -88,9 +91,9 @@ object Tokenizer {
         out += Token(s, e, text.substring(s, e))
       } else {
         // punct: join runs of joinable punct chars
-        if (JoinPunct.contains(text.charAt(s))) {
+        if (isJoinPunct(text.charAt(s))) {
           while (i + 1 < m && pkKind(as(i + 1)) == 2 && pkStart(as(i + 1)) == e &&
-                 JoinPunct.contains(text.charAt(pkStart(as(i + 1))))) {
+                 isJoinPunct(text.charAt(pkStart(as(i + 1))))) {
             e = pkStop(as(i + 1))
             i += 1
           }
@@ -104,7 +107,8 @@ object Tokenizer {
 
   def textWords(text: String): Array[String] = tokenize(text).map(_.text)
 
-  private val SentEnd: Set[Char] = ".!?…".toSet
+  @inline private def isSentEnd(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || c == '…'
 
   /** Sentence splitter: first split hard lines (slovnet/sent.py:13-18 regex
     * `[^\r\n]+`), then within a line split after terminal punct followed by
@@ -132,10 +136,10 @@ object Tokenizer {
     var i = ls
     while (i < le) {
       val c = text.charAt(i)
-      if (SentEnd.contains(c)) {
+      if (isSentEnd(c)) {
         // consume the full terminal run (e.g. "?!", "...")
         var j = i + 1
-        while (j < le && SentEnd.contains(text.charAt(j))) j += 1
+        while (j < le && isSentEnd(text.charAt(j))) j += 1
         // closing quotes/brackets stay with the sentence
         while (j < le && "»\")]".contains(text.charAt(j))) j += 1
         // boundary if followed by whitespace then an upper-case/digit start
