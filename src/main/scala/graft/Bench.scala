@@ -61,12 +61,12 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** warmup + best-of-2 (the sandbox VM has host-steal noise; min is the
-    * honest steady-state estimate; 2 repeats keeps total bench < ~6 min)
+  /** warmup + best-of-3 (the sandbox VM has host-steal noise; min is the
+    * honest steady-state estimate)
     */
   private def measure(s: SparkSession, scaleDocs: Long): (Long, Double) = {
     pipeline(s, 5000L)
-    (1 to 2).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
+    (1 to 3).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
   }
 
   def main(args: Array[String]): Unit = {
