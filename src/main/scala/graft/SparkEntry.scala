@@ -254,6 +254,52 @@ object SparkEntry {
         SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1""",
+      // FNV-1a over UTF-16 units == list_reduce over codepoints (corpus is
+      // BMP-only, asserted by charset probe); HUGEINT emulates u64 wrap
+      "q_simhash" -> s"""
+        WITH th AS (
+          SELECT doc_id, list_reduce(list_prepend(14695981039346656037::HUGEINT,
+              [unicode(c)::HUGEINT for c in string_split(tok,'')]),
+              (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT AS h
+          FROM (SELECT doc_id, unnest(${toks("lower(text)")}) AS tok FROM documents)),
+        bits AS (
+          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b) GROUP BY 1, 2),
+        sh AS (
+          SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS u
+          FROM bits GROUP BY 1)
+        SELECT doc_id,
+          (u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS simhash
+        FROM sh""",
+      "q_fp_poly" -> """
+        SELECT doc_id,
+          (u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS poly_fp
+        FROM (
+          SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT,
+              [unicode(c)::HUGEINT for c in string_split(text,'')]),
+              (h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT AS u
+          FROM documents)""",
+      "q_minhash_dups" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
+        hb AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
+        mh AS (SELECT doc_id, k,
+                 min((((2654435761 * (k+1)) % 2147483647) * h + ((40503 * (k+7)) % 2147483647)) % 2147483647) AS mh
+               FROM hb, (SELECT unnest(generate_series(0, 31)) AS k) GROUP BY 1, 2),
+        band AS (SELECT doc_id, k // 4 AS band,
+                   array_to_string(list_sort(list(k || ':' || mh)), ',') AS bh
+                 FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1""",
       "q_embed_dups" -> """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
@@ -268,6 +314,31 @@ object SparkEntry {
                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
           FROM embeddings e JOIN embeddings q ON q.vec_id % 97 = 0 AND e.vec_id <> q.vec_id)
         WHERE rank <= 5""",
+      "q_ann_lsh" -> {
+        // inline the exact seeded hyperplanes; explicit left-assoc +-chains
+        // reproduce the Scala dot-product accumulation order
+        val ps = ops.Similarity.planes(8, 64, 42L)
+        val bucket = ps.indices.map { b =>
+          val dot = ps(b).zipWithIndex
+            .map { case (p, i) => s"($p) * emb[${i + 1}]" }.mkString(" + ")
+          s"(CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb, ($bucket) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+              FROM b WHERE vec_id % 97 = 0),
+        scored AS (
+          SELECT query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(b.emb, q.q_emb) AS cos
+          FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5"""
+      },
       "q_agg_acc" -> """
         SELECT l_returnflag,
                round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 6) AS acc,

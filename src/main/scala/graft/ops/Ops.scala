@@ -107,15 +107,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: k independent hash slots via murmur3(shingle, k).
-    * shuffle = one groupBy(doc, k); signature join key = (band, band hash).
+  /** MinHash base hash: md5-derived 60-bit value reduced mod P — chosen
+    * over murmur so the DuckDB oracle can reproduce it bit-for-bit
+    * (('0x'||substring(md5(s),1,15))::BIGINT % P).
+    */
+  val MinhashP = 2147483647L // 2^31-1; (a*h+b) stays < 2^62, no overflow
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signatures: k affine slots mh_k = (a_k*h + b_k) mod P over the
+    * md5 base hash. shuffle = one groupBy(doc, k).
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val p = lit(MinhashP)
     shingles(docs, n)
-      .select(col("doc_id"), col("shingle"),
+      .select(col("doc_id"), baseHash(col("shingle")).as("h"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
       .groupBy("doc_id", "k")
-      .agg(min(hash(col("shingle"), col("k"))).as("mh"))
+      .agg(min((lit(2654435761L) * (col("k") + 1) % p * col("h") +
+        lit(40503L) * (col("k") + 7) % p) % p).as("mh"))
   }
 
   /** LSH candidate pairs + exact-Jaccard verification. */
@@ -125,7 +135,8 @@ object Dedup {
     val sig = minhashSignatures(docs, n, numHashes)
       .withColumn("band", (col("k") / rows).cast("int"))
       .groupBy("doc_id", "band")
-      .agg(hash(array_sort(collect_list(concat_ws(":", col("k"), col("mh"))))).as("bh"))
+      .agg(concat_ws(",",
+        array_sort(collect_list(concat_ws(":", col("k"), col("mh"))))).as("bh"))
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -221,13 +232,18 @@ object Similarity {
     * candidates restricted to equal buckets, then exact cosine re-rank.
     * Hyperplanes are seeded-deterministic and broadcast.
     */
+  /** seeded hyperplanes — public so the DuckDB oracle SQL can inline the
+    * exact same values (java.lang.Double.toString round-trips).
+    */
+  def planes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
              dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
-    val planes: Array[Array[Double]] = {
-      val rnd = new java.util.Random(seed)
-      Array.fill(bits, dim)(rnd.nextGaussian())
-    }
+    val planes: Array[Array[Double]] = this.planes(bits, dim, seed)
     val bp = spark.sparkContext.broadcast(planes)
     val sig = udf { (v: Seq[Float]) =>
       val ps = bp.value
@@ -255,7 +271,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 }
