@@ -1,0 +1,205 @@
+package graft
+
+import graft.corpus.RuCorpus
+
+/** DuckDB oracle SQL for the NLP+KG pipeline queries.
+  *
+  * The planted corpus is a pure function of splitmix64 (RuCorpus.mix), and
+  * splitmix64 is expressible in DuckDB with HUGEINT wrap emulation + a
+  * 32-bit-decomposed multiply. These builders reconstruct the golden
+  * triples (RuCorpus.goldenTriples by construction of the grammar) entirely
+  * in SQL, so the driver's DuckDB gate value-checks the full distributed
+  * pipeline (tokenize -> batched CNN/CRF/biaffine inference -> dep-pattern
+  * extraction -> linking -> canonicalization), not just row counts.
+  */
+object OracleSql {
+
+  /** a * c mod 2^64 with c constant, avoiding INT128 overflow: decompose
+    * c = ch*2^32 + cl; (a*ch mod 2^32)*2^32 + a*cl ≡ a*c (mod 2^64).
+    */
+  private def mulmod(a: String, c: BigInt): String = {
+    val ch = c >> 32
+    val cl = c & 0xffffffffL
+    s"((((($a::HUGEINT * $ch) % 4294967296) * 4294967296 + $a::HUGEINT * $cl)" +
+      s" % 18446744073709551616)::UBIGINT)"
+  }
+
+  /** splitmix64 over a non-negative SQL expression — bit-exact with
+    * RuCorpus.mix (verified over seeds incl. >= 2^63).
+    */
+  def mixSql(expr: String): String = {
+    val z0 = s"(((($expr)::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT)"
+    val x1 = s"(xor($z0, $z0 >> 30))"
+    val z1 = mulmod(x1, BigInt("13787848793156543929"))
+    val x2 = s"(xor($z1, $z1 >> 27))"
+    val z2 = mulmod(x2, BigInt("10723151780598845931"))
+    s"xor($z2, $z2 >> 31)"
+  }
+
+  private def list(xs: Seq[String]): String =
+    xs.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Corpus CTE: one row per generated sentence with the picked words,
+    * template id and span order. `docs` counts 20x the sf's documents
+    * table (RuCorpus.docCount = sf*1e6 = 20 * |documents|).
+    */
+  private def corpusCte: String = {
+    import RuCorpus._
+    s"""
+    ids AS (
+      SELECT (n.i * 20 + g.j)::UBIGINT AS id
+      FROM (SELECT row_number() OVER () - 1 AS i FROM documents) n,
+           (SELECT unnest(generate_series(0, 19)) AS j) g),
+    hd AS (SELECT id, ${mixSql("id")} AS hdoc FROM ids),
+    sent AS (
+      SELECT id, k
+      FROM hd, (SELECT unnest(generate_series(0, 3)) AS k) ks
+      WHERE k < 1 + (hdoc >> 4) % 4),
+    med AS (
+      SELECT s.id, s.k,
+             sum(CASE WHEN (${mixSql("s.id * 7919 + j.j")} & 7) = 0
+                 THEN 1 ELSE 0 END) AS nmed
+      FROM sent s LEFT JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        ON j.j < s.k
+      GROUP BY 1, 2),
+    base AS (
+      SELECT s.id, s.k, (s.k + coalesce(m.nmed, 0))::INT AS span_order,
+             h, (h >> 8) % 4 AS t,
+             ${list(firstNames)}[((h % 8) + 1)::INT] AS fn,
+             ${list(surnames)}[(((h >> 16) % 8) + 1)::INT] AS sn,
+             ${list(verbs)}[(((h >> 24) % 8) + 1)::INT] AS vb,
+             ${list(objectsAcc)}[(((h >> 32) % 8) + 1)::INT] AS ob,
+             ${list(cities)}[(((h >> 40) % 4) + 1)::INT] AS city,
+             ${list(orgsSubj)}[(((h >> 16) % 4) + 1)::INT] AS org_s,
+             ${list(orgsObj)}[(((h >> 32) % 4) + 1)::INT] AS org_o
+      FROM (SELECT id, k, ${mixSql("id * 1000003 + k")} AS h FROM sent) s
+      LEFT JOIN med m ON m.id = s.id AND m.k = s.k),
+    golden AS (
+      SELECT 'd' || id AS docId, span_order AS spanOrder, 0::INT AS sentIdx,
+             CASE WHEN t = 2 THEN org_s ELSE fn || ' ' || sn END AS subj,
+             CASE WHEN t = 2 THEN 'ORG' ELSE 'PER' END AS subjType,
+             vb AS pred,
+             CASE WHEN t = 3 THEN org_o ELSE ob END AS obj,
+             CASE WHEN t = 3 THEN 'ORG' ELSE 'NOUN' END AS objType
+      FROM base
+      UNION ALL
+      SELECT 'd' || id, span_order, 0::INT,
+             fn || ' ' || sn, 'PER', vb || '_в', city, 'LOC'
+      FROM base WHERE t = 1)"""
+  }
+
+  /** golden triples == engine-extracted triples (PipelineSpec gate) */
+  def qTriples: String =
+    s"WITH $corpusCte SELECT * FROM golden"
+
+  // ---- per-token NLP outputs ----------------------------------------
+  // Token metadata per template, by construction of the grammar: word
+  // expression (SQL over base columns), POS, conll tag, dependency rel.
+  // Heads: the single verb heads to ROOT (0); every other token heads to
+  // the verb (1-based index), per the biaffine scorer's construction.
+
+  private val PPN = ("PROPN", "PROPN|Case=Nom")
+  private val VRB = ("VERB", "VERB|Gender=Masc|Number=Sing|Tense=Past")
+  private val NACC = ("NOUN", "NOUN|Case=Acc|Gender=Masc|Number=Sing")
+  private val LOC = ("PROPN", "PROPN|Case=Loc")
+  private val PCT = ("PUNCT", "PUNCT")
+  private val ADP = ("ADP", "ADP")
+
+  /** (wordExpr, (pos, tag), rel) per token, per template */
+  private val templates: Seq[Seq[(String, (String, String), String)]] = Seq(
+    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
+      ("ob", NACC, "obj"), ("'.'", PCT, "punct")),
+    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
+      ("ob", NACC, "obj"), ("'в'", ADP, "case"), ("city", LOC, "obl"),
+      ("'.'", PCT, "punct")),
+    Seq(("'«'", PCT, "punct"), ("org_s", PPN, "nsubj"), ("'»'", PCT, "punct"),
+      ("vb", VRB, "root"), ("ob", NACC, "obj"), ("'.'", PCT, "punct")),
+    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
+      ("'«'", PCT, "punct"), ("org_o", PPN, "obj"), ("'»'", PCT, "punct"),
+      ("'.'", PCT, "punct")))
+
+  def qMorphTags: String = {
+    val branches = for {
+      (toks, t) <- templates.zipWithIndex
+      ((w, (pos, tag), _), i) <- toks.zipWithIndex
+    } yield s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, " +
+      s"${i}::INT AS tok_idx, $w AS word, '$pos' AS pos, '$tag' AS tag " +
+      s"FROM base WHERE t = $t"
+    s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
+  }
+
+  def qSyntaxParse: String = {
+    val branches = for {
+      (toks, t) <- templates.zipWithIndex
+      verbIdx = toks.indexWhere(_._3 == "root")
+      ((w, _, rel), i) <- toks.zipWithIndex
+    } yield s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, " +
+      s"${i + 1}::INT AS tok_id, $w AS word, " +
+      s"${if (rel == "root") 0 else verbIdx + 1}::INT AS head_id, '$rel' AS rel " +
+      s"FROM base WHERE t = $t"
+    s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
+  }
+
+  /** NER spans with char offsets from length arithmetic over the rendered
+    * sentence (renderer: spaces between words except before ./»/, and
+    * after «). All chars are BMP, so DuckDB codepoint lengths == JVM
+    * UTF-16 offsets.
+    */
+  def qNerSpans: String = {
+    val per = "length(fn) + 1 + length(sn)"
+    val branches = Seq(
+      // t0/t1/t3: PER over "fn sn" at offset 0
+      s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, 0::INT AS start, " +
+        s"($per)::INT AS stop, 'PER' AS tpe, fn || ' ' || sn AS mention " +
+        s"FROM base WHERE t IN (0, 1, 3)",
+      // t1: LOC over city: "fn sn vb ob в city."
+      s"SELECT 'd' || id, span_order, 0::INT, " +
+        s"($per + length(vb) + length(ob) + 5)::INT, " +
+        s"($per + length(vb) + length(ob) + 5 + length(city))::INT, 'LOC', city " +
+        s"FROM base WHERE t = 1",
+      // t2: ORG over org_s: "«org_s» vb ob."
+      s"SELECT 'd' || id, span_order, 0::INT, 1::INT, (1 + length(org_s))::INT, " +
+        s"'ORG', org_s FROM base WHERE t = 2",
+      // t3: ORG over org_o: "fn sn vb «org_o»."
+      s"SELECT 'd' || id, span_order, 0::INT, ($per + length(vb) + 3)::INT, " +
+        s"($per + length(vb) + 3 + length(org_o))::INT, 'ORG', org_o " +
+        s"FROM base WHERE t = 3")
+    s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
+  }
+
+  /** linking + canonicalization applied to the goldens in SQL: alias dict
+    * inlined, representative = min entity per alias, canonical = min id of
+    * the alias-edge connected component (recursive CTE label propagation).
+    */
+  def qTriplesCanonical: String = {
+    val vals = RuCorpus.aliasDict
+      .map(r => s"('${r.alias}', '${r.entityId}')").mkString(", ")
+    s"""
+    WITH RECURSIVE $corpusCte,
+    dict(alias, entity_id) AS (SELECT * FROM (VALUES $vals) t(alias, entity_id)),
+    rep AS (SELECT alias, min(entity_id) AS entity_id FROM dict GROUP BY 1),
+    nodes AS (SELECT DISTINCT entity_id FROM dict),
+    edges AS (SELECT a.entity_id AS src, b.entity_id AS dst
+              FROM dict a JOIN dict b ON a.alias = b.alias AND a.entity_id <> b.entity_id),
+    reach(rid, r) AS (
+      SELECT entity_id, entity_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.rid),
+    cc AS (SELECT rid AS entity_id, min(r) AS comp FROM reach GROUP BY 1),
+    linked AS (
+      SELECT docId, spanOrder, sentIdx,
+             coalesce(rs.entity_id, 'M:' || lower(subj)) AS subjId,
+             subjType, pred,
+             coalesce(ro.entity_id, 'M:' || lower(obj)) AS objId,
+             objType
+      FROM golden
+      LEFT JOIN rep rs ON rs.alias = lower(subj)
+      LEFT JOIN rep ro ON ro.alias = lower(obj))
+    SELECT docId, spanOrder, sentIdx,
+           coalesce(cs.comp, subjId) AS subj_id, subjType AS subj_type, pred,
+           coalesce(co.comp, objId) AS obj_id, objType AS obj_type
+    FROM linked
+    LEFT JOIN cc cs ON cs.entity_id = subjId
+    LEFT JOIN cc co ON co.entity_id = objId"""
+  }
+}

@@ -379,6 +379,38 @@ object SparkEntry {
       "q_pipeline_tokens" -> s"""
         SELECT CAST(doc_id AS VARCHAR) AS doc_id, len(${toks("text")}) AS n_tokens
         FROM documents""",
+      // independent CC implementation: recursive-CTE label propagation over
+      // the inlined alias dict; min reachable id == our large/small-star +
+      // driver union-find representative
+      "q_entities" -> {
+        val vals = graft.corpus.RuCorpus.aliasDict
+          .map(r => s"('${r.alias}', '${r.entityId}')").mkString(", ")
+        s"""
+        WITH RECURSIVE
+        dict(alias, entity_id) AS (SELECT * FROM (VALUES $vals) t(alias, entity_id)),
+        nodes AS (SELECT DISTINCT entity_id FROM dict),
+        edges AS (SELECT a.entity_id AS src, b.entity_id AS dst
+                  FROM dict a JOIN dict b ON a.alias = b.alias AND a.entity_id <> b.entity_id),
+        reach(id, r) AS (
+          SELECT entity_id, entity_id FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        SELECT id AS entity_id, min(r) AS canonical_id FROM reach GROUP BY 1"""
+      },
+      // corpus row count is docCount(sf) = 20x the documents table; every
+      // per-doc span sequence must survive the pipeline intact
+      "q_span_invariant" -> """
+        WITH n AS (SELECT row_number() OVER () - 1 AS i FROM documents),
+        g AS (SELECT unnest(generate_series(0, 19)) AS j)
+        SELECT 'd' || (n.i * 20 + g.j) AS doc_id, true AS invariant_holds
+        FROM n, g""",
+      // full-pipeline value checks: the corpus is a pure function of
+      // splitmix64, reproduced bit-exactly in SQL (OracleSql)
+      "q_triples" -> OracleSql.qTriples,
+      "q_triples_canonical" -> OracleSql.qTriplesCanonical,
+      "q_morph_tags" -> OracleSql.qMorphTags,
+      "q_syntax_parse" -> OracleSql.qSyntaxParse,
+      "q_ner_spans" -> OracleSql.qNerSpans,
       "q_span_passthrough" -> """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, cast(ceil(len(tk)/8.0) AS int) - 1)) AS i FROM t),
