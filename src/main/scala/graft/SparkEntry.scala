@@ -162,8 +162,12 @@ object SparkEntry {
         .groupBy("doc_id").agg(sum("n").as("n_tokens"))
     }),
 
-    // ---- NLP + KG pipeline (planted-corpus; verified by sbt golden tests;
-    //      rows-only check here: model inference is not SQL-expressible) ----
+    // ---- NLP + KG pipeline (planted corpus) ----
+    // Value-checked end-to-end: OracleSql reconstructs the corpus and its
+    // by-construction golden annotations in DuckDB (splitmix64 in SQL), so
+    // the driver's gate verifies inference + extraction output values, not
+    // just row counts. sbt golden tests cover the same plus batch/padding
+    // invariance.
     "q_ner_spans" -> ((s, d) => {
       import s.implicits._
       parsed(s, d).flatMap(p => p.nerSpans.map(sp =>
