@@ -89,7 +89,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxShingleFreq: Long = 1000L): DataFrame = {
+    // the (doc, shingle) table feeds four consumers (both join sides, the
+    // stop-shingle DF, sizes); materialize once instead of four scans +
+    // shuffles of the raw corpus — at 100 TB this is the standard
+    // "materialize the shingle table" step (MEMORY_AND_DISK spills cleanly)
     val sh = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shf = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -118,10 +123,12 @@ object Dedup {
   /** MinHash signatures: k affine slots mh_k = (a_k*h + b_k) mod P over the
     * md5 base hash. shuffle = one groupBy(doc, k).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    signaturesOf(shingles(docs, n), numHashes)
+
+  private def signaturesOf(sh: DataFrame, numHashes: Int): DataFrame = {
     val p = lit(MinhashP)
-    shingles(docs, n)
-      .select(col("doc_id"), baseHash(col("shingle")).as("h"),
+    sh.select(col("doc_id"), baseHash(col("shingle")).as("h"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
       .groupBy("doc_id", "k")
       .agg(min((lit(2654435761L) * (col("k") + 1) % p * col("h") +
@@ -132,7 +139,9 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, n, numHashes)
+    val shAll = shingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesOf(shAll, numHashes)
       .withColumn("band", (col("k") / rows).cast("int"))
       .groupBy("doc_id", "band")
       .agg(concat_ws(",",
@@ -142,8 +151,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact jaccard (semi-join back to shingles)
-    val sh = shingles(docs, n)
+    // verify candidates with exact jaccard (semi-join back to the
+    // already-materialized shingle table)
+    val sh = shAll
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand.join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
