@@ -55,18 +55,19 @@ object Bench {
     val docs = graft.sources.Docs.russianDocs(spark, nDocs)
     val parsed = graft.nlp.Pipeline.parse(graft.sources.Docs.sentences(docs),
       SparkEntry.packBc(spark))
-    val canon = graft.kg.Kg.canonicalize(spark,
-      graft.kg.Kg.link(spark, graft.kg.Kg.triples(parsed)))
+    val canon = graft.kg.Kg.linkCanonicalize(spark, graft.kg.Kg.triples(parsed))
     val n = canon.count()
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** warmup + best-of-3 (the sandbox VM has host-steal noise; min is the
-    * honest steady-state estimate)
+  /** warmup + best-of-2 within one session (the sandbox VM has host-steal
+    * noise; min is the honest steady-state estimate). Each leg runs TWO
+    * such sessions separated in time — steal epochs last minutes, so a
+    * single 90s window no longer decides a leg.
     */
   private def measure(s: SparkSession, scaleDocs: Long): (Long, Double) = {
     pipeline(s, 5000L)
-    (1 to 3).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
+    (1 to 2).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,8 +107,12 @@ object Bench {
       try { val (n, t) = measure(s, scaleDocs); (n, t, "local") }
       finally s.stop()
     }
-    val (nTriplesLow, tLow, modeLow) = leg(cpusLow)
-    val (nTriples, tHigh, modeHigh) = leg(cpus)
+    // interleave the legs: low, high, low, high; min per leg across the
+    // two time-separated sessions
+    val (lo1, hi1) = (leg(cpusLow), leg(cpus))
+    val (lo2, hi2) = (leg(cpusLow), leg(cpus))
+    val (nTriplesLow, tLow, modeLow) = if (lo1._2 <= lo2._2) lo1 else lo2
+    val (nTriples, tHigh, modeHigh) = if (hi1._2 <= hi2._2) hi1 else hi2
     val thrLow = nTriplesLow / tLow
     val thrHigh = nTriples / tHigh
     val efficiency = thrHigh / (4.0 * thrLow)

@@ -19,26 +19,27 @@ object ClusterProbe {
       // each executor JVM sizes its GC/JIT pools for ITS core share, not
       // the whole box — otherwise N executors spawn N full GC-thread pools
       .config("spark.executor.extraJavaOptions",
-        s"-XX:ActiveProcessorCount=$cpw -XX:+UseParallelGC")
+        s"-XX:ActiveProcessorCount=$cpw -XX:+UseParallelGC" +
+          sys.env.get("GRAFT_GC_THREADS").map(n => s" -XX:ParallelGCThreads=$n").getOrElse(""))
       .config("spark.sql.shuffle.partitions", (nw * cpw).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(): Double = {
       val t0 = System.nanoTime()
-      val canon = graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark,
+      val canon = graft.kg.Kg.linkCanonicalize(spark,
         graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
           graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, nDocs)),
-          SparkEntry.packBc(spark)))))
+          SparkEntry.packBc(spark))))
       val n = canon.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs triples=$n sec=$dt%.2f thr=${n / dt}%.0f")
       dt
     }
-    graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark,
+    graft.kg.Kg.linkCanonicalize(spark,
       graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
         graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, 5000L)),
-        SparkEntry.packBc(spark))))).count() // warmup
+        SparkEntry.packBc(spark)))).count() // warmup
     run(); run()
     spark.stop()
   }

@@ -31,14 +31,14 @@ object Profile {
     }
     import graft.sources.Docs
     // warmup
-    graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark,
+    graft.kg.Kg.linkCanonicalize(spark,
       graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-        Docs.sentences(Docs.russianDocs(spark, 2000L)), SparkEntry.packBc(spark))))).count()
+        Docs.sentences(Docs.russianDocs(spark, 2000L)), SparkEntry.packBc(spark)))).count()
     time("triples")(graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
       Docs.sentences(Docs.russianDocs(spark, nDocs)), SparkEntry.packBc(spark))).count())
-    val full = graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark,
+    val full = graft.kg.Kg.linkCanonicalize(spark,
       graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-        Docs.sentences(Docs.russianDocs(spark, nDocs)), SparkEntry.packBc(spark)))))
+        Docs.sentences(Docs.russianDocs(spark, nDocs)), SparkEntry.packBc(spark))))
     time("full")(full.count())
     // parquet-input variant: materialize once, then measure scan -> pipeline
     val pq = s"/tmp/graft_docs_$nDocs"
@@ -46,9 +46,9 @@ object Profile {
       Docs.russianDocs(spark, nDocs).write.parquet(pq)
     import org.apache.spark.sql.Encoders
     def fromPq = spark.read.parquet(pq).as(Encoders.product[graft.sources.InterleavedDoc])
-    time("full_pq")(graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark,
+    time("full_pq")(graft.kg.Kg.linkCanonicalize(spark,
       graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-        Docs.sentences(fromPq), SparkEntry.packBc(spark))))).count())
+        Docs.sentences(fromPq), SparkEntry.packBc(spark)))).count())
     spark.stop()
   }
 }

@@ -33,7 +33,7 @@ object SparkEntry {
     * canonicalization) on the deterministic interleaved corpus.
     */
   def entry(spark: SparkSession): DataFrame =
-    Kg.canonicalize(spark, Kg.link(spark, Kg.triples(parsed(spark, "/root/testdata/sf0.001"))))
+    Kg.linkCanonicalize(spark, Kg.triples(parsed(spark, "/root/testdata/sf0.001")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis (SQL-checked) ----
@@ -191,7 +191,7 @@ object SparkEntry {
     }),
     "q_triples" -> ((s, d) => Kg.triples(parsed(s, d)).toDF()),
     "q_triples_canonical" -> ((s, d) =>
-      Kg.canonicalize(s, Kg.link(s, Kg.triples(parsed(s, d))))),
+      Kg.linkCanonicalize(s, Kg.triples(parsed(s, d)))),
     "q_entities" -> ((s, d) => Kg.canonicalMap(s)
       .select(col("id").as("entity_id"), col("component").as("canonical_id"))),
     "q_span_invariant" -> ((s, d) => {

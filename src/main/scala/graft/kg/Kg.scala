@@ -171,6 +171,48 @@ object Kg {
       ConnectedComponents.runAdaptive(edges, vertices).cache()
     })
 
+  /** alias -> canonical entity id, composed at the driver: the per-alias
+    * representative (min entity) remapped through the connected-component
+    * minimum. Lets the fused path do TWO broadcast-join probes per triple
+    * instead of four (link probe + canonical probe per side) — the join
+    * probes were the top CPU frame once inference went zero-alloc.
+    */
+  private val aliasCanonCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  def aliasCanonicalDf(spark: SparkSession): DataFrame =
+    aliasCanonCache.computeIfAbsent(spark, s => {
+      val rep = aliasDf(s).groupBy("alias").agg(min("entity_id").as("entity_id"))
+      val cm = canonicalMap(s)
+      rep.join(cm, col("entity_id") === col("id"), "left")
+        .select(col("alias"),
+          coalesce(col("component"), col("entity_id")).as("canonical_id"))
+        .cache()
+    })
+
+  /** link + canonicalize fused: identical output to
+    * `canonicalize(spark, link(spark, triples))` (the composition
+    * comp(min-entity(alias)) equals the two-step mapping because all
+    * entities sharing an alias are in one component; unlinked mentions
+    * fall back to M:<norm> literals in both).
+    */
+  def linkCanonicalize(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
+    val m = broadcast(aliasCanonicalDf(spark))
+    triples.toDF()
+      .withColumn("subj_norm", lower(col("subj")))
+      .withColumn("obj_norm", lower(col("obj")))
+      .join(m.as("ms"), col("subj_norm") === col("ms.alias"), "left")
+      .withColumnRenamed("canonical_id", "subj_c")
+      .drop("alias")
+      .join(m.as("mo"), col("obj_norm") === col("mo.alias"), "left")
+      .withColumnRenamed("canonical_id", "obj_c")
+      .drop("alias")
+      .select(col("docId"), col("spanOrder"), col("sentIdx"),
+        coalesce(col("subj_c"), concat(lit("M:"), col("subj_norm"))).as("subj_id"),
+        col("subjType").as("subj_type"), col("pred"),
+        coalesce(col("obj_c"), concat(lit("M:"), col("obj_norm"))).as("obj_id"),
+        col("objType").as("obj_type"))
+  }
+
   /** Remap linked triples to canonical entity ids. */
   def canonicalize(spark: SparkSession, linked: Dataset[LinkedTriple]): DataFrame = {
     val cm = broadcast(canonicalMap(spark))

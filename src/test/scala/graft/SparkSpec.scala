@@ -97,6 +97,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(1)), "invariant violated")
   }
 
+  test("fused linkCanonicalize == canonicalize(link(...)) row for row") {
+    val triples = graft.kg.Kg.triples(Pipeline.parse(
+      Docs.sentences(Docs.russianDocs(spark, 120L)), SparkEntry.packBc(spark)))
+    val twoStep = graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark, triples))
+      .collect().map(_.toString).sorted
+    val fused = graft.kg.Kg.linkCanonicalize(spark, triples)
+      .collect().map(_.toString).sorted
+    assert(fused.sameElements(twoStep))
+    assert(fused.nonEmpty)
+  }
+
   test("entity linking + canonicalization merge duplicate org ids") {
     import spark.implicits._
     val linked = graft.kg.Kg.link(spark,
