@@ -65,7 +65,8 @@ object MicroBench {
     }
 
     // batched forwards on pre-tokenized input
-    val batches = sents.grouped(64).toArray
+    val batchSize = if (args.length > 1) args(1).toInt else 64
+    val batches = sents.grouped(batchSize).toArray
     def encodeBatch(batch: Array[SentRow]) = {
       val n = batch.length
       val ts = batch.map(r => Tokenizer.tokenize(r.text))
