@@ -71,6 +71,33 @@ object PackIO {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  // ---------- tar container (the reference's shipping format) ----------
+
+  /** Dump as a single .tar whose members are the directory layout —
+    * byte-compatible with unpacking and calling [[load]] (exec/pack.py
+    * DumpPack over tar.py).
+    */
+  def dumpTar(pack: ModelPack, tarFile: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_pack_tar").toFile
+    try {
+      dump(pack, tmp.toString)
+      Tar.fromDir(tmp, new File(tarFile))
+    } finally deleteRecursively(tmp)
+  }
+
+  def loadTar(tarFile: String): ModelPack = {
+    val tmp = Files.createTempDirectory("graft_pack_untar").toFile
+    try {
+      Tar.toDir(new File(tarFile), tmp)
+      load(tmp.toString)
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   // ---------- dump ----------
 
   /** Dump the pack: navec arrays stripped into their own dir. */

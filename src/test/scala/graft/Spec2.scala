@@ -48,6 +48,22 @@ class PackIoSpec extends AnyFunSuite {
       b.map(p => (p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq)))
   }
 
+  test("tar container round trip (the reference's shipping format, tar.py:8-41)") {
+    val pack = graft.pack.SynthPack.build()
+    val tarFile = java.nio.file.Files.createTempDirectory("packtar").toString + "/pack.tar"
+    graft.pack.PackIO.dumpTar(pack, tarFile)
+    val loaded = graft.pack.PackIO.loadTar(tarFile)
+    assert(loaded.wordVocab.items.toSeq == pack.wordVocab.items.toSeq)
+    import graft.nlp.{Pipeline, SentRow}
+    val row = Seq(SentRow("d0", 0, 0, 0, 10, "Анна Сидоров посетил музей."))
+    assert(Pipeline.inferBatch(row, pack).map(_.syn.toSeq) ==
+      Pipeline.inferBatch(row, loaded).map(_.syn.toSeq))
+    // and the raw member list matches the reference layout
+    val names = graft.pack.Tar.read(new java.io.File(tarFile)).map(_._1)
+    assert(names.contains("meta.json") && names.contains("model.json"))
+    assert(names.exists(_.startsWith("arrays/")) && names.exists(_.startsWith("vocabs/")))
+  }
+
   test("protocol check rejects wrong version") {
     val pack = graft.pack.SynthPack.build()
     val dir = java.nio.file.Files.createTempDirectory("pack").toString
