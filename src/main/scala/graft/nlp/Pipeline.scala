@@ -140,8 +140,15 @@ object Pipeline {
     sents.mapPartitions { it =>
       val ws = new Workspace
       it.grouped(bufferSize).flatMap { window =>
-        window.sortBy(_.text.length)
-          .grouped(batchSize).flatMap(b => inferBatch(b, bpack.value, ws))
+        // primitive-key sort (no boxed Ordering[Int] per element)
+        val arr = window.toArray
+        java.util.Arrays.sort(arr,
+          java.util.Comparator.comparingInt((r: SentRow) => r.text.length))
+        Iterator.range(0, arr.length, batchSize).flatMap { off =>
+          inferBatch(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            java.util.Arrays.copyOfRange(arr, off,
+              math.min(off + batchSize, arr.length))), bpack.value, ws)
+        }
       }
     }(org.apache.spark.sql.Encoders.product[ParsedSent])
   }
