@@ -40,9 +40,13 @@ object IncrementalKg {
         val docs = batch.as[InterleavedDoc]
         val triples = Kg.link(spark,
           Kg.triples(Pipeline.parse(Docs.sentences(docs), graft.SparkEntry.packBc(spark))))
-        triples.toDF().withColumn("batch_id",
-            org.apache.spark.sql.functions.lit(batchId))
-          .write.mode(SaveMode.Append).parquet(s"$outDir/triples_stream")
+        // idempotent sink: one partition dir per micro-batch, OVERWRITE —
+        // a replayed batch (foreachBatch is at-least-once) rewrites its own
+        // dir instead of appending duplicates, so the composition with the
+        // file-source checkpoint is exactly-once end to end
+        triples.toDF()
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/triples_stream/batch_id=$batchId")
         ()
       }
       .start()
