@@ -16,6 +16,7 @@ object F {
   def word_shape(c: Column): Column = column(WordShapeExpr(expression(c)))
   def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
+  def simhash64(c: Column): Column = column(Simhash64(expression(c)))
 }
 
 /** word_shape as a scalar expression (semantics: graft.text.Shape,
@@ -86,4 +87,17 @@ object PolyHash {
     while (i < str.length) { h = 31 * h + str.charAt(i); i += 1 }
     h
   }
+}
+
+/** 64-bit SimHash over FNV-1a token hashes (graft.ops.Simhash semantics),
+  * as a codegen'd expression — keeps the dedup scan inside whole-stage
+  * codegen instead of a typed-map encoder round-trip.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Simhash.of(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Simhash.of($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

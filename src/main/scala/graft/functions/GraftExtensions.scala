@@ -30,7 +30,9 @@ object GraftExtensions {
     ("cosine_sim", info("cosine_sim", "cosine similarity of float arrays"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
     ("poly_hash", info("poly_hash", "64-bit polynomial rolling hash"),
-      (es: Seq[Expression]) => PolyHash(es.head))
+      (es: Seq[Expression]) => PolyHash(es.head)),
+    ("simhash64", info("simhash64", "64-bit simhash over token FNV hashes"),
+      (es: Seq[Expression]) => Simhash64(es.head))
   )
 
   /** Register on an already-built session (tests, spark-shell). */

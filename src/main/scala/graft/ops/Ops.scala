@@ -166,15 +166,12 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash over token murmur hashes (row-local, no shuffle). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), lower(col("text")))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, Simhash.of(text)) }
-      .toDF("doc_id", "simhash")
-  }
+  /** 64-bit SimHash over token FNV hashes (row-local, no shuffle; native
+    * codegen expression — the scan+project stays in whole-stage codegen).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      F.simhash64(lower(col("text"))).as("simhash"))
 
   /** Near-dup pairs via embedding cosine >= threshold; blocked brute force
     * (self-join) — correct baseline; the LSH path is Similarity.annLsh.

@@ -15,6 +15,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == graft.functions.PolyHash.compute(
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
     assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT simhash64('abc def abc') AS sh").head().getLong(0)
+    assert(sh == graft.ops.Simhash.of("abc def abc"))
   }
 
   test("withExtensions wiring registers functions at session build") {
