@@ -91,6 +91,10 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
   // these preserves the per-output-element accumulation order while
   // skipping the (dominant, for sparse weights) zero-weight scan
   @transient private lazy val nzTaps: (Array[Int], Array[Int], Array[Float]) = {
+    // the 4-bit tap packing below holds only for small kernels/padding
+    // (all shipped packs are kernel=3/padding=1); fail loudly otherwise
+    require(padding <= 8 && kernel - padding <= 8,
+      s"tap packing supports kernel-padding<=8, padding<=8 (kernel=$kernel padding=$padding)")
     val fs = Array.newBuilder[Int]   // filter
     val cd = Array.newBuilder[Int]   // channel * 16 + (tap - padding + 8)
     val vs = Array.newBuilder[Float]
@@ -128,6 +132,9 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
     * same-pad config: windows == seqLen).
     */
   def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float]): Unit = {
+    // the direct form assumes same-padding output (windows == seqLen)
+    require(seqLen + 2 * padding - kernel + 1 == seqLen,
+      s"Conv1d.into requires same padding (kernel=$kernel padding=$padding)")
     val (nzF, nzCD, nzV) = nzTaps
     val n = nzF.length
     var b = 0

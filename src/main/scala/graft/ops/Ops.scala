@@ -73,6 +73,27 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
 
+  // Persisted shingle tables, bounded: repeated dedup calls in one session
+  // would otherwise accumulate cached data until memory/disk pressure. The
+  // two most recent stay live (a returned-but-unmaterialized DataFrame still
+  // references its shingle table); older ones are unpersisted lazily.
+  private val liveShingles =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistShingles(sh: DataFrame): DataFrame = {
+    val p = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveShingles.add(p)
+    while (liveShingles.size() > 2) {
+      val old = liveShingles.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
+    p
+  }
+  /** Drop all cached shingle tables (call after materializing results). */
+  def unpersistShingles(): Unit = {
+    var old = liveShingles.poll()
+    while (old != null) { old.unpersist(blocking = false); old = liveShingles.poll() }
+  }
+
   /** Distinct (doc, shingle) pairs of n-token shingles. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
@@ -93,8 +114,7 @@ object Dedup {
     // stop-shingle DF, sizes); materialize once instead of four scans +
     // shuffles of the raw corpus — at 100 TB this is the standard
     // "materialize the shingle table" step (MEMORY_AND_DISK spills cleanly)
-    val sh = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistShingles(shingles(docs, n))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shf = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -139,8 +159,7 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val shAll = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shAll = persistShingles(shingles(docs, n))
     val sig = signaturesOf(shAll, numHashes)
       .withColumn("band", (col("k") / rows).cast("int"))
       .groupBy("doc_id", "band")

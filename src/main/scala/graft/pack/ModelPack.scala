@@ -62,8 +62,19 @@ final case class Vocab(items: Array[String]) extends Serializable {
     true
   }
 
-  /** encode(word.lower()) without allocating the lowered string. */
+  /** encode(word.lower()) without allocating the lowered string.
+    * Per-char lowering is 1-to-1; full-string lowering (Python str.lower,
+    * Shape.lowerFast) is not for U+0130 'İ' (→ "i̇") and is
+    * context-sensitive for Greek capital sigma (final 'ς') — fall back to
+    * the allocating exact path for words containing those.
+    */
   def encodeLower(word: String): Int = {
+    var ci = 0
+    while (ci < word.length) {
+      val c = word.charAt(ci)
+      if (c == 'İ' || c == 'Σ') return encode(graft.text.Shape.lowerFast(word))
+      ci += 1
+    }
     val (keys, ids, mask) = probeTable
     var h = lowerHash(word) & mask
     while (true) {

@@ -36,13 +36,14 @@ class ShapeSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     val alphabet =
       "абвгдеёжзиклмнопрстуфхцчшщъыьэюяАБВГДЕЁЖЗИКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ" +
-        "abczABCZ0189+-.,!?…«»№_@#%борщ BoRsch"
+        "abczABCZ0189+-.,!?…«»№_@#%борщ BoRschİΣ" // İ/Σ: full lower != per-char lower
     def randWord(): String = {
       val n = 1 + rnd.nextInt(6)
       (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     }
     val words = (1 to 5000).map(_ => randWord()) ++
-      Seq("", "В", "ИЛ-2", "105г", "+7", "-", "+", "3,5", "...", "№", "ёЁ")
+      Seq("", "В", "ИЛ-2", "105г", "+7", "-", "+", "3,5", "...", "№", "ёЁ",
+        "İ", "İSTANBUL", "ΟΣ", "ΣΣ")
     val vocab = graft.pack.SynthPack.build().wordVocab
     for (w <- words) {
       assert(wordType(w) == wordTypeRegex(w), s"wordType mismatch on '$w'")
