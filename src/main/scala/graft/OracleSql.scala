@@ -167,6 +167,36 @@ object OracleSql {
     s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
   }
 
+  /** Multimodal stub pipeline reproduced in SQL: media refs from the
+    * corpus media-span placement, payload = md5(ref) bytes x4, width/height
+    * from splitmix64(FNV-1a(ref)), mean byte from the digest's hex pairs,
+    * payload digest = md5 of the lowercase-hex payload.
+    */
+  def qMediaFeatures: String = {
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
+      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
+      "% 18446744073709551616)::UBIGINT"
+    s"""
+    WITH $corpusCte,
+    media AS (
+      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
+      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
+    wh AS (SELECT media_ref, ${mixSql(s"($fnv)")} AS h FROM media),
+    mb AS (
+      SELECT media_ref,
+             sum(('0x' || substring(md5(media_ref), 2*i + 1, 2))::INT) AS s16
+      FROM media, (SELECT unnest(generate_series(0, 15)) AS i)
+      GROUP BY 1)
+    SELECT wh.media_ref,
+           (16 + (h % 16))::INT AS width,
+           (16 + ((h >> 8) % 16))::INT AS height,
+           64::BIGINT AS n_bytes,
+           (s16 / 16.0) AS mean_byte,
+           md5(repeat(md5(wh.media_ref), 4)) AS payload_md5
+    FROM wh JOIN mb ON wh.media_ref = mb.media_ref"""
+  }
+
   /** linking + canonicalization applied to the goldens in SQL: alias dict
     * inlined, representative = min entity per alias, canonical = min id of
     * the alias-edge connected component (recursive CTE label propagation).

@@ -217,7 +217,9 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
-    "q_media_features" -> ((s, d) => ops.Multimodal.features(s, d))
+    // checked projection emits scalar columns only; the full feature vector
+    // stays on Multimodal.features for internal callers
+    "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d))
   )
 
   def oracleSql: Map[String, String] = {
@@ -410,6 +412,7 @@ object SparkEntry {
         FROM n, g""",
       // full-pipeline value checks: the corpus is a pure function of
       // splitmix64, reproduced bit-exactly in SQL (OracleSql)
+      "q_media_features" -> OracleSql.qMediaFeatures,
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_morph_tags" -> OracleSql.qMorphTags,

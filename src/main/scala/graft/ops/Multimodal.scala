@@ -18,9 +18,14 @@ object Multimodal {
   final case class MediaRow(media_ref: String, payload: Array[Byte],
                             width: Int, height: Int)
   final case class MediaFeat(media_ref: String, width: Int, height: Int,
-                             n_bytes: Int, mean_byte: Double, feature: Array[Float])
+                             n_bytes: Int, mean_byte: Double, payload_md5: String,
+                             feature: Array[Float])
 
-  /** Media table derived from the interleaved corpus' media spans. */
+  /** Media table derived from the interleaved corpus' media spans.
+    * Width/height derive from splitmix64 over the FNV-1a hash of the ref —
+    * both are reproduced bit-exactly by the DuckDB oracle
+    * (OracleSql.qMediaFeatures), so the table is value-checkable.
+    */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Docs.russianDocs(spark, sfDir)
@@ -29,8 +34,8 @@ object Multimodal {
         // STUB payload: deterministic pseudo-bytes from the ref (md5 x4)
         val md = java.security.MessageDigest.getInstance("MD5").digest(ref.getBytes("UTF-8"))
         val payload = Array.fill(4)(md).flatten
-        val h = graft.corpus.RuCorpus.mix(ref.hashCode.toLong)
-        MediaRow(ref, payload, 16 + (h % 16).toInt.abs, 16 + ((h >> 8) % 16).toInt.abs)
+        val h = graft.corpus.RuCorpus.mix(graft.ops.Simhash.tokenHash(ref))
+        MediaRow(ref, payload, 16 + (h & 15).toInt, 16 + ((h >>> 8) & 15).toInt)
       }.toDF()
   }
 
@@ -74,6 +79,7 @@ object Multimodal {
       .select("media_ref", "payload", "width", "height")
       .as[(String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         it.map { case (ref, payload, w, h) =>
           // STUB decode: byte statistics as the "embedding"
           var sum = 0L
@@ -85,8 +91,20 @@ object Multimodal {
             feat(i % 8) += (payload(i) & 0xff) / 255f
             i += 1
           }
-          MediaFeat(ref, w, h, payload.length, math.rint(mean * 1e6) / 1e6, feat)
+          // digest of the lowercase-hex payload (duckdb: md5(repeat(md5(ref),4)))
+          md5.reset()
+          val hex = payload.map(b => f"${b & 0xff}%02x").mkString
+          val dig = md5.digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+          MediaFeat(ref, w, h, payload.length, math.rint(mean * 1e6) / 1e6, dig, feat)
         }
       }.toDF()
   }
+
+  /** The driver-checked projection of [[features]]: scalar columns only
+    * (sortable/hashable by the oracle gate), the full `feature` vector
+    * stays on the internal API.
+    */
+  def featureScalars(spark: SparkSession, sfDir: String): DataFrame =
+    features(spark, sfDir).select(col("media_ref"), col("width"), col("height"),
+      col("n_bytes").cast("long").as("n_bytes"), col("mean_byte"), col("payload_md5"))
 }
