@@ -222,6 +222,20 @@ object SparkEntry {
     "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d))
   )
 
+  /** hyperplane-LSH bucket expression over a DOUBLE[] column `emb`,
+    * inlining the exact seeded planes; explicit left-assoc +-chains
+    * reproduce the Scala dot-product accumulation order bit-for-bit
+    * (java.lang.Double.toString round-trips through DuckDB literals).
+    */
+  private def lshBucketSql(bits: Int, dim: Int, seed: Long): String = {
+    val ps = ops.Similarity.planes(bits, dim, seed)
+    ps.indices.map { b =>
+      val dot = ps(b).zipWithIndex
+        .map { case (p, i) => s"($p) * emb[${i + 1}]" }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   def oracleSql: Map[String, String] = {
     val tokSql = Tok // backslashes are literal inside single-quoted SQL strings
     def toks(c: String) = s"regexp_extract_all($c, '$tokSql')"
@@ -306,11 +320,23 @@ object SparkEntry {
         SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1""",
-      "q_embed_dups" -> """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+      "q_embed_dups" -> {
+        // same multi-table LSH blocking as Dedup.embeddingDupPairs: pairs
+        // sharing a bucket in ANY of 4 plane sets, exact-cosine verified
+        val tables = (0 until 4).map(t =>
+          s"b$t AS (SELECT vec_id, (${lshBucketSql(8, 64, 42L + t)}) AS bucket FROM e)")
+        val cands = (0 until 4).map(t =>
+          s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$t a " +
+            s"JOIN b$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        ${tables.mkString(",\n")},
+        cand AS (${cands.mkString(" UNION ")})
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos
+        FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+        WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.4"""
+      },
       "q_ann_topk" -> """
         SELECT * FROM (
           SELECT q.vec_id AS query_id,
@@ -321,14 +347,7 @@ object SparkEntry {
           FROM embeddings e JOIN embeddings q ON q.vec_id % 97 = 0 AND e.vec_id <> q.vec_id)
         WHERE rank <= 5""",
       "q_ann_lsh" -> {
-        // inline the exact seeded hyperplanes; explicit left-assoc +-chains
-        // reproduce the Scala dot-product accumulation order
-        val ps = ops.Similarity.planes(8, 64, 42L)
-        val bucket = ps.indices.map { b =>
-          val dot = ps(b).zipWithIndex
-            .map { case (p, i) => s"($p) * emb[${i + 1}]" }.mkString(" + ")
-          s"(CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END)"
-        }.mkString(" + ")
+        val bucket = lshBucketSql(8, 64, 42L)
         s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         b AS (SELECT vec_id, emb, ($bucket) AS bucket FROM e),

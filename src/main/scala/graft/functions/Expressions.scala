@@ -17,6 +17,8 @@ object F {
   def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
   def simhash64(c: Column): Column = column(Simhash64(expression(c)))
+  def hyperplane_sig(c: Column, planes: Array[Array[Double]]): Column =
+    column(HyperplaneSig(expression(c), planes))
 }
 
 /** word_shape as a scalar expression (semantics: graft.text.Shape,
@@ -86,6 +88,43 @@ object PolyHash {
     var i = 0
     while (i < str.length) { h = 31 * h + str.charAt(i); i += 1 }
     h
+  }
+}
+
+/** Random-hyperplane LSH signature over a float-array column: bit b set
+  * iff dot(planes(b), v) >= 0, accumulated in double precision (parity
+  * with the DuckDB oracle's inlined-plane SQL). Native codegen expression,
+  * so the ANN/dedup scan side stays inside whole-stage codegen (the
+  * previous per-row Scala UDF broke the span).
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.compute(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneSig.compute($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneSig {
+  /** static so generated code can call it */
+  def compute(v: ArrayData, ps: Array[Array[Double]]): Int = {
+    var s = 0
+    var b = 0
+    while (b < ps.length) {
+      val p = ps(b)
+      val n = math.min(p.length, v.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += p(i) * v.getFloat(i); i += 1 }
+      if (d >= 0) s |= (1 << b)
+      b += 1
+    }
+    s
   }
 }
 

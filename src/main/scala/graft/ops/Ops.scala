@@ -192,14 +192,44 @@ object Dedup {
     docs.select(col("doc_id").cast("long").as("doc_id"),
       F.simhash64(lower(col("text"))).as("simhash"))
 
-  /** Near-dup pairs via embedding cosine >= threshold; blocked brute force
-    * (self-join) — correct baseline; the LSH path is Similarity.annLsh.
+  /** Near-dup pairs via embedding cosine >= threshold, blocked through
+    * `tables` independent hyperplane-LSH bucket sets (multi-probe recall):
+    * candidates are pairs sharing a bucket in ANY table, then exact-cosine
+    * verified. Every join is an equi-join on a bucket/id key — no
+    * BroadcastNestedLoopJoin anywhere, so the shape survives 100 TB.
+    * The DuckDB oracle inlines the identical seeded planes.
     */
-  def embeddingDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+  def embeddingDupPairs(emb: DataFrame, threshold: Double, bits: Int = 8,
+                        dim: Int = 64, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cand = (0 until tables).map { t =>
+      val b = base.withColumn("bucket",
+        F.hyperplane_sig(col("embedding"), Similarity.planes(bits, dim, seed + t)))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(F.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact all-pairs baseline — O(N²) sims, an unblocked self-join. ONLY
+    * for small inputs (guarded); the scale path is [[embeddingDupPairs]].
+    */
+  def embeddingDupPairsBrute(emb: DataFrame, threshold: Double,
+                             maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"embeddingDupPairsBrute is all-pairs; $n rows > $maxRows. Use embeddingDupPairs.")
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(F.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .where(col("cos") >= threshold)
+  }
 }
 
 object Simhash {
@@ -268,27 +298,13 @@ object Similarity {
 
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
              dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val spark = emb.sparkSession
-    val planes: Array[Array[Double]] = this.planes(bits, dim, seed)
-    val bp = spark.sparkContext.broadcast(planes)
-    val sig = udf { (v: Seq[Float]) =>
-      val ps = bp.value
-      var s = 0
-      var b = 0
-      while (b < ps.length) {
-        var d = 0.0
-        var i = 0
-        val p = ps(b)
-        val n = math.min(p.length, v.length)
-        while (i < n) { d += p(i) * v(i); i += 1 }
-        if (d >= 0) s |= (1 << b)
-        b += 1
-      }
-      s
-    }
-    val base = emb.withColumn("bucket", sig(col("embedding")))
+    // native codegen signature expression — the scan side stays inside
+    // whole-stage codegen (no UDF Invoke node in the plan)
+    val ps = planes(bits, dim, seed)
+    val base = emb.withColumn("bucket", F.hyperplane_sig(col("embedding"), ps))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")).withColumn("q_bucket", sig(col("q_emb"))))
+      col("embedding").as("q_emb"))
+      .withColumn("q_bucket", F.hyperplane_sig(col("q_emb"), ps)))
     val scored = base.join(q,
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
