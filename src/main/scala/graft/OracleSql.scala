@@ -128,7 +128,7 @@ object OracleSql {
     s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
   }
 
-  def qSyntaxParse: String = {
+  private def syntaxBranches: String = {
     val branches = for {
       (toks, t) <- templates.zipWithIndex
       verbIdx = toks.indexWhere(_._3 == "root")
@@ -137,8 +137,28 @@ object OracleSql {
       s"${i + 1}::INT AS tok_id, $w AS word, " +
       s"${if (rel == "root") 0 else verbIdx + 1}::INT AS head_id, '$rel' AS rel " +
       s"FROM base WHERE t = $t"
-    s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
+    branches.mkString(" UNION ALL ")
   }
+
+  def qSyntaxParse: String =
+    s"WITH $corpusCte SELECT * FROM ($syntaxBranches)"
+
+  /** UAS/LAS of the left-attach baseline (pred head = previous token, pred
+    * rel = constant 'obj') against the pipeline trees, grouped by sentence
+    * length — derived from the same per-template token table as
+    * qSyntaxParse, so it tracks grammar changes automatically.
+    */
+  def qUasLas: String = s"""
+    WITH $corpusCte,
+    sp AS ($syntaxBranches),
+    tok AS (
+      SELECT count(*) OVER (PARTITION BY doc_id, span_order, sent_idx) AS n_tokens,
+             tok_id, head_id, rel
+      FROM sp)
+    SELECT n_tokens::INT AS n_tokens,
+           round(avg(CASE WHEN tok_id - 1 = head_id THEN 1.0 ELSE 0.0 END), 6) AS uas,
+           round(avg(CASE WHEN tok_id - 1 = head_id AND rel = 'obj' THEN 1.0 ELSE 0.0 END), 6) AS las
+    FROM tok GROUP BY 1"""
 
   /** NER spans with char offsets from length arithmetic over the rendered
     * sentence (renderer: spaces between words except before ./»/, and

@@ -194,6 +194,20 @@ object SparkEntry {
       Kg.linkCanonicalize(s, Kg.triples(parsed(s, d)))),
     "q_entities" -> ((s, d) => Kg.canonicalMap(s)
       .select(col("id").as("entity_id"), col("component").as("canonical_id"))),
+    // uas/las meters as typed Aggregators (score.py:109-117 semantics):
+    // a left-attach+constant-rel baseline scored against the pipeline's
+    // trees, grouped by sentence length — nontrivial, value-checkable rates
+    "q_uas_las" -> ((s, d) => {
+      import s.implicits._
+      parsed(s, d).flatMap { p =>
+        p.syn.map(t => (p.syn.length, t.id - 1, t.headId, "obj", t.rel))
+      }.groupByKey(_._1)
+        .agg(new graft.eval.UasLasOn[(Int, Int, Int, String, String)](
+          v => (v._2, v._3, v._4, v._5)).toColumn.name("ul"))
+        .toDF("n_tokens", "ul")
+        .select(col("n_tokens"), round(col("ul.uas"), 6).as("uas"),
+          round(col("ul.las"), 6).as("las"))
+    }),
     "q_span_invariant" -> ((s, d) => {
       import s.implicits._
       // per-doc hash of the (kind,text,media_ref,order) sequence before and
@@ -435,6 +449,7 @@ object SparkEntry {
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_morph_tags" -> OracleSql.qMorphTags,
+      "q_uas_las" -> OracleSql.qUasLas,
       "q_syntax_parse" -> OracleSql.qSyntaxParse,
       "q_ner_spans" -> OracleSql.qNerSpans,
       "q_span_passthrough" -> """

@@ -72,6 +72,67 @@ class F1Agg extends Aggregator[(Boolean, Boolean), F1Buf, PRF1] {
   def outputEncoder: Encoder[PRF1] = Encoders.product[PRF1]
 }
 
+final case class UasLasBuf(headHits: Long, bothHits: Long, total: Long)
+final case class UasLas(uas: Double, las: Double)
+
+/** UAS/LAS attachment scores (score.py:109-117, 372-396 semantics:
+  * masked elementwise equality rates — uas counts head matches, las counts
+  * head+rel matches; only valid tokens reach the aggregator).
+  * IN = (predHead, goldHead, predRel, goldRel).
+  */
+class UasLasAgg extends Aggregator[(Int, Int, String, String), UasLasBuf, UasLas] {
+  def zero: UasLasBuf = UasLasBuf(0L, 0L, 0L)
+  def reduce(b: UasLasBuf, v: (Int, Int, String, String)): UasLasBuf = {
+    val head = v._1 == v._2
+    UasLasBuf(b.headHits + (if (head) 1 else 0),
+      b.bothHits + (if (head && v._3 == v._4) 1 else 0), b.total + 1)
+  }
+  def merge(a: UasLasBuf, b: UasLasBuf): UasLasBuf =
+    UasLasBuf(a.headHits + b.headHits, a.bothHits + b.bothHits, a.total + b.total)
+  def finish(b: UasLasBuf): UasLas =
+    if (b.total == 0) UasLas(0.0, 0.0)
+    else UasLas(b.headHits.toDouble / b.total, b.bothHits.toDouble / b.total)
+  def bufferEncoder: Encoder[UasLasBuf] = Encoders.product[UasLasBuf]
+  def outputEncoder: Encoder[UasLas] = Encoders.product[UasLas]
+}
+
+/** UasLasAgg over any row type via an extractor (groupByKey composition). */
+class UasLasOn[IN](f: IN => (Int, Int, String, String))
+    extends Aggregator[IN, UasLasBuf, UasLas] {
+  private val inner = new UasLasAgg
+  def zero: UasLasBuf = inner.zero
+  def reduce(b: UasLasBuf, v: IN): UasLasBuf = inner.reduce(b, f(v))
+  def merge(a: UasLasBuf, b: UasLasBuf): UasLasBuf = inner.merge(a, b)
+  def finish(b: UasLasBuf): UasLas = inner.finish(b)
+  def bufferEncoder: Encoder[UasLasBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[UasLas] = inner.outputEncoder
+}
+
+/** Top-k accuracy (score.py:84-106): a row is correct when the target
+  * index ranks in the top k of its score vector. Rank = stable descending
+  * order (ties broken by first index, matching numpy/torch stable sorts).
+  * IN = (scores, targetIdx).
+  */
+class TopkAccAgg(k: Int) extends Aggregator[(Array[Float], Int), AccBuf, Double] {
+  private val inner = new AccAgg
+  def zero: AccBuf = inner.zero
+  def reduce(b: AccBuf, v: (Array[Float], Int)): AccBuf = {
+    val (scores, target) = v
+    val st = scores(target)
+    var rank = 0
+    var i = 0
+    while (i < scores.length) {
+      if (scores(i) > st || (scores(i) == st && i < target)) rank += 1
+      i += 1
+    }
+    inner.reduce(b, rank < k)
+  }
+  def merge(a: AccBuf, b: AccBuf): AccBuf = inner.merge(a, b)
+  def finish(b: AccBuf): Double = inner.finish(b)
+  def bufferEncoder: Encoder[AccBuf] = inner.bufferEncoder
+  def outputEncoder: Encoder[Double] = inner.outputEncoder
+}
+
 /** Triple-level P/R of a predicted triple set vs a gold triple set
   * (the BASELINE.md "P/R >= 0.95" gate). Distributed: full outer join on
   * the triple identity, then one F1 aggregation pass.

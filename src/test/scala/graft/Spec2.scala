@@ -88,6 +88,28 @@ class ScoresSpec extends AnyFunSuite {
     assert(math.abs(got.recall - 0.5) < 1e-9)
   }
 
+  test("UAS/LAS aggregator semantics (score.py:109-117)") {
+    import spark.implicits._
+    // (predHead, goldHead, predRel, goldRel): 2/4 head hits, 1/4 both
+    val data = Seq((1, 1, "obj", "obj"), (2, 2, "obj", "nsubj"),
+      (3, 0, "obj", "obj"), (0, 2, "root", "root")).toDS()
+    val got = data.select(new graft.eval.UasLasAgg().toColumn).head()
+    assert(got.uas == 0.5 && got.las == 0.25, got.toString)
+  }
+
+  test("top-k accuracy aggregator (score.py:84-106), first-index ties") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(0.1f, 0.9f, 0.3f), 1),  // rank 0 -> in top-2
+      (Array(0.9f, 0.1f, 0.3f), 1),  // rank 2 -> out
+      (Array(0.5f, 0.5f, 0.1f), 1),  // tie: index 0 outranks -> rank 1 -> in
+      (Array(0.5f, 0.5f, 0.1f), 0))  // tie: rank 0 -> in
+    val ds = rows.toDS()
+    assert(ds.select(new graft.eval.TopkAccAgg(2).toColumn).head() == 0.75)
+    assert(ds.select(new graft.eval.TopkAccAgg(1).toColumn).head() == 0.5)
+    assert(ds.select(new graft.eval.TopkAccAgg(3).toColumn).head() == 1.0)
+  }
+
   test("pipeline triples reach P/R >= 0.95 vs golden (BASELINE gate)") {
     import spark.implicits._
     import graft.corpus.RuCorpus
