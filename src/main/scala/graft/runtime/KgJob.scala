@@ -64,33 +64,79 @@ object KgJob {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** String-max accumulator for the per-bucket doc_id watermark. */
+  final class MaxStringAcc extends org.apache.spark.util.AccumulatorV2[String, String] {
+    private var v: String = ""
+    def isZero: Boolean = v.isEmpty
+    def copy(): MaxStringAcc = { val a = new MaxStringAcc; a.v = v; a }
+    def reset(): Unit = v = ""
+    def add(x: String): Unit = if (x > v) v = x
+    def merge(o: org.apache.spark.util.AccumulatorV2[String, String]): Unit = {
+      val ov = o.value; if (ov > v) v = ov
+    }
+    def value: String = v
+  }
+
+  /** Materialize the interleaved corpus hash-bucket-PARTITIONED on disk
+    * (`bucket=<k>/` dirs). A resumable run pointed at this layout reads one
+    * directory per bucket — partition pruning by construction, instead of
+    * nBuckets full scans of the input.
+    */
+  def writeBucketedInput(spark: SparkSession, sfDir: String, dir: String,
+                         nBuckets: Int): Unit =
+    Docs.russianDocs(spark, sfDir)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(dir)
+
   /** Run (or resume) the full pipeline. Returns buckets processed this run.
+    *
+    * ONE Spark action per bucket: the parquet write. The commit counters
+    * (docs/sents/triples) and the doc_id watermark ride the same pass as
+    * accumulators — no second sentenize pass, no separate count/agg jobs.
+    * (Accumulator counters are lineage metrics: exact in normal runs; a
+    * speculative/retried task could overcount them, never the output —
+    * the triples themselves stay exactly-once via overwrite + commit log.)
+    *
+    * @param bucketedInputDir when set, read `dir/bucket=<k>/` per bucket
+    *        (layout from [[writeBucketedInput]]) — prunes instead of
+    *        rescanning; when None the corpus is generated and filtered
     * @param failAfterBuckets test hook: throw after N successful buckets
     */
   def run(spark: SparkSession, sfDir: String, outDir: String, runId: String,
-          nBuckets: Int = 8, failAfterBuckets: Int = -1): Int = {
+          nBuckets: Int = 8, failAfterBuckets: Int = -1,
+          bucketedInputDir: Option[String] = None): Int = {
     import spark.implicits._
     val done = committedBuckets(spark, outDir)
-    val docs = Docs.russianDocs(spark, sfDir)
+    lazy val docs = Docs.russianDocs(spark, sfDir)
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets)).cast("int"))
     var processed = 0
     for (b <- 0 until nBuckets if !done.contains(b)) {
       if (failAfterBuckets >= 0 && processed >= failAfterBuckets)
         throw new RuntimeException(s"injected failure before bucket $b")
-      val bucketDocs = docs.where(col("bucket") === b).drop("bucket")
-        .as[graft.sources.InterleavedDoc]
-      val sents = Docs.sentences(bucketDocs)
+      val bucketDocs = bucketedInputDir match {
+        case Some(dir) => // partition-pruned read: only this bucket's dir
+          spark.read.parquet(s"$dir/bucket=$b")
+            .select("doc_id", "spans").as[graft.sources.InterleavedDoc]
+        case None =>
+          docs.where(col("bucket") === b).drop("bucket")
+            .as[graft.sources.InterleavedDoc]
+      }
+      val docsAcc = spark.sparkContext.longAccumulator(s"docs_b$b")
+      val sentsAcc = spark.sparkContext.longAccumulator(s"sents_b$b")
+      val triplesAcc = spark.sparkContext.longAccumulator(s"triples_b$b")
+      val maxAcc = new MaxStringAcc
+      spark.sparkContext.register(maxAcc, s"max_doc_id_b$b")
+      val counted = bucketDocs.map { d =>
+        docsAcc.add(1L); maxAcc.add(d.doc_id); d
+      }
+      val sents = Docs.sentences(counted).map { s => sentsAcc.add(1L); s }
       val parsed = Pipeline.parse(sents, graft.SparkEntry.packBc(spark))
-      val triples = Kg.link(spark, Kg.triples(parsed)).cache()
-      val nTriples = triples.count()
+      val triples = Kg.link(spark, Kg.triples(parsed))
+        .map { t => triplesAcc.add(1L); t }
       triples.toDF().write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/triples/bucket=$b")
-      val stats = bucketDocs.agg(count(lit(1)), max(col("doc_id"))).first()
-      val nSents = sents.count()
-      appendCommit(spark, outDir, Commit(runId, b, stats.getLong(0), nSents,
-        nTriples, Option(stats.getString(1)).getOrElse(""),
-        System.currentTimeMillis()))
-      triples.unpersist()
+      appendCommit(spark, outDir, Commit(runId, b, docsAcc.value, sentsAcc.value,
+        triplesAcc.value, maxAcc.value, System.currentTimeMillis()))
       processed += 1
     }
     processed

@@ -45,4 +45,29 @@ class ResumeSpec extends AnyFunSuite {
     // idempotence: a third run is a no-op
     assert(KgJob.run(spark, sf, resumable, "run_c", nBuckets = 8) == 0)
   }
+
+  test("bucket-partitioned input: pruned reads, single action per bucket") {
+    val sf = "/root/testdata/sf0.001"
+    val in = freshDir(); val out = freshDir(); val viaGen = freshDir()
+    KgJob.writeBucketedInput(spark, sf, in, nBuckets = 4)
+
+    assert(KgJob.run(spark, sf, out, "run_p", nBuckets = 4,
+      bucketedInputDir = Some(in)) == 4)
+
+    // identical output to generated-input mode
+    assert(KgJob.run(spark, sf, viaGen, "run_g", nBuckets = 4) == 4)
+    assert(KgJob.triples(spark, out).collect().map(_.toString).sorted.toSeq ==
+      KgJob.triples(spark, viaGen).collect().map(_.toString).sorted.toSeq)
+
+    // single-pass proof: the docs counter rides the ONE action per bucket
+    // as an accumulator, so any re-scan of the input (the old
+    // count/agg/sents.count shape) would double-count it. Summing to
+    // exactly the corpus size across buckets == each input row read once.
+    for (dir <- Seq(out, viaGen)) {
+      val log = KgJob.commitLog(spark, dir)
+      assert(log.selectExpr("sum(docs)").first().getLong(0) ==
+        graft.corpus.RuCorpus.docCount(sf), s"input scanned more than once ($dir)")
+      assert(log.selectExpr("max(max_doc_id)").first().getString(0).nonEmpty)
+    }
+  }
 }
