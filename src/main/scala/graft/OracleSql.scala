@@ -64,28 +64,46 @@ object OracleSql {
       GROUP BY 1, 2),
     base AS (
       SELECT s.id, s.k, (s.k + coalesce(m.nmed, 0))::INT AS span_order,
-             h, (h >> 8) % 4 AS t,
+             h, (h >> 8) % 7 AS t,
              ${list(firstNames)}[((h % 8) + 1)::INT] AS fn,
              ${list(surnames)}[(((h >> 16) % 8) + 1)::INT] AS sn,
              ${list(verbs)}[(((h >> 24) % 8) + 1)::INT] AS vb,
              ${list(objectsAcc)}[(((h >> 32) % 8) + 1)::INT] AS ob,
              ${list(cities)}[(((h >> 40) % 4) + 1)::INT] AS city,
              ${list(orgsSubj)}[(((h >> 16) % 4) + 1)::INT] AS org_s,
-             ${list(orgsObj)}[(((h >> 32) % 4) + 1)::INT] AS org_o
+             ${list(orgsObj)}[(((h >> 32) % 4) + 1)::INT] AS org_o,
+             ${list(apposNouns)}[(((h >> 40) % 4) + 1)::INT] AS prof,
+             ${list(govNouns)}[((h % 4) + 1)::INT] AS gov,
+             ${list(orgsGen)}[(((h >> 16) % 4) + 1)::INT] AS orgg,
+             ${list(predNouns)}[(((h >> 24) % 4) + 1)::INT] AS prd
       FROM (SELECT id, k, ${mixSql("id * 1000003 + k")} AS h FROM sent) s
       LEFT JOIN med m ON m.id = s.id AND m.k = s.k),
     golden AS (
+      -- main verb-mediated triple (all verb-root templates)
       SELECT 'd' || id AS docId, span_order AS spanOrder, 0::INT AS sentIdx,
-             CASE WHEN t = 2 THEN org_s ELSE fn || ' ' || sn END AS subj,
-             CASE WHEN t = 2 THEN 'ORG' ELSE 'PER' END AS subjType,
+             CASE WHEN t = 2 THEN org_s WHEN t = 5 THEN gov
+                  ELSE fn || ' ' || sn END AS subj,
+             CASE WHEN t = 2 THEN 'ORG' WHEN t = 5 THEN 'NOUN'
+                  ELSE 'PER' END AS subjType,
              vb AS pred,
              CASE WHEN t = 3 THEN org_o ELSE ob END AS obj,
              CASE WHEN t = 3 THEN 'ORG' ELSE 'NOUN' END AS objType
-      FROM base
+      FROM base WHERE t <= 5
       UNION ALL
       SELECT 'd' || id, span_order, 0::INT,
              fn || ' ' || sn, 'PER', vb || '_в', city, 'LOC'
-      FROM base WHERE t = 1)"""
+      FROM base WHERE t = 1
+      UNION ALL -- appositive is-triple
+      SELECT 'd' || id, span_order, 0::INT,
+             fn || ' ' || sn, 'PER', 'is', prof, 'NOUN'
+      FROM base WHERE t = 4
+      UNION ALL -- genitive of-triple
+      SELECT 'd' || id, span_order, 0::INT, gov, 'NOUN', 'of', orgg, 'ORG'
+      FROM base WHERE t = 5
+      UNION ALL -- copular is-triple
+      SELECT 'd' || id, span_order, 0::INT,
+             fn || ' ' || sn, 'PER', 'is', prd, 'NOUN'
+      FROM base WHERE t = 6)"""
   }
 
   /** golden triples == engine-extracted triples (PipelineSpec gate) */
@@ -104,24 +122,48 @@ object OracleSql {
   private val LOC = ("PROPN", "PROPN|Case=Loc")
   private val PCT = ("PUNCT", "PUNCT")
   private val ADP = ("ADP", "ADP")
+  private val NNOM = ("NOUN", "NOUN|Case=Nom|Gender=Masc|Number=Sing")
+  private val PGEN = ("PROPN", "PROPN|Case=Gen")
 
-  /** (wordExpr, (pos, tag), rel) per token, per template */
-  private val templates: Seq[Seq[(String, (String, String), String)]] = Seq(
-    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
-      ("ob", NACC, "obj"), ("'.'", PCT, "punct")),
-    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
-      ("ob", NACC, "obj"), ("'в'", ADP, "case"), ("city", LOC, "obl"),
-      ("'.'", PCT, "punct")),
-    Seq(("'«'", PCT, "punct"), ("org_s", PPN, "nsubj"), ("'»'", PCT, "punct"),
-      ("vb", VRB, "root"), ("ob", NACC, "obj"), ("'.'", PCT, "punct")),
-    Seq(("fn", PPN, "nsubj"), ("sn", PPN, "flat:name"), ("vb", VRB, "root"),
-      ("'«'", PCT, "punct"), ("org_o", PPN, "obj"), ("'»'", PCT, "punct"),
-      ("'.'", PCT, "punct")))
+  /** (wordExpr, (pos, tag), rel, head) per token, per template.
+    * head = 1-based token id of the head, 0 = root. These are the TREE
+    * attachments the planted biaffine produces: flat/appos -> name head,
+    * case -> obl token, nmod -> governor, everything else -> the predicate.
+    */
+  private val templates: Seq[Seq[(String, (String, String), String, Int)]] = Seq(
+    // t0: fn sn vb ob .
+    Seq(("fn", PPN, "nsubj", 3), ("sn", PPN, "flat:name", 1),
+      ("vb", VRB, "root", 0), ("ob", NACC, "obj", 3), ("'.'", PCT, "punct", 3)),
+    // t1: fn sn vb ob в city .
+    Seq(("fn", PPN, "nsubj", 3), ("sn", PPN, "flat:name", 1),
+      ("vb", VRB, "root", 0), ("ob", NACC, "obj", 3), ("'в'", ADP, "case", 6),
+      ("city", LOC, "obl", 3), ("'.'", PCT, "punct", 3)),
+    // t2: « org_s » vb ob .
+    Seq(("'«'", PCT, "punct", 4), ("org_s", PPN, "nsubj", 4),
+      ("'»'", PCT, "punct", 4), ("vb", VRB, "root", 0),
+      ("ob", NACC, "obj", 4), ("'.'", PCT, "punct", 4)),
+    // t3: fn sn vb « org_o » .
+    Seq(("fn", PPN, "nsubj", 3), ("sn", PPN, "flat:name", 1),
+      ("vb", VRB, "root", 0), ("'«'", PCT, "punct", 3),
+      ("org_o", PPN, "obj", 3), ("'»'", PCT, "punct", 3),
+      ("'.'", PCT, "punct", 3)),
+    // t4: fn sn , prof , vb ob .
+    Seq(("fn", PPN, "nsubj", 6), ("sn", PPN, "flat:name", 1),
+      ("','", PCT, "punct", 6), ("prof", NNOM, "appos", 1),
+      ("','", PCT, "punct", 6), ("vb", VRB, "root", 0),
+      ("ob", NACC, "obj", 6), ("'.'", PCT, "punct", 6)),
+    // t5: gov orgg vb ob .
+    Seq(("gov", NNOM, "nsubj", 3), ("orgg", PGEN, "nmod", 1),
+      ("vb", VRB, "root", 0), ("ob", NACC, "obj", 3), ("'.'", PCT, "punct", 3)),
+    // t6: fn sn — prd .
+    Seq(("fn", PPN, "nsubj", 4), ("sn", PPN, "flat:name", 1),
+      ("'—'", PCT, "punct", 4), ("prd", NNOM, "root", 0),
+      ("'.'", PCT, "punct", 4)))
 
   def qMorphTags: String = {
     val branches = for {
       (toks, t) <- templates.zipWithIndex
-      ((w, (pos, tag), _), i) <- toks.zipWithIndex
+      ((w, (pos, tag), _, _), i) <- toks.zipWithIndex
     } yield s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, " +
       s"${i}::INT AS tok_idx, $w AS word, '$pos' AS pos, '$tag' AS tag " +
       s"FROM base WHERE t = $t"
@@ -131,11 +173,10 @@ object OracleSql {
   private def syntaxBranches: String = {
     val branches = for {
       (toks, t) <- templates.zipWithIndex
-      verbIdx = toks.indexWhere(_._3 == "root")
-      ((w, _, rel), i) <- toks.zipWithIndex
+      ((w, _, rel, head), i) <- toks.zipWithIndex
     } yield s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, " +
       s"${i + 1}::INT AS tok_id, $w AS word, " +
-      s"${if (rel == "root") 0 else verbIdx + 1}::INT AS head_id, '$rel' AS rel " +
+      s"${head}::INT AS head_id, '$rel' AS rel " +
       s"FROM base WHERE t = $t"
     branches.mkString(" UNION ALL ")
   }
@@ -168,10 +209,14 @@ object OracleSql {
   def qNerSpans: String = {
     val per = "length(fn) + 1 + length(sn)"
     val branches = Seq(
-      // t0/t1/t3: PER over "fn sn" at offset 0
+      // t0/t1/t3/t4/t6: PER over "fn sn" at offset 0
       s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, 0::INT AS start, " +
         s"($per)::INT AS stop, 'PER' AS tpe, fn || ' ' || sn AS mention " +
-        s"FROM base WHERE t IN (0, 1, 3)",
+        s"FROM base WHERE t IN (0, 1, 3, 4, 6)",
+      // t5: ORG over the genitive org: "gov orgg vb ob."
+      s"SELECT 'd' || id, span_order, 0::INT, (length(gov) + 1)::INT, " +
+        s"(length(gov) + 1 + length(orgg))::INT, 'ORG', orgg " +
+        s"FROM base WHERE t = 5",
       // t1: LOC over city: "fn sn vb ob в city."
       s"SELECT 'd' || id, span_order, 0::INT, " +
         s"($per + length(vb) + length(ob) + 5)::INT, " +

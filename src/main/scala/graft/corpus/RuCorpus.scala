@@ -33,38 +33,62 @@ object RuCorpus {
   val orgsObj = Vector("Авито", "Магнит", "Лукойл", "Ростех")
   val verbs = Vector("купил", "продал", "открыл", "закрыл", "построил", "возглавил", "посетил", "создал")
   val objectsAcc = Vector("завод", "магазин", "офис", "проект", "филиал", "сервис", "центр", "музей")
+  // round-2 template vocab — each list is a distinct grammatical role
+  val govNouns = Vector("директор", "глава", "руководитель", "основатель") // nsubj + nmod governor
+  val apposNouns = Vector("президент", "инженер", "журналист", "банкир")   // appositive of the name head
+  val predNouns = Vector("лидер", "партнёр", "инвестор", "чемпион")        // copular nominal root
+  val orgsGen = Vector("Газпрома", "Яндекса", "Сбербанка", "Роснефти")     // genitive nmod dependent
 
   // morph tag ids into SynthPack.morphTagItems
   object M {
     val X = 0; val PROPN_NOM = 1; val PROPN_LOC = 2; val VERB = 3
     val NOUN_ACC = 4; val ADP = 5; val PUNCT = 6; val NUM = 7
+    val NOUN_NOM = 8; val PROPN_GEN = 9
   }
   // rel ids into SynthPack.relItems
   object R {
     val DEP = 0; val ROOT = 1; val NSUBJ = 2; val OBJ = 3
     val OBL = 4; val CASE = 5; val FLAT = 6; val PUNCT = 7
+    val APPOS = 8; val NMOD = 9
   }
   // ner tag ids into Vocab.bioTags(PER,LOC,ORG): [<pad>,O,B-PER,I-PER,B-LOC,I-LOC,B-ORG,I-ORG]
   object N {
     val PAD = 0; val O = 1; val B_PER = 2; val I_PER = 3
     val B_LOC = 4; val I_LOC = 5; val B_ORG = 6; val I_ORG = 7
   }
+  /** Self-class: what kind of attachment TARGET a token is (at most one
+    * token of each non-NONE class per sentence, by template construction).
+    */
+  object SC { val NONE = 0; val PRED = 1; val NAME = 2; val OBL = 3; val GOV = 4 }
+  /** Attach-class: which self-class this token's head carries (ROOT0 =
+    * attach to the ROOT pseudo-node, i.e. the token IS the root).
+    */
+  object AC { val ROOT0 = 0; val PRED = 1; val NAME = 2; val OBL = 3; val GOV = 4 }
 
-  /** Per-word dictionary entry: the planted classes the rigged model emits. */
-  final case class WordInfo(ner: Int, morph: Int, rel: Int, verb: Boolean)
+  /** Per-word dictionary entry: the planted classes the rigged model emits.
+    * selfCls/attCls drive the biaffine head scorer (SynthPack): a token
+    * attaches to the unique token whose selfCls equals its attCls, so the
+    * planted trees are REAL trees (case -> obl token, flat/appos -> name
+    * head, nmod -> governor), not a star around the root.
+    */
+  final case class WordInfo(ner: Int, morph: Int, rel: Int, selfCls: Int, attCls: Int)
 
   /** word (lowercased) -> planted classes; every corpus word has exactly one role. */
   val dict: Map[String, WordInfo] = {
     val b = Map.newBuilder[String, WordInfo]
-    firstNames.foreach(w => b += w.toLowerCase -> WordInfo(N.B_PER, M.PROPN_NOM, R.NSUBJ, verb = false))
-    surnames.foreach(w => b += w.toLowerCase -> WordInfo(N.I_PER, M.PROPN_NOM, R.FLAT, verb = false))
-    cities.foreach(w => b += w.toLowerCase -> WordInfo(N.B_LOC, M.PROPN_LOC, R.OBL, verb = false))
-    orgsSubj.foreach(w => b += w.toLowerCase -> WordInfo(N.B_ORG, M.PROPN_NOM, R.NSUBJ, verb = false))
-    orgsObj.foreach(w => b += w.toLowerCase -> WordInfo(N.B_ORG, M.PROPN_NOM, R.OBJ, verb = false))
-    verbs.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.VERB, R.ROOT, verb = true))
-    objectsAcc.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.NOUN_ACC, R.OBJ, verb = false))
-    b += "в" -> WordInfo(N.O, M.ADP, R.CASE, verb = false)
-    Seq(".", "«", "»", ",").foreach(w => b += w -> WordInfo(N.O, M.PUNCT, R.PUNCT, verb = false))
+    firstNames.foreach(w => b += w.toLowerCase -> WordInfo(N.B_PER, M.PROPN_NOM, R.NSUBJ, SC.NAME, AC.PRED))
+    surnames.foreach(w => b += w.toLowerCase -> WordInfo(N.I_PER, M.PROPN_NOM, R.FLAT, SC.NONE, AC.NAME))
+    cities.foreach(w => b += w.toLowerCase -> WordInfo(N.B_LOC, M.PROPN_LOC, R.OBL, SC.OBL, AC.PRED))
+    orgsSubj.foreach(w => b += w.toLowerCase -> WordInfo(N.B_ORG, M.PROPN_NOM, R.NSUBJ, SC.NONE, AC.PRED))
+    orgsObj.foreach(w => b += w.toLowerCase -> WordInfo(N.B_ORG, M.PROPN_NOM, R.OBJ, SC.NONE, AC.PRED))
+    verbs.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.VERB, R.ROOT, SC.PRED, AC.ROOT0))
+    objectsAcc.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.NOUN_ACC, R.OBJ, SC.NONE, AC.PRED))
+    govNouns.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.NOUN_NOM, R.NSUBJ, SC.GOV, AC.PRED))
+    apposNouns.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.NOUN_NOM, R.APPOS, SC.NONE, AC.NAME))
+    predNouns.foreach(w => b += w.toLowerCase -> WordInfo(N.O, M.NOUN_NOM, R.ROOT, SC.PRED, AC.ROOT0))
+    orgsGen.foreach(w => b += w.toLowerCase -> WordInfo(N.B_ORG, M.PROPN_GEN, R.NMOD, SC.NONE, AC.GOV))
+    b += "в" -> WordInfo(N.O, M.ADP, R.CASE, SC.NONE, AC.OBL)
+    Seq(".", "«", "»", ",", "—").foreach(w => b += w -> WordInfo(N.O, M.PUNCT, R.PUNCT, SC.NONE, AC.PRED))
     b.result()
   }
 
@@ -79,10 +103,10 @@ object RuCorpus {
   // word indices, all derived from the same hash bits as the render).
   private val sentCache = new java.util.concurrent.ConcurrentHashMap[Long, GenSent]()
 
-  /** Render a sentence for (docId, sentIdx). 4 templates. */
+  /** Render a sentence for (docId, sentIdx). 7 templates. */
   def sentence(docId: Long, sentIdx: Int): GenSent = {
     val h = mix(docId * 1000003L + sentIdx)
-    val key = (((h >>> 8) % 4) << 60) |
+    val key = (((h >>> 8) % 7) << 60) |
       (((h % 8) + 8) % 8) | (((((h >>> 16) % 8) + 8) % 8) << 4) |
       (((((h >>> 24) % 8) + 8) % 8) << 8) | (((((h >>> 32) % 8) + 8) % 8) << 12) |
       (((((h >>> 40) % 8) + 8) % 8) << 16)
@@ -94,7 +118,7 @@ object RuCorpus {
   }
 
   private def renderSentence(h: Long): GenSent = {
-    val t = ((h >>> 8) % 4).toInt
+    val t = ((h >>> 8) % 7).toInt
     val words: Vector[String] = t match {
       case 0 => // PER V OBJ .
         Vector(pick(firstNames, h), pick(surnames, h >>> 16), pick(verbs, h >>> 24),
@@ -105,9 +129,19 @@ object RuCorpus {
       case 2 => // « ORG » V OBJ .
         Vector("«", pick(orgsSubj, h >>> 16), "»", pick(verbs, h >>> 24),
           pick(objectsAcc, h >>> 32), ".")
-      case _ => // PER V « ORG » .
+      case 3 => // PER V « ORG » .
         Vector(pick(firstNames, h), pick(surnames, h >>> 16), pick(verbs, h >>> 24),
           "«", pick(orgsObj, h >>> 32), "»", ".")
+      case 4 => // PER , APPOS-NOUN , V OBJ .   (appositive)
+        Vector(pick(firstNames, h), pick(surnames, h >>> 16), ",",
+          pick(apposNouns, h >>> 40), ",", pick(verbs, h >>> 24),
+          pick(objectsAcc, h >>> 32), ".")
+      case 5 => // GOV-NOUN ORG-GEN V OBJ .     (genitive nmod)
+        Vector(pick(govNouns, h), pick(orgsGen, h >>> 16), pick(verbs, h >>> 24),
+          pick(objectsAcc, h >>> 32), ".")
+      case _ => // PER — PRED-NOUN .            (copular, nominal root)
+        Vector(pick(firstNames, h), pick(surnames, h >>> 16), "—",
+          pick(predNouns, h >>> 24), ".")
     }
     GenSent(words, render(words))
   }
@@ -163,14 +197,22 @@ object RuCorpus {
     val s = sentence(docId, sentIdx)
     val w = s.words
     val h = mix(docId * 1000003L + sentIdx)
-    val t = ((h >>> 8) % 4).toInt
+    val t = ((h >>> 8) % 7).toInt
     t match {
       case 0 => Seq(GoldenTriple(w(0) + " " + w(1), w(2), w(3), "PER", "NOUN"))
       case 1 => Seq(
         GoldenTriple(w(0) + " " + w(1), w(2), w(3), "PER", "NOUN"),
         GoldenTriple(w(0) + " " + w(1), w(2) + "_в", w(5), "PER", "LOC"))
       case 2 => Seq(GoldenTriple(w(1), w(3), w(4), "ORG", "NOUN"))
-      case _ => Seq(GoldenTriple(w(0) + " " + w(1), w(2), w(4), "PER", "ORG"))
+      case 3 => Seq(GoldenTriple(w(0) + " " + w(1), w(2), w(4), "PER", "ORG"))
+      case 4 => Seq( // appos: verb triple + is-triple from the appositive
+        GoldenTriple(w(0) + " " + w(1), w(5), w(6), "PER", "NOUN"),
+        GoldenTriple(w(0) + " " + w(1), "is", w(3), "PER", "NOUN"))
+      case 5 => Seq( // nmod: verb triple + of-triple from the genitive
+        GoldenTriple(w(0), w(2), w(3), "NOUN", "NOUN"),
+        GoldenTriple(w(0), "of", w(1), "NOUN", "ORG"))
+      case _ => Seq( // copular nominal predicate
+        GoldenTriple(w(0) + " " + w(1), "is", w(3), "PER", "NOUN"))
     }
   }
 

@@ -23,23 +23,32 @@ final case class LinkedTriple(
 
 object Kg {
 
-  /** Dependency-pattern triple extraction over parsed sentences:
-    *  - pred   = the root verb (rel == "root")
-    *  - subj   = an nsubj token, extended by following contiguous
-    *             flat:name tokens (multi-token names)
-    *  - obj    = an obj token -> (subj, verb, obj)
-    *  - obl    = an obl token with a case marker directly before it
-    *             -> (subj, verb_<case>, obl)
+  /** Dependency-pattern triple extraction over parsed sentences — TREE
+    * patterns over `(head_id, rel)` edges (shapes per reference
+    * markup.py:162-193), not token positions:
+    *  - root    = the token with rel == "root" and head_id == 0
+    *  - subj    = nsubj CHILDREN of the root; mentions extend through
+    *              flat:name CHILDREN of the mention head (multi-token names)
+    *  - verb root: obj children of the root -> (subj, verb, obj);
+    *              obl children of the root with a case CHILD
+    *              -> (subj, verb_<case>, obl)   [case(P,X) ∧ obl(V,X)]
+    *  - nominal root (copular): -> (subj, "is", root mention)
+    *  - appos(X, Y): Y appos child of X -> (mention(X), "is", mention(Y))
+    *  - nmod(X, Y): Y nmod child of X -> (mention(X), "of", mention(Y))
     * Entity types come from the NER span covering the token.
     * Pure per-sentence flatMap — no shuffle.
     */
   def extract(p: ParsedSent): Seq[Triple] = {
     val syn = p.syn
     val n = syn.length
-    var rootIdx = 0
-    while (rootIdx < n && syn(rootIdx).rel != "root") rootIdx += 1
-    if (rootIdx == n) return Nil
-    val verb = syn(rootIdx).text
+    var rootIdx = -1
+    var i = 0
+    while (i < n && rootIdx < 0) {
+      if (syn(i).rel == "root" && syn(i).headId == 0) rootIdx = i
+      i += 1
+    }
+    if (rootIdx < 0) return Nil
+    val rootId1 = rootIdx + 1 // 1-based id of the root token
 
     // manual scans — `find`/`filter`/StringBuilder closures were measurable
     // allocation churn at 3M+ triples/sec
@@ -55,48 +64,100 @@ object Kg {
       "NOUN"
     }
 
+    /** token i + its flat:name children (by head edge), in token order. */
     def mention(i: Int): String = {
-      var j = i + 1
-      while (j < n && syn(j).rel == "flat:name") j += 1
-      if (j == i + 1) p.tokens(i).text // single-token mention: no copy
+      val id1 = i + 1
+      var single = true
+      var j = 0
+      while (single && j < n) {
+        if (syn(j).rel == "flat:name" && syn(j).headId == id1) single = false
+        j += 1
+      }
+      if (single) p.tokens(i).text // single-token mention: no copy
       else {
         val sb = new java.lang.StringBuilder(p.tokens(i).text)
-        var k = i + 1
-        while (k < j) { sb.append(' ').append(p.tokens(k).text); k += 1 }
+        var k = 0
+        while (k < n) {
+          if (syn(k).rel == "flat:name" && syn(k).headId == id1)
+            sb.append(' ').append(p.tokens(k).text)
+          k += 1
+        }
         sb.toString
       }
     }
 
     var nSubj = 0
-    var i = 0
-    while (i < n) { if (syn(i).rel == "nsubj") nSubj += 1; i += 1 }
-    if (nSubj == 0) return Nil
-    val subjM = new Array[String](nSubj)
-    val subjT = new Array[String](nSubj)
-    i = 0; var k = 0
+    i = 0
     while (i < n) {
-      if (syn(i).rel == "nsubj") { subjM(k) = mention(i); subjT(k) = typeOf(i); k += 1 }
+      if (syn(i).rel == "nsubj" && syn(i).headId == rootId1) nSubj += 1
       i += 1
     }
+    val out = new ArrayBuffer[Triple](math.max(nSubj * 2, 2))
 
-    val out = new ArrayBuffer[Triple](nSubj * 2)
+    if (nSubj > 0) {
+      val subjM = new Array[String](nSubj)
+      val subjT = new Array[String](nSubj)
+      i = 0; var k = 0
+      while (i < n) {
+        if (syn(i).rel == "nsubj" && syn(i).headId == rootId1) {
+          subjM(k) = mention(i); subjT(k) = typeOf(i); k += 1
+        }
+        i += 1
+      }
+      val rootIsVerb = p.morph(rootIdx).pos == "VERB"
+      if (rootIsVerb) {
+        val verb = syn(rootIdx).text
+        i = 0
+        while (i < n) {
+          val rel = syn(i).rel
+          if (syn(i).headId == rootId1 && rel == "obj") {
+            val om = mention(i); val ot = typeOf(i)
+            var s = 0
+            while (s < nSubj) {
+              out += Triple(p.docId, p.spanOrder, p.sentIdx, subjM(s), subjT(s), verb, om, ot)
+              s += 1
+            }
+          } else if (syn(i).headId == rootId1 && rel == "obl") {
+            // case marker = a case CHILD of the obl token (tree pattern)
+            var caseIdx = -1
+            var j = 0
+            while (caseIdx < 0 && j < n) {
+              if (syn(j).rel == "case" && syn(j).headId == i + 1) caseIdx = j
+              j += 1
+            }
+            if (caseIdx >= 0) {
+              val om = mention(i); val ot = typeOf(i)
+              val pred = verb + "_" + p.tokens(caseIdx).text
+              var s = 0
+              while (s < nSubj) {
+                out += Triple(p.docId, p.spanOrder, p.sentIdx, subjM(s), subjT(s), pred, om, ot)
+                s += 1
+              }
+            }
+          }
+          i += 1
+        }
+      } else {
+        // copular / nominal predicate: (subj, is, root mention)
+        val om = mention(rootIdx); val ot = typeOf(rootIdx)
+        var s = 0
+        while (s < nSubj) {
+          out += Triple(p.docId, p.spanOrder, p.sentIdx, subjM(s), subjT(s), "is", om, ot)
+          s += 1
+        }
+      }
+    }
+
+    // appositive and genitive-attribute patterns anywhere in the tree
     i = 0
     while (i < n) {
       val rel = syn(i).rel
-      if (rel == "obj") {
-        val om = mention(i); val ot = typeOf(i)
-        var s = 0
-        while (s < nSubj) {
-          out += Triple(p.docId, p.spanOrder, p.sentIdx, subjM(s), subjT(s), verb, om, ot)
-          s += 1
-        }
-      } else if (rel == "obl" && i > 0 && syn(i - 1).rel == "case") {
-        val om = mention(i); val ot = typeOf(i)
-        val pred = verb + "_" + p.tokens(i - 1).text
-        var s = 0
-        while (s < nSubj) {
-          out += Triple(p.docId, p.spanOrder, p.sentIdx, subjM(s), subjT(s), pred, om, ot)
-          s += 1
+      if (rel == "appos" || rel == "nmod") {
+        val hIdx = syn(i).headId - 1
+        if (hIdx >= 0 && hIdx < n) {
+          out += Triple(p.docId, p.spanOrder, p.sentIdx,
+            mention(hIdx), typeOf(hIdx), if (rel == "appos") "is" else "of",
+            mention(i), typeOf(i))
         }
       }
       i += 1

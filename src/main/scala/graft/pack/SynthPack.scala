@@ -3,7 +3,7 @@ package graft.pack
 import graft.kernel._
 import graft.text.Shape
 import graft.corpus.RuCorpus
-import graft.corpus.RuCorpus.{M, N, R, WordInfo}
+import graft.corpus.RuCorpus.{AC, M, N, R, SC, WordInfo}
 
 /** Deterministic synthetic model pack, co-designed with [[RuCorpus]].
   *
@@ -29,12 +29,12 @@ import graft.corpus.RuCorpus.{M, N, R, WordInfo}
   */
 object SynthPack {
 
-  val EmbWordDim = 12 // qdim 4 x chunk 3 (prod 100x3=300, exec/model.py:213-234)
+  val EmbWordDim = 18 // qdim 6 x chunk 3 (prod 100x3=300, exec/model.py:213-234)
   val ShapeDim = 6    // prod 30
   val EmbDim: Int = EmbWordDim + ShapeDim
-  val EncDims: Seq[Int] = Seq(16, 8) // prod [256,128,64], kernel 3
+  val EncDims: Seq[Int] = Seq(24, 12) // prod [256,128,64], kernel 3
   val Kernel = 3
-  val EncOut = 8
+  val EncOut = 12
   val Hidden: Int = EncOut / 2 // syntax hidden = encoder.dim/2 (07_syntax/pack.ipynb)
 
   val morphTagItems: Array[String] = Array(
@@ -45,15 +45,22 @@ object SynthPack {
     "NOUN|Case=Acc|Gender=Masc|Number=Sing",
     "ADP",
     "PUNCT",
-    "NUM"
+    "NUM",
+    "NOUN|Case=Nom|Gender=Masc|Number=Sing",
+    "PROPN|Case=Gen"
   )
   val relItems: Array[String] = Array(
-    "dep", "root", "nsubj", "obj", "obl", "case", "flat:name", "punct")
+    "dep", "root", "nsubj", "obj", "obl", "case", "flat:name", "punct",
+    "appos", "nmod")
 
-  private val unkInfo = WordInfo(N.O, M.X, R.DEP, verb = false)
+  private val unkInfo = WordInfo(N.O, M.X, R.DEP, SC.NONE, AC.PRED)
 
+  /** 18-bit per-word code: ner(3) | morph(5) | rel(4) | selfCls(3) | attCls(3).
+    * Bit k lands in embedding dim k via the PQ codebook below.
+    */
   def wordBits(w: WordInfo): Int =
-    (w.ner & 7) | ((w.morph & 31) << 3) | ((if (w.verb) 1 else 0) << 8) | ((w.rel & 7) << 9)
+    (w.ner & 7) | ((w.morph & 31) << 3) | ((w.rel & 15) << 8) |
+      ((w.selfCls & 7) << 12) | ((w.attCls & 7) << 15)
 
   def build(): ModelPack = {
     val words = RuCorpus.dict.keys.toArray.sorted
@@ -64,8 +71,8 @@ object SynthPack {
     val morphTags = Vocab(morphTagItems)
     val rels = Vocab(relItems)
 
-    // --- navec: per-word 12-bit code via 4 subquantizers of 8 centroids x3
-    val qdim = 4; val centroids = 8; val chunk = 3
+    // --- navec: per-word 18-bit code via 6 subquantizers of 8 centroids x3
+    val qdim = 6; val centroids = 8; val chunk = 3
     val indexes = new Array[Int](wordItems.length * qdim)
     for (i <- wordItems.indices) {
       val bits =
@@ -115,19 +122,20 @@ object SynthPack {
 
     val nerModel = NerModel(
       emb,
-      encoder(Array(0, 1, 2, -1, -1, -1, -1, -1)),
+      encoder(Array(0, 1, 2)),
       hammingProj(3, nerTags.size),
       CRF(new Array[Float](nerTags.size * nerTags.size), nerTags.size))
 
     val morphModel = MorphModel(
       emb,
-      encoder(Array(3, 4, 5, 6, 7, -1, -1, -1)),
+      encoder(Array(3, 4, 5, 6, 7)),
       hammingProj(5, morphTags.size))
 
-    // syntax encoder channels: 0=isVerb(dim8), 1..3=rel bits(dims 9-11),
-    // 4 = root-flag channel (only the learned root vector sets it)
-    val synEnc = encoder(Array(8, 9, 10, 11, -1, -1, -1, -1))
-    val rootVec = new Array[Float](EncOut); rootVec(4) = 1f
+    // syntax encoder channels: 0..3 = rel bits (emb dims 8-11),
+    // 4..6 = self-class bits (dims 12-14), 7..9 = attach-class bits
+    // (dims 15-17), 10 = root flag (set only by the learned root vector)
+    val synEnc = encoder(Array(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
+    val rootVec = new Array[Float](EncOut); rootVec(10) = 1f
 
     def ff(rows: Seq[(Int, Int, Float)], bias: Seq[(Int, Float)]): FF = {
       val w = new Array[Float](EncOut * Hidden)
@@ -136,27 +144,48 @@ object SynthPack {
       bias.foreach { case (i, v) => b(i) = v }
       FF(Linear(w, EncOut, Hidden, b))
     }
-    // h = [1, isVerb, 0, 0]; t = [isRoot, isVerb, 0, 0]
-    val headFF = ff(Seq((0, 1, 1f)), Seq((0, 1f)))
-    val tailFF = ff(Seq((4, 0, 1f), (0, 1, 1f)), Nil)
+    // Head scorer = class matcher: score(i,j) = 1 iff selfCls(j) == attCls(i)
+    // (with the ROOT pseudo-node matching attCls ROOT0), 0 otherwise. Each
+    // sentence has exactly one token per non-NONE self class, so the masked
+    // argmax yields the planted TREE (not a star).
+    // One-hot of a 3-bit class via linear threshold + ReLU:
+    //   is(cls) = relu(sum_j (bit_j(cls) ? b_j : 1-b_j) - 2)
+    // FF inputs are ENCODER CHANNELS: 0-3 rel bits, 4-6 self bits,
+    // 7-9 att bits, 10 root flag.
+    // tail t_j = [isRootPos, selfPRED, selfNAME, selfOBL, selfGOV, 0]
+    val tailFF = ff(Seq(
+      (10, 0, 1f),                           // t0 = root-position flag
+      (4, 1, 1f), (5, 1, -1f), (6, 1, -1f),  // t1 = self PRED (1,0,0)
+      (4, 2, -1f), (5, 2, 1f), (6, 2, -1f),  // t2 = self NAME (0,1,0)
+      (4, 3, 1f), (5, 3, 1f), (6, 3, -1f),   // t3 = self OBL  (1,1,0)
+      (4, 4, -1f), (5, 4, -1f), (6, 4, 1f)   // t4 = self GOV  (0,0,1)
+    ), Seq((3, -1f)))
+    // head h_i = [attROOT0, attPRED, attNAME, attOBL, attGOV, 0]
+    val headFF = ff(Seq(
+      (7, 0, -1f), (8, 0, -1f), (9, 0, -1f), // h0 = att ROOT0 (0,0,0)
+      (7, 1, 1f), (8, 1, -1f), (9, 1, -1f),  // h1 = att PRED
+      (7, 2, -1f), (8, 2, 1f), (9, 2, -1f),  // h2 = att NAME
+      (7, 3, 1f), (8, 3, 1f), (9, 3, -1f),   // h3 = att OBL
+      (7, 4, -1f), (8, 4, -1f), (9, 4, 1f)   // h4 = att GOV
+    ), Seq((0, 1f), (3, -1f)))
     val headKernel = new Array[Float](Hidden * Hidden)
-    headKernel(0 * Hidden + 1) = 1f  // K01: v_j
-    headKernel(1 * Hidden + 0) = 2f  // K10: 2*isRoot_j * v_i
-    headKernel(1 * Hidden + 1) = -1f // K11: -v_i*v_j
+    for (i <- 0 until 5) headKernel(i * Hidden + i) = 1f // class-match diagonal
     val synHead = SyntaxHead(headFF, tailFF, rootVec, headKernel, Hidden)
 
-    // rel scorer: h = [1,0,0,0]; t = [relBit0, relBit1, relBit2, 1]
+    // rel scorer: h = [1,0,...]; t = [relBit0..relBit3, 1, 0]; Hamming
+    // decode over 4 rel bits
     val relHeadFF = ff(Nil, Seq((0, 1f)))
-    val relTailFF = ff(Seq((1, 0, 1f), (2, 1, 1f), (3, 2, 1f)), Seq((3, 1f)))
+    val relTailFF = ff(Seq((0, 0, 1f), (1, 1, 1f), (2, 2, 1f), (3, 3, 1f)),
+      Seq((4, 1f)))
     val relK = new Array[Float](Hidden * Hidden * rels.size)
     for (r <- rels.items.indices) {
       var ones = 0
-      for (k <- 0 until 3) {
+      for (k <- 0 until 4) {
         val bit = (r >> k) & 1
         relK(0 * (Hidden * rels.size) + r * Hidden + k) = (2 * bit - 1).toFloat
         ones += bit
       }
-      relK(0 * (Hidden * rels.size) + r * Hidden + 3) = -ones.toFloat
+      relK(0 * (Hidden * rels.size) + r * Hidden + 4) = -ones.toFloat
     }
     val synRel = SyntaxRel(relHeadFF, relTailFF, rootVec, relK, Hidden, rels.size)
     val syntaxModel = SyntaxModel(emb, synEnc, synHead, synRel)

@@ -99,7 +99,9 @@ class KernelSpec extends AnyFunSuite {
     val padMask = Array.fill(n)(false)
     val (heads, rels) = pack.syntax.forward(wids, sids, 1, n, padMask)
     // words: Иван Петров купил завод в Москве .  (verb at index 2 -> id 3)
-    assert(heads.toSeq == Seq(3, 3, 0, 3, 3, 3, 3))
+    // TREE attachments (round 2): flat:name Петров -> Иван (1), case в ->
+    // its obl head Москве (6); everything else -> the verb
+    assert(heads.toSeq == Seq(3, 1, 0, 3, 6, 3, 3))
     assert(rels.map(pack.rels.decode).toSeq ==
       Seq("nsubj", "flat:name", "root", "obj", "case", "obl", "punct"))
   }

@@ -61,7 +61,8 @@ class PipelineSpec extends AnyFunSuite {
           assert(RuCorpus.firstNames.contains(words.head) &&
             RuCorpus.surnames.contains(words.last), mention)
         case "LOC" => assert(RuCorpus.cities.contains(mention), mention)
-        case "ORG" => assert((RuCorpus.orgsSubj ++ RuCorpus.orgsObj).contains(mention), mention)
+        case "ORG" => assert(
+          (RuCorpus.orgsSubj ++ RuCorpus.orgsObj ++ RuCorpus.orgsGen).contains(mention), mention)
         case t => fail(s"unexpected type $t")
       }
     }
