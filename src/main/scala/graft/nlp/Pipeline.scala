@@ -24,6 +24,13 @@ final case class ParsedSent(
 
 object Pipeline {
 
+  /** Sequence-length cap: sentences with more tokens are processed in
+    * maxSeqLen-token chunks and the predictions re-joined (the reference's
+    * oversize chunk-and-rejoin, infer/bert.py:67-91). Bounds the biaffine
+    * [B,S,S+1] score tensor — without it one 50k-token line allocates ~10 GB.
+    */
+  val DefaultMaxSeqLen = 256
+
   /** Batched inference over one partition iterator — the Spark analogue of
     * the reference's generator pipeline (exec/infer.py:37-51): lazy, bounded
     * memory, model state pinned per executor via the broadcast value.
@@ -44,9 +51,68 @@ object Pipeline {
     * allocating tensors (the measured 32-thread scaling limiter was
     * allocation bandwidth, BASELINE.md round-1 analysis).
     */
-  def inferBatch(batch: Seq[SentRow], pack: ModelPack, ws: Workspace): Seq[ParsedSent] = {
-    val n = batch.length
+  def inferBatch(batch: Seq[SentRow], pack: ModelPack, ws: Workspace,
+                 maxSeqLen: Int = DefaultMaxSeqLen): Seq[ParsedSent] = {
     val toks: Array[Array[Token]] = batch.iterator.map(r => Tokenizer.tokenize(r.text)).toArray
+    var oversize = false
+    var i = 0
+    while (i < toks.length && !oversize) { oversize = toks(i).length > maxSeqLen; i += 1 }
+    if (!oversize) return inferTokenized(batch, toks, pack, ws)
+    // mixed batch: normal rows share one pass; each oversize row is
+    // chunk-processed independently (deterministic — its result depends
+    // only on its own tokens, preserving batch-composition invariance)
+    val out = new Array[ParsedSent](batch.length)
+    val normIdx = toks.indices.filter(j => toks(j).length <= maxSeqLen)
+    if (normIdx.nonEmpty) {
+      val sub = inferTokenized(normIdx.map(batch), normIdx.map(toks).toArray, pack, ws)
+      var k = 0
+      while (k < normIdx.length) { out(normIdx(k)) = sub(k); k += 1 }
+    }
+    for (j <- toks.indices if toks(j).length > maxSeqLen)
+      out(j) = inferOversize(batch(j), toks(j), pack, ws, maxSeqLen)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Chunked inference for one oversize sentence: fixed-size token chunks
+    * (weighted chop, infer/bert.py:67-80), per-chunk forward passes in
+    * bounded sub-batches, predictions re-joined in token order
+    * (join_items, infer/bert.py:86-91). Char offsets are preserved (tokens
+    * keep their original offsets), head ids are remapped by chunk offset;
+    * each chunk decodes its own root — the documented boundary effect of
+    * chop-and-rejoin, as in the reference's teacher path.
+    */
+  private def inferOversize(row: SentRow, ts: Array[Token], pack: ModelPack,
+                            ws: Workspace, maxSeqLen: Int): ParsedSent = {
+    val chunks = ts.grouped(maxSeqLen).toArray
+    val chunkBatch = math.max(1, 8192 / maxSeqLen) // bounds B*S*(S+1) scores
+    val parts = chunks.grouped(chunkBatch).flatMap { grp =>
+      inferTokenized(grp.toSeq.map(_ => row), grp, pack, ws)
+    }.toArray
+    val spans = new ArrayBuffer[Span]()
+    val morph = new Array[MorphTok](ts.length)
+    val syn = new Array[SynTok](ts.length)
+    var off = 0
+    for (p <- parts) {
+      spans ++= p.nerSpans
+      val m = p.syn.length
+      var i = 0
+      while (i < m) {
+        morph(off + i) = p.morph(i)
+        val s = p.syn(i)
+        syn(off + i) = SynTok(off + i + 1, s.text,
+          if (s.headId == 0) 0 else off + s.headId, s.rel)
+        i += 1
+      }
+      off += m
+    }
+    ParsedSent(row.docId, row.spanOrder, row.sentIdx, row.text,
+      ts, spans.toArray, morph, syn)
+  }
+
+  /** The shared encode + forward + decode pass over pre-tokenized rows. */
+  private def inferTokenized(batch: Seq[SentRow], toks: Array[Array[Token]],
+                             pack: ModelPack, ws: Workspace): Seq[ParsedSent] = {
+    val n = batch.length
     val seqLen = math.max(1, toks.iterator.map(_.length).max)
     val ns = n * seqLen
     val wordIds = ws.i(WS.WORD_IDS, ns)

@@ -47,6 +47,30 @@ class EdgeSpec extends AnyFunSuite {
     ))
   }
 
+  test("50k-token line: chunk-and-rejoin bounds memory, output stays sane") {
+    // 4-token repetitions divide the chunk size evenly, so expectations
+    // are exact (no PER pair straddles a chunk boundary)
+    val text = ("Иван Петров купил . " * 12500).trim // 50k tokens
+    val row = SentRow("big", 0, 0, 0, text.length, text)
+    val p = Pipeline.inferBatch(Seq(row), pack).head
+    assert(p.tokens.length == 50000)
+    assert(p.morph.length == 50000 && p.syn.length == 50000)
+    // head ids remapped into the global token space
+    p.syn.zipWithIndex.foreach { case (s, i) =>
+      assert(s.id == i + 1 && s.headId >= 0 && s.headId <= 50000)
+    }
+    assert(p.syn.count(_.headId == 0) == 12500) // every planted verb -> root
+    // char offsets survive the chunking (NER spans index the full text)
+    p.nerSpans.foreach { s =>
+      assert(s.start >= 0 && s.stop <= text.length && s.start < s.stop)
+      assert(text.substring(s.start, s.stop).startsWith("Иван"))
+    }
+    assert(p.nerSpans.length == 12500) // one PER mention per repetition
+    // batch-composition invariance holds for the chunked path too
+    val again = Pipeline.inferBatch(Seq(row, row), pack)
+    assert(again.forall(q => q.syn.toSeq == p.syn.toSeq))
+  }
+
   test("empty and whitespace-only text spans produce no sentences") {
     assert(graft.text.Tokenizer.sentenize("").isEmpty)
     assert(graft.text.Tokenizer.sentenize("   \n\r\n \t ").isEmpty)
