@@ -73,6 +73,49 @@ class PackIoSpec extends AnyFunSuite {
       java.nio.file.Files.readString(meta).replace("\"protocol\": 1", "\"protocol\": 2"))
     intercept[IllegalArgumentException](graft.pack.PackIO.load(dir))
   }
+
+  test("reference-layout pack round trip (recursive model.json, exec/pack.py)") {
+    import graft.nlp.{Pipeline, SentRow}
+    import graft.pack.SlovnetPack
+    val pack = graft.pack.SynthPack.build()
+    val rows = Seq("Иван Петров купил завод в Москве.", "«Газпром» открыл филиал.",
+      "директор Газпрома возглавил проект.", "Анна Иванова — лидер.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    def sig(ps: Seq[graft.nlp.ParsedSent]) =
+      ps.map(p => (p.nerSpans.toSeq, p.morph.toSeq, p.syn.toSeq))
+    val want = sig(Pipeline.inferBatch(rows, pack))
+
+    // navec embedded: loads standalone
+    val full = java.nio.file.Files.createTempDirectory("slovnet_full").toFile
+    SlovnetPack.dumpAll(pack, full)
+    val loadedFull = SlovnetPack.loadAll(full)
+    assert(sig(Pipeline.inferBatch(rows, loadedFull)) == want)
+
+    // navec stripped (released-pack shape): requires injection, shares one
+    // embedding instance across the three models after assemble
+    val stripped = java.nio.file.Files.createTempDirectory("slovnet_stripped").toFile
+    SlovnetPack.dumpAll(pack, stripped, stripNavec = true)
+    intercept[IllegalArgumentException](SlovnetPack.loadAll(stripped))
+    val loaded = SlovnetPack.loadAll(stripped, Some(pack.ner.emb.word))
+    assert(loaded.sharedEmb, "navec weight sharing must survive the round trip")
+    assert(sig(Pipeline.inferBatch(rows, loaded)) == want)
+
+    // member layout is exactly the reference's
+    val names = graft.pack.Tar.read(new java.io.File(full, "ner.tar")).map(_._1)
+    assert(names.head == "meta.json" && names.contains("model.json"))
+    assert(names.count(_.startsWith("arrays/")) > 5)
+    assert(names.count(_.startsWith("vocabs/")) == 3)
+
+    // protocol reject on the reference layout too
+    val members = graft.pack.Tar.read(new java.io.File(full, "ner.tar")).map {
+      case ("meta.json", b) =>
+        "meta.json" -> new String(b, "UTF-8").replace(": 1", ": 99").getBytes("UTF-8")
+      case kv => kv
+    }
+    val bad = new java.io.File(full, "bad.tar")
+    graft.pack.Tar.write(bad, members)
+    intercept[IllegalArgumentException](SlovnetPack.loadNer(bad))
+  }
 }
 
 class ScoresSpec extends AnyFunSuite {
