@@ -60,6 +60,33 @@ object Bench {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  // one seeded reference-dims pack per session (navec 250K x 300d x 100q,
+  // CNN [256,128,64] — the honest production-FLOPs workload)
+  private val refPackCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      org.apache.spark.broadcast.Broadcast[graft.pack.ModelPack]]()
+  private def refPackBc(s: SparkSession) =
+    refPackCache.computeIfAbsent(s,
+      ss => ss.sparkContext.broadcast(graft.pack.SynthPack.buildRandom()))
+
+  /** NLP inference at production model dims: returns (sentences, seconds).
+    * Extraction/linking run on the decoded (random-weight) parses too, so
+    * the measured path is identical to the toy leg's shape.
+    */
+  private def refPipeline(spark: SparkSession, nDocs: Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val docs = graft.sources.Docs.russianDocs(spark, nDocs)
+    val parsed = graft.nlp.Pipeline.parse(graft.sources.Docs.sentences(docs),
+      refPackBc(spark))
+    val n = parsed.count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def measureRef(s: SparkSession, nDocs: Long): (Long, Double) = {
+    refPipeline(s, 2000L) // warmup/JIT
+    (1 to 2).map(_ => refPipeline(s, nDocs)).minBy(_._2)
+  }
+
   /** warmup + best-of-2 within one session (the sandbox VM has host-steal
     * noise; min is the honest steady-state estimate). Each leg runs TWO
     * such sessions separated in time — steal epochs last minutes, so a
@@ -93,29 +120,43 @@ object Bench {
       t.setDaemon(true); t.start(); t.join(90000)
       ok
     }
-    def leg(totalCores: Int): (Long, Double, String) = {
+    // reference-dims inference is ~2 orders of magnitude more FLOPs/token;
+    // size its legs so each stays multi-second without dominating the run
+    val refDocs = math.max(20000L, graft.corpus.RuCorpus.docCount(sfDir) / 2)
+    def leg(totalCores: Int): (Long, Double, String, Long, Double) = {
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
       try {
         val s = clusterSession(math.max(1, totalCores / cpw), cpw)
         if (probe(s)) {
-          try { val (n, t) = measure(s, scaleDocs); return (n, t, "local-cluster") }
-          finally s.stop()
+          try {
+            val (n, t) = measure(s, scaleDocs)
+            val (rn, rt) = measureRef(s, refDocs)
+            return (n, t, "local-cluster", rn, rt)
+          } finally s.stop()
         } else s.stop()
       } catch { case _: Throwable => }
       val s = localSession(totalCores)
-      try { val (n, t) = measure(s, scaleDocs); (n, t, "local") }
-      finally s.stop()
+      try {
+        val (n, t) = measure(s, scaleDocs)
+        val (rn, rt) = measureRef(s, refDocs)
+        (n, t, "local", rn, rt)
+      } finally s.stop()
     }
     // interleave the legs: low, high, low, high; min per leg across the
     // two time-separated sessions
     val (lo1, hi1) = (leg(cpusLow), leg(cpus))
     val (lo2, hi2) = (leg(cpusLow), leg(cpus))
-    val (nTriplesLow, tLow, modeLow) = if (lo1._2 <= lo2._2) lo1 else lo2
-    val (nTriples, tHigh, modeHigh) = if (hi1._2 <= hi2._2) hi1 else hi2
+    val (nTriplesLow, tLow, modeLow, refSentsLow, refTLow) =
+      if (lo1._2 <= lo2._2) lo1 else lo2
+    val (nTriples, tHigh, modeHigh, refSents, refTHigh) =
+      if (hi1._2 <= hi2._2) hi1 else hi2
     val thrLow = nTriplesLow / tLow
     val thrHigh = nTriples / tHigh
     val efficiency = thrHigh / (4.0 * thrLow)
+    val refThrLow = refSentsLow / (if (lo1._5 <= lo2._5) lo1._5 else lo2._5)
+    val refThrHigh = refSents / (if (hi1._5 <= hi2._5) hi1._5 else hi2._5)
+    val refEff = refThrHigh / (4.0 * refThrLow)
 
     // --- per-query catalog timings on plain local[cpus]; best-of-2 (the
     // host has hypervisor-level steal spikes that single-shot timings hit)
@@ -135,8 +176,12 @@ object Bench {
         f""""triples_low":$nTriplesLow,"sec_low":$tLow%.2f,"triples_per_sec_low":$thrLow%.1f,""" +
         f""""triples_high":$nTriples,"sec_high":$tHigh%.2f,"triples_per_sec_high":$thrHigh%.1f,""" +
         f""""efficiency":$efficiency%.3f}"""
+    val refDims =
+      f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
+        f""""sents":$refSents,"sents_per_sec_low":$refThrLow%.1f,""" +
+        f""""sents_per_sec_high":$refThrHigh%.1f,"efficiency":$refEff%.3f}"""
     println(
-      f"""{"metric":"triples_per_sec","value":$thrHigh%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"total_query_sec":${results.map(_._2).sum}%.1f}""")
+      f"""{"metric":"triples_per_sec","value":$thrHigh%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"ref_dims":$refDims,"total_query_sec":${results.map(_._2).sum}%.1f}""")
     spark.stop()
   }
 }

@@ -12,7 +12,8 @@ import graft.text.{Shape, Tokenizer}
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 100000L
-    val pack = SynthPack.build()
+    // "ref" -> production-dims dense pack (the honest FLOPs workload)
+    val pack = if (args.contains("ref")) SynthPack.buildRandom() else SynthPack.build()
 
     // materialize sentences once (generation cost measured separately)
     var t0 = System.nanoTime()

@@ -15,8 +15,11 @@ object Kernels {
 
   /** out[m,n] = a[m,k] x b[k,n] (+= if acc). */
   def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
-           out: Array[Float]): Unit = {
-    java.util.Arrays.fill(out, 0, m * n, 0f)
+           out: Array[Float]): Unit = gemm(a, m, k, b, n, out, 0)
+
+  def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
+           out: Array[Float], outOff: Int): Unit = {
+    java.util.Arrays.fill(out, outOff, outOff + m * n, 0f)
     var i = 0
     while (i < m) {
       var p = 0
@@ -24,10 +27,92 @@ object Kernels {
         val av = a(i * k + p)
         if (av != 0f) {
           val bOff = p * n
-          val oOff = i * n
+          val oOff = outOff + i * n
           var j = 0
           while (j < n) { out(oOff + j) += av * b(bOff + j); j += 1 }
         }
+        p += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Dense GEMM with 4-way k-unrolling: out[m,n] = a[m,k] x b[k,n].
+    * Each output element accumulates (a0*b0 + a1*b1 + a2*b2 + a3*b3) per
+    * group of 4 — a fixed, deterministic order (bit-identical across runs,
+    * batch sizes and parallelism levels) but not the sequential order of
+    * [[gemm]]. Used only on dense trained weights, where the reference's
+    * own numpy matmul delegates to BLAS with an implementation-defined
+    * accumulation order anyway — sequential-order parity is not a
+    * meaningful target there; the rigged sparse packs keep the bit-exact
+    * sequential path.
+    */
+  def gemmDense(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
+                out: Array[Float]): Unit = {
+    val k4 = k - (k & 3)
+    var i = 0
+    // 2-row blocks: each streamed b-row group feeds two output rows
+    // (halves b traffic); per-element accumulation order identical to the
+    // single-row loop below
+    while (i + 2 <= m) {
+      val oA = i * n
+      val oB = oA + n
+      java.util.Arrays.fill(out, oA, oB + n, 0f)
+      val aA = i * k
+      val aB = aA + k
+      var p = 0
+      while (p < k4) {
+        val a00 = a(aA + p); val a01 = a(aA + p + 1)
+        val a02 = a(aA + p + 2); val a03 = a(aA + p + 3)
+        val a10 = a(aB + p); val a11 = a(aB + p + 1)
+        val a12 = a(aB + p + 2); val a13 = a(aB + p + 3)
+        val b0 = p * n; val b1 = b0 + n; val b2 = b1 + n; val b3 = b2 + n
+        var j = 0
+        while (j < n) {
+          val t0 = b(b0 + j); val t1 = b(b1 + j)
+          val t2 = b(b2 + j); val t3 = b(b3 + j)
+          out(oA + j) += a00 * t0 + a01 * t1 + a02 * t2 + a03 * t3
+          out(oB + j) += a10 * t0 + a11 * t1 + a12 * t2 + a13 * t3
+          j += 1
+        }
+        p += 4
+      }
+      while (p < k) {
+        val avA = a(aA + p); val avB = a(aB + p)
+        val bOff = p * n
+        var j = 0
+        while (j < n) {
+          val t = b(bOff + j)
+          out(oA + j) += avA * t
+          out(oB + j) += avB * t
+          j += 1
+        }
+        p += 1
+      }
+      i += 2
+    }
+    while (i < m) {
+      val oOff = i * n
+      java.util.Arrays.fill(out, oOff, oOff + n, 0f)
+      val aOff = i * k
+      var p = 0
+      while (p < k4) {
+        val a0 = a(aOff + p); val a1 = a(aOff + p + 1)
+        val a2 = a(aOff + p + 2); val a3 = a(aOff + p + 3)
+        val b0 = p * n; val b1 = b0 + n; val b2 = b1 + n; val b3 = b2 + n
+        var j = 0
+        while (j < n) {
+          out(oOff + j) += a0 * b(b0 + j) + a1 * b(b1 + j) +
+            a2 * b(b2 + j) + a3 * b(b3 + j)
+          j += 1
+        }
+        p += 4
+      }
+      while (p < k) {
+        val av = a(aOff + p)
+        val bOff = p * n
+        var j = 0
+        while (j < n) { out(oOff + j) += av * b(bOff + j); j += 1 }
         p += 1
       }
       i += 1
@@ -115,6 +200,18 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
     (fs.result(), cd.result(), vs.result())
   }
 
+  // fraction of nonzero weights decides the physical algorithm: rigged
+  // synthetic packs are ~99% zeros (tap skipping wins); trained/production
+  // packs are fully dense (im2col+GEMM wins — the tap path's inner loops
+  // are seqLen-short and overhead-bound at 250k taps)
+  @transient private lazy val isDense: Boolean = {
+    var nz = 0
+    var i = 0
+    while (i < weight.length) { if (weight(i) != 0f) nz += 1; i += 1 }
+    nz * 4 > weight.length
+  }
+
+  // weight [F, C*K] — GEMM a-operand, rows are filters
   def apply(input: Array[Float], batch: Int, seqLen: Int): Array[Float] = {
     val windows = seqLen + 2 * padding - kernel + 1
     val out = new Array[Float](batch * filters * windows)
@@ -122,19 +219,30 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
     out
   }
 
-  /** Direct convolution, tap-accumulation form (numerically identical to
-    * the reference's im2col+GEMM: per output element the products are added
-    * in the same (channel-major, tap-minor) order, bias last). Each
-    * (filter, channel, tap) pass is a unit-stride saxpy over the sequence —
-    * JIT-vectorizable, no im2col materialization (the im2col inner loop was
-    * 56% of pipeline CPU in JFR), and taps with zero weight are skipped
-    * entirely. out ≥ batch*filters*seqLen (requires the reference's
-    * same-pad config: windows == seqLen).
+  def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float]): Unit =
+    into(input, batch, seqLen, out, null)
+
+  /** Convolution with two numerically-identical physical forms (per output
+    * element the products are added in the same (channel-major, tap-minor)
+    * order as the reference's im2col+GEMM, bias last):
+    *
+    *  - sparse weights: direct tap accumulation — each nonzero (filter,
+    *    channel, tap) is a unit-stride saxpy over the sequence; zero taps
+    *    skipped entirely (the rigged packs are ~99% zeros)
+    *  - dense weights: transposed im2col (each (c,tap) row is a shifted
+    *    arraycopy of the input channel) + GEMM weight[F,CK] x col[CK,S] —
+    *    long unit-stride inner loops, the right shape at production dims
+    *    (250k taps, where the tap path is loop-overhead-bound)
+    *
+    * out ≥ batch*filters*seqLen (requires the reference's same-pad config:
+    * windows == seqLen). ws (optional) provides the im2col scratch buffer.
     */
-  def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float]): Unit = {
+  def into(input: Array[Float], batch: Int, seqLen: Int, out: Array[Float],
+           ws: Workspace): Unit = {
     // the direct form assumes same-padding output (windows == seqLen)
     require(seqLen + 2 * padding - kernel + 1 == seqLen,
       s"Conv1d.into requires same padding (kernel=$kernel padding=$padding)")
+    if (isDense) { intoGemm(input, batch, seqLen, out, ws); return }
     val (nzF, nzCD, nzV) = nzTaps
     val n = nzF.length
     var b = 0
@@ -161,6 +269,75 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
           val oOff = oBase + f * seqLen
           var s = 0
           while (s < seqLen) { out(oOff + s) += bv; s += 1 }
+        }
+        f += 1
+      }
+      b += 1
+    }
+  }
+
+  // weight [F, C*K] transposed to [C*K, F] once — the GEMM b-operand
+  // (L2-resident at production dims: 990x256 floats = 1 MB)
+  @transient private lazy val weightT: Array[Float] = {
+    val ck = inDim * kernel
+    val wt = new Array[Float](ck * filters)
+    var f = 0
+    while (f < filters) {
+      var p = 0
+      while (p < ck) { wt(p * filters + f) = weight(f * ck + p); p += 1 }
+      f += 1
+    }
+    wt
+  }
+
+  /** dense path: one im2col+GEMM over ALL positions of the batch —
+    * col[B*S, C*K] x weightT[C*K, F] — so the GEMM inner loop runs over
+    * the F=256 filters (long, unit-stride, vectorizable) instead of the
+    * ~8-token sequence. Per output element the summation over p = c*K+t
+    * ascending matches the reference im2col accumulation order exactly.
+    */
+  private def intoGemm(input: Array[Float], batch: Int, seqLen: Int,
+                       out: Array[Float], ws: Workspace): Unit = {
+    val ck = inDim * kernel
+    val rows = batch * seqLen
+    val col = if (ws != null) ws.f(WS.COL, rows * ck) else new Array[Float](rows * ck)
+    val tmp = if (ws != null) ws.f(WS.PROD, rows * filters)
+              else new Array[Float](rows * filters)
+    // col[(b*S+s), c*K+t] = in[b, c, s+t-padding] (zeros at the edges);
+    // row-major build: writes sequential, reads nearly so
+    var b = 0
+    while (b < batch) {
+      var s = 0
+      while (s < seqLen) {
+        val rOff = (b * seqLen + s) * ck
+        var c = 0
+        while (c < inDim) {
+          val iOff = (b * inDim + c) * seqLen + s - padding
+          val cOff = rOff + c * kernel
+          var t = 0
+          while (t < kernel) {
+            val si = s + t - padding
+            col(cOff + t) = if (si >= 0 && si < seqLen) input(iOff + t) else 0f
+            t += 1
+          }
+          c += 1
+        }
+        s += 1
+      }
+      b += 1
+    }
+    Kernels.gemmDense(col, rows, ck, weightT, filters, tmp)
+    // tmp [B*S, F] (+bias) -> out [B, F, S]
+    b = 0
+    while (b < batch) {
+      var f = 0
+      while (f < filters) {
+        val bv = bias(f)
+        val oOff = (b * filters + f) * seqLen
+        var s = 0
+        while (s < seqLen) {
+          out(oOff + s) = tmp((b * seqLen + s) * filters + f) + bv
+          s += 1
         }
         f += 1
       }
@@ -198,18 +375,20 @@ final case class Embedding(weight: Array[Float], dim: Int) extends Serializable 
 }
 
 /** Product-quantized Navec embedding (exec/model.py:213-234).
-  * indexes [vocab, qdim] (centroid ids), codes [qdim, centroids, chunk];
-  * a word vector is the concat of its per-subquantizer centroid chunks:
-  * dim = qdim*chunk. Keeps the broadcast small (u8-size ids + one codebook).
+  * indexes [vocab, qdim] (u8 centroid ids, as in the navec PQ format —
+  * keeps the production broadcast at 25 MB for 250K x 100q),
+  * codes [qdim, centroids, chunk]; a word vector is the concat of its
+  * per-subquantizer centroid chunks: dim = qdim*chunk.
   */
-final case class NavecEmbedding(indexes: Array[Int], qdim: Int,
+final case class NavecEmbedding(indexes: Array[Byte], qdim: Int,
                                 codes: Array[Float], centroids: Int, chunk: Int)
     extends Serializable {
+  require(centroids <= 256, s"u8 centroid ids: centroids=$centroids > 256")
   val dim: Int = qdim * chunk
   def lookup(id: Int, out: Array[Float], off: Int): Unit = {
     var q = 0
     while (q < qdim) {
-      val cIdx = indexes(id * qdim + q)
+      val cIdx = indexes(id * qdim + q) & 0xff
       System.arraycopy(codes, (q * centroids + cIdx) * chunk, out, off + q * chunk, chunk)
       q += 1
     }
@@ -276,7 +455,7 @@ final case class CNNEncoder(layers: Seq[CNNEncoderLayer]) extends Serializable {
       val layer = ls(li)
       val f = layer.conv.filters
       val y = ws.f(if (li % 2 == 0) WS.ENC_A else WS.ENC_B, batch * f * seqLen)
-      layer.conv.into(x, batch, seqLen, y)
+      layer.conv.into(x, batch, seqLen, y, ws)
       Kernels.relu(y, batch * f * seqLen)
       layer.norm.applyInPlace(y, batch, f, seqLen)
       // zero masked positions after EVERY layer (exec/model.py:277-286)

@@ -129,7 +129,7 @@ object PackIO {
     val navecDir = new File(root, "navec")
     navecDir.mkdirs()
     val nav = pack.ner.emb.word
-    writeInts(new File(navecDir, "indexes.bin"), nav.indexes)
+    java.nio.file.Files.write(new File(navecDir, "indexes.bin").toPath, nav.indexes)
     writeFloats(new File(navecDir, "codes.bin"), nav.codes)
     Files.writeString(navecDir.toPath.resolve("meta.json"),
       s"""{"id": ${jq(pack.id)}, "qdim": ${nav.qdim}, "centroids": ${nav.centroids}, "chunk": ${nav.chunk}}""")
@@ -217,7 +217,8 @@ object PackIO {
     val nmeta = Files.readString(navecDir.toPath.resolve("meta.json"))
     def ni(key: String): Int =
       s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(nmeta).get.group(1).toInt
-    val navec = NavecEmbedding(readInts(new File(navecDir, "indexes.bin")),
+    val navec = NavecEmbedding(
+      java.nio.file.Files.readAllBytes(new File(navecDir, "indexes.bin").toPath),
       ni("qdim"), readFloats(new File(navecDir, "codes.bin")),
       ni("centroids"), ni("chunk"))
     val shapeEmb = {

@@ -78,14 +78,19 @@ object SlovnetPack {
       case d => throw new IllegalArgumentException(s"unsupported float dtype $d")
     }
   }
-  private def intsOf(w: Wt, r: PackReader): Array[Int] = {
+  /** integer ids as u8 bytes (navec centroid ids are < 256). */
+  private def idsOf(w: Wt, r: PackReader): Array[Byte] = {
     require(w.id >= 0, "weight is stripped (navec?) — inject before use")
     val bb = ByteBuffer.wrap(r.bytes(s"arrays/${w.id}.bin")).order(ByteOrder.LITTLE_ENDIAN)
+    def check(v: Long): Byte = {
+      require(v >= 0 && v < 256, s"centroid id $v out of u8 range")
+      v.toByte
+    }
     w.dtype match {
-      case "int64"  => Array.tabulate(w.n)(i => bb.getLong(i * 8).toInt)
-      case "int32"  => Array.tabulate(w.n)(i => bb.getInt(i * 4))
-      case "uint16" => Array.tabulate(w.n)(i => bb.getShort(i * 2) & 0xffff)
-      case "uint8" | "int8" => Array.tabulate(w.n)(i => bb.get(i) & 0xff)
+      case "int64"  => Array.tabulate(w.n)(i => check(bb.getLong(i * 8)))
+      case "int32"  => Array.tabulate(w.n)(i => check(bb.getInt(i * 4).toLong))
+      case "uint16" => Array.tabulate(w.n)(i => check((bb.getShort(i * 2) & 0xffff).toLong))
+      case "uint8" | "int8" => Array.tabulate(w.n)(i => bb.get(i))
       case d => throw new IllegalArgumentException(s"unsupported int dtype $d")
     }
   }
@@ -115,7 +120,7 @@ object SlovnetPack {
     val word = {
       val idx = wt(wn.get("indexes")); val cod = wt(wn.get("codes"))
       if (idx.id >= 0 && cod.id >= 0)
-        NavecEmbedding(intsOf(idx, r), idx.shape(1), floatsOf(cod, r),
+        NavecEmbedding(idsOf(idx, r), idx.shape(1), floatsOf(cod, r),
           cod.shape(1), cod.shape(2))
       else navec.getOrElse(throw new IllegalArgumentException(
         s"navec '${wn.get("id").asText()}' is stripped from the pack — pass one to inject"))
@@ -211,11 +216,8 @@ object SlovnetPack {
       bb.asFloatBuffer().put(a)
       w(shape, "float32", bb.array())
     }
-    def i64(shape: Seq[Int], a: Array[Int]): ObjectNode = {
-      val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      a.foreach(v => bb.putLong(v.toLong))
-      w(shape, "int64", bb.array())
-    }
+    def u8(shape: Seq[Int], a: Array[Byte]): ObjectNode =
+      w(shape, "uint8", a.clone())
 
     def linearN(l: Linear): ObjectNode = {
       val n = om.createObjectNode()
@@ -258,11 +260,11 @@ object SlovnetPack {
       val nav = e.word
       val vocabN = nav.indexes.length / nav.qdim
       if (strip) {
-        wn.set[JsonNode]("indexes", stripped(Seq(vocabN, nav.qdim), "int64"))
+        wn.set[JsonNode]("indexes", stripped(Seq(vocabN, nav.qdim), "uint8"))
         wn.set[JsonNode]("codes",
           stripped(Seq(nav.qdim, nav.centroids, nav.chunk), "float32"))
       } else {
-        wn.set[JsonNode]("indexes", i64(Seq(vocabN, nav.qdim), nav.indexes))
+        wn.set[JsonNode]("indexes", u8(Seq(vocabN, nav.qdim), nav.indexes))
         wn.set[JsonNode]("codes",
           f32(Seq(nav.qdim, nav.centroids, nav.chunk), nav.codes))
       }

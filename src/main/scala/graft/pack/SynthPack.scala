@@ -73,12 +73,12 @@ object SynthPack {
 
     // --- navec: per-word 18-bit code via 6 subquantizers of 8 centroids x3
     val qdim = 6; val centroids = 8; val chunk = 3
-    val indexes = new Array[Int](wordItems.length * qdim)
+    val indexes = new Array[Byte](wordItems.length * qdim)
     for (i <- wordItems.indices) {
       val bits =
         if (i == wordVocab.padId) 0
         else wordBits(RuCorpus.dict.getOrElse(wordItems(i), unkInfo))
-      for (q <- 0 until qdim) indexes(i * qdim + q) = (bits >> (q * 3)) & 7
+      for (q <- 0 until qdim) indexes(i * qdim + q) = ((bits >> (q * 3)) & 7).toByte
     }
     val codes = new Array[Float](qdim * centroids * chunk)
     for (q <- 0 until qdim; c <- 0 until centroids; k <- 0 until chunk)
@@ -197,5 +197,82 @@ object SynthPack {
   private def identityNorm(channels: Int): BatchNorm1d = {
     val ones = Array.fill(channels)(1f)
     BatchNorm1d(ones, new Array[Float](channels), new Array[Float](channels), ones)
+  }
+
+  /** Production-dims config (reference training scripts):
+    * navec news_v1_1B_250K_300d_100q = 250K vocab x 100 subquantizers x
+    * 256 centroids x 3-float chunks (scripts/05_ner/main.py:85), shape_dim
+    * 30, 3 CNN layers [256, 128, 64] kernel 3 (scripts/05_ner/main.py:
+    * 105-117), syntax hidden = 64/2 = 32 (07_syntax/pack.ipynb).
+    */
+  final case class Dims(vocab: Int = 250000, qdim: Int = 100, centroids: Int = 256,
+                        chunk: Int = 3, shapeDim: Int = 30,
+                        encDims: Seq[Int] = Seq(256, 128, 64), kernel: Int = 3,
+                        nerTypes: Seq[String] = Seq("PER", "LOC", "ORG"),
+                        morphTags: Int = 60, rels: Int = 40, seed: Long = 7L)
+
+  /** Seeded DENSE random pack at arbitrary (e.g. production) dims. The
+    * outputs are meaningless linguistically — this is the honest FLOPs
+    * workload for benchmarking the exec engine at reference model scale
+    * (every weight nonzero, CRF transitions nonzero so the full T^2
+    * Viterbi runs). Deterministic: same seed -> bit-identical pack.
+    */
+  def buildRandom(d: Dims = Dims()): ModelPack = {
+    val rnd = new java.util.Random(d.seed)
+    def arr(n: Int, scale: Float = 0.1f): Array[Float] =
+      Array.fill(n)((rnd.nextFloat() * 2f - 1f) * scale)
+
+    val wordItems = Array(Vocab.UNK, Vocab.PAD) ++
+      Array.tabulate(d.vocab - 2)(i => f"w$i%06d")
+    val wordVocab = Vocab(wordItems)
+    val shapeVocab = Vocab((Vocab.PAD +: graft.text.Shape.SHAPES).toArray)
+    val nerTags = Vocab.bioTags(d.nerTypes)
+    // real-looking tag/rel items so decode exercises the same string paths
+    val morphTags = Vocab(Array.tabulate(d.morphTags)(i => s"P$i|Feat=V$i"))
+    val rels = Vocab(
+      (Seq("root", "nsubj", "obj", "obl", "case", "flat:name", "punct",
+        "appos", "nmod", "dep") ++
+        Seq.tabulate(math.max(0, d.rels - 10))(i => s"rel$i")).toArray)
+
+    // centroid 0 of every subquantizer is the ZERO vector and <pad> maps to
+    // it (as navec does) — a zero pad embedding is what makes inference
+    // independent of batch composition (the first conv layer reads raw
+    // embeddings at pad positions before any mask zeroing)
+    val indexes = Array.fill(wordItems.length * d.qdim)((1 + rnd.nextInt(d.centroids - 1)).toByte)
+    for (q <- 0 until d.qdim) indexes(wordVocab.padId * d.qdim + q) = 0
+    val codes = arr(d.qdim * d.centroids * d.chunk, 1f)
+    for (q <- 0 until d.qdim; k <- 0 until d.chunk) codes(q * d.centroids * d.chunk + k) = 0f
+    val navec = NavecEmbedding(indexes, d.qdim, codes, d.centroids, d.chunk)
+    val shapeW = arr(shapeVocab.size * d.shapeDim, 1f)
+    for (k <- 0 until d.shapeDim) shapeW(shapeVocab.padId * d.shapeDim + k) = 0f
+    val emb = WordShapeEmbedding(navec, Embedding(shapeW, d.shapeDim))
+    val embDim = navec.dim + d.shapeDim
+
+    def encoder(): CNNEncoder = {
+      var in = embDim
+      CNNEncoder(d.encDims.map { f =>
+        val l = CNNEncoderLayer(
+          Conv1d(arr(f * in * d.kernel), f, in, d.kernel, arr(f), d.kernel / 2),
+          BatchNorm1d(arr(f, 1f).map(v => 1f + v * 0.1f), arr(f),
+            arr(f), arr(f, 1f).map(v => 1f + math.abs(v) * 0.1f)))
+        in = f
+        l
+      })
+    }
+    val encOut = d.encDims.last
+    val hidden = encOut / 2
+
+    val nerModel = NerModel(emb, encoder(),
+      Linear(arr(encOut * nerTags.size), encOut, nerTags.size, arr(nerTags.size)),
+      CRF(arr(nerTags.size * nerTags.size), nerTags.size))
+    val morphModel = MorphModel(emb, encoder(),
+      Linear(arr(encOut * morphTags.size), encOut, morphTags.size, arr(morphTags.size)))
+    def ff() = FF(Linear(arr(encOut * hidden), encOut, hidden, arr(hidden)))
+    val syntaxModel = SyntaxModel(emb, encoder(),
+      SyntaxHead(ff(), ff(), arr(encOut), arr(hidden * hidden), hidden),
+      SyntaxRel(ff(), ff(), arr(encOut), arr(hidden * hidden * rels.size), hidden, rels.size))
+
+    ModelPack(s"graft_refdims_${d.seed}", wordVocab, shapeVocab, nerTags,
+      morphTags, rels, nerModel, morphModel, syntaxModel)
   }
 }

@@ -110,6 +110,22 @@ object Tokenizer {
   @inline private def isSentEnd(c: Char): Boolean =
     c == '.' || c == '!' || c == '?' || c == '…'
 
+  /** Common Russian abbreviations a single dot does NOT end a sentence
+    * after (razdel's behavior on its fixture corpora: "т.д.", "г.",
+    * "105 г.", "ул. Ленина"). Lowercased; single Cyrillic/Latin letters are
+    * handled separately as initials ("А. С. Пушкин").
+    */
+  private val Abbrevs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("т", "д", "п", "г", "гг", "вв", "млн", "млрд", "тыс", "руб", "коп",
+      "см", "мм", "км", "кг", "га", "им", "ул", "просп", "пр", "пл", "наб",
+      "стр", "корп", "обл", "респ", "тел", "англ", "рус", "лат", "греч",
+      "др", "проч", "см", "ср", "напр", "т.е", "т.д", "т.п", "n", "no",
+      "vol", "p", "pp", "св", "акад", "проф", "доц", "канд", "ст", "рис",
+      "табл", "гл", "разд", "изд", "ред", "сост", "пер").foreach(s.add)
+    s
+  }
+
   /** Sentence splitter: first split hard lines (slovnet/sent.py:13-18 regex
     * `[^\r\n]+`), then within a line split after terminal punct followed by
     * whitespace + an uppercase/digit start (razdel-like heuristic;
@@ -140,14 +156,25 @@ object Tokenizer {
         // consume the full terminal run (e.g. "?!", "...")
         var j = i + 1
         while (j < le && isSentEnd(text.charAt(j))) j += 1
+        // a SINGLE dot after an initial ("А. С. Пушкин") or a known
+        // abbreviation ("т.", "ул.", "105 г.") is not a terminal
+        val abbrevDot = c == '.' && j == i + 1 && {
+          var ws = i
+          while (ws > ls && (Character.isLetter(text.charAt(ws - 1)) ||
+            text.charAt(ws - 1) == '.')) ws -= 1
+          val w = text.substring(ws, i).stripPrefix(".")
+          (w.length == 1 && Character.isLetter(w.charAt(0)) &&
+            Character.isUpperCase(w.charAt(0))) ||
+            Abbrevs.contains(w.toLowerCase(java.util.Locale.ROOT))
+        }
         // closing quotes/brackets stay with the sentence
         while (j < le && "»\")]".contains(text.charAt(j))) j += 1
         // boundary if followed by whitespace then an upper-case/digit start
         var k = j
         while (k < le && Character.isWhitespace(text.charAt(k))) k += 1
-        val boundary = k == le ||
+        val boundary = !abbrevDot && (k == le ||
           (k > j && (Character.isUpperCase(text.charAt(k)) ||
-            Character.isDigit(text.charAt(k)) || "«\"([".contains(text.charAt(k))))
+            Character.isDigit(text.charAt(k)) || "«\"([".contains(text.charAt(k)))))
         if (boundary) {
           emit(text, s, j, out)
           s = k

@@ -78,7 +78,7 @@ class KernelSpec extends AnyFunSuite {
   }
 
   test("NavecEmbedding: PQ gather reconstructs planted codes") {
-    val indexes = Array(3, 0, 1, 7) // one word, qdim 4
+    val indexes = Array[Byte](3, 0, 1, 7) // one word, qdim 4
     val codes = new Array[Float](4 * 8 * 3)
     for (q <- 0 until 4; c <- 0 until 8; k <- 0 until 3)
       codes((q * 8 + c) * 3 + k) = ((c >> k) & 1).toFloat
@@ -86,6 +86,73 @@ class KernelSpec extends AnyFunSuite {
     val out = new Array[Float](12)
     nav.lookup(0, out, 0)
     assert(out.toSeq == Seq(1f, 1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f, 1f, 1f, 1f))
+  }
+
+  test("Conv1d dense-GEMM path and sparse-tap path both equal naive conv") {
+    val rnd = new java.util.Random(3)
+    val (bN, fN, cN, kN, sN) = (2, 5, 7, 3, 9)
+    def naive(w: Array[Float], bias: Array[Float], in: Array[Float]): Array[Float] = {
+      val out = new Array[Float](bN * fN * sN)
+      for (b <- 0 until bN; f <- 0 until fN; s <- 0 until sN) {
+        var acc = 0f // channel-major, tap-minor accumulation (im2col order)
+        for (c <- 0 until cN; t <- 0 until kN) {
+          val si = s + t - 1
+          if (si >= 0 && si < sN) acc += w((f * cN + c) * kN + t) * in((b * cN + c) * sN + si)
+        }
+        out((b * fN + f) * sN + s) = acc + bias(f)
+      }
+      out
+    }
+    val in = Array.fill(bN * cN * sN)(rnd.nextFloat() * 2 - 1)
+    val bias = Array.fill(fN)(rnd.nextFloat())
+    // dense: every weight nonzero -> GEMM path (4-way-unrolled fixed
+    // accumulation order — equal to the sequential naive sum only within
+    // fp tolerance, exactly like numpy-vs-BLAS)
+    val wDense = Array.fill(fN * cN * kN)(rnd.nextFloat() * 2 - 1)
+    val gotDense = Conv1d(wDense, fN, cN, kN, bias, 1)(in, bN, sN)
+    val wantDense = naive(wDense, bias, in)
+    gotDense.zip(wantDense).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 1e-4f * (1f + math.abs(w)), s"$g vs $w")
+    }
+    // dense path is still deterministic: two runs bit-identical
+    assert(gotDense.toSeq == Conv1d(wDense, fN, cN, kN, bias, 1)(in, bN, sN).toSeq)
+    // sparse: ~85% zeros -> tap path, bit-exact sequential order
+    val wSparse = wDense.map(v => if (rnd.nextFloat() < 0.85f) 0f else v)
+    assert(Conv1d(wSparse, fN, cN, kN, bias, 1)(in, bN, sN).toSeq ==
+      naive(wSparse, bias, in).toSeq)
+  }
+
+  test("reference-dims pack: golden checksum + batch invariance") {
+    // production dims (250K x 100q navec, [256,128,64] CNN) shrunk only in
+    // vocab (2k) to keep the test fast — all tensor shapes that matter for
+    // kernel correctness (qdim, centroids, conv dims, hidden) are real
+    val dims = graft.pack.SynthPack.Dims(vocab = 2000)
+    val pack = graft.pack.SynthPack.buildRandom(dims)
+    assert(pack.ner.emb.dim == 330 && pack.ner.encoder.outDim == 64)
+    import graft.nlp.{Pipeline, SentRow}
+    val texts = Seq(
+      "w000017 w000420 w001999 w000001.",
+      "Иван Петров купил завод в Москве.", // all-UNK words
+      "w000100 w000200 w000300 w000400 w000500 w000600 w000700.")
+    val rows = texts.zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    val batched = Pipeline.inferBatch(rows, pack)
+    val singles = rows.flatMap(r => Pipeline.inferBatch(Seq(r), pack))
+    def sig(ps: Seq[graft.nlp.ParsedSent]) =
+      ps.map(p => (p.nerSpans.toSeq, p.morph.map(m => (m.text, m.pos)).toSeq,
+        p.syn.map(t => (t.id, t.headId, t.rel)).toSeq))
+    assert(sig(batched) == sig(singles)) // padding/batch invariance at prod dims
+    // pinned golden: decoded outputs are a pure function of the seed
+    val golden = batched.map(p =>
+      (p.syn.map(t => t.headId).sum, p.syn.map(_.rel).mkString(","),
+        p.morph.map(_.pos).mkString(","))).toList
+    assert(golden == List(
+      (58, "rel6,rel19,rel19,rel19,rel19,rel19,rel19,rel19,rel19",
+        "P0,P0,P55,P39,P55,P0,P0,P50,P6"),
+      (37, "rel6,rel19,rel19,rel19,rel19,rel19,rel19", "P0,P0,P18,P16,P0,P0,P6"),
+      (184, "rel6,rel19,rel19,rel19,rel19,rel19,rel19,rel19,rel19,rel19," +
+        "rel19,rel19,rel19,rel19,rel19",
+        "P0,P0,P55,P39,P55,P39,P55,P39,P55,P39,P55,P0,P0,P50,P6")),
+      s"got $golden")
   }
 
   test("SyntaxHead/SyntaxRel rigged pack semantics on one sentence") {

@@ -90,6 +90,97 @@ class TokenizerSpec extends AnyFunSuite {
       assert(text.substring(s.start, s.stop) == s.text)
   }
 
+  test("razdel-parity fixture table (tokenize), 50+ cases") {
+    // sources: reference tests/test_shape.py:14-51 word classes, README
+    // examples, and razdel's documented conventions on initials,
+    // abbreviations, digit+unit, hyphen compounds, numeric formats
+    val table: Seq[(String, Seq[String])] = Seq(
+      // digit/letter splits and units
+      "105г." -> Seq("105", "г", "."),
+      "105 г." -> Seq("105", "г", "."),
+      "10кг" -> Seq("10", "кг"),
+      "XXIвек" -> Seq("XXIвек"), // roman numerals are letters
+      "5-й" -> Seq("5-й"),
+      "70-х" -> Seq("70-х"),
+      "2011-2020" -> Seq("2011-2020"),
+      "1,5" -> Seq("1,5"),
+      "3.14" -> Seq("3.14"),
+      "1.2.3" -> Seq("1.2.3"),
+      "+7" -> Seq("+", "7"),
+      "-5" -> Seq("-", "5"),
+      "№5" -> Seq("№", "5"),
+      "50%" -> Seq("50", "%"),
+      "$100" -> Seq("$", "100"),
+      // hyphen compounds
+      "по-моему" -> Seq("по-моему"),
+      "кто-то" -> Seq("кто-то"),
+      "ИЛ-2" -> Seq("ИЛ-2"),
+      "Pal-Yz" -> Seq("Pal-Yz"),
+      "Санкт-Петербург" -> Seq("Санкт-Петербург"),
+      "科学-x" -> Seq("科学-x"),
+      "интернет-магазин" -> Seq("интернет-магазин"),
+      // dangling dashes do not join
+      "слово -" -> Seq("слово", "-"),
+      "- слово" -> Seq("-", "слово"),
+      "а - б" -> Seq("а", "-", "б"),
+      // punct runs of the joinable class
+      "..." -> Seq("..."),
+      "?!" -> Seq("?!"),
+      "Да?!" -> Seq("Да", "?!"),
+      "Что?.." -> Seq("Что", "?.."),
+      "—" -> Seq("—"),
+      "-‐" -> Seq("-‐"),
+      // non-joinable punct: one char each
+      "«»" -> Seq("«", "»"),
+      "()" -> Seq("(", ")"),
+      "[]" -> Seq("[", "]"),
+      ",," -> Seq(",", ","),
+      "a,b" -> Seq("a", ",", "b"),
+      ";" -> Seq(";"),
+      // initials and abbreviations tokenize as separate atoms
+      "А. С. Пушкин" -> Seq("А", ".", "С", ".", "Пушкин"),
+      "т.д." -> Seq("т", ".", "д", "."),
+      "т. е." -> Seq("т", ".", "е", "."),
+      "ул. Ленина" -> Seq("ул", ".", "Ленина"),
+      // mixed script/case words from the shape fixture classes
+      "Иван" -> Seq("Иван"),
+      "ИВАН" -> Seq("ИВАН"),
+      "иВАН" -> Seq("иВАН"),
+      "Ёлка" -> Seq("Ёлка"),
+      "ёж" -> Seq("ёж"),
+      "word" -> Seq("word"),
+      "WoRd" -> Seq("WoRd"),
+      "слово123" -> Seq("слово", "123"),
+      "123слово" -> Seq("123", "слово"),
+      "e-mail" -> Seq("e-mail"),
+      "сумма=100" -> Seq("сумма", "=", "100"),
+      "a_b" -> Seq("a_b"), // underscore is a word char (\w)
+      "Привет, мир!" -> Seq("Привет", ",", "мир", "!"),
+      "«Яндекс»!" -> Seq("«", "Яндекс", "»", "!"))
+    for ((in, want) <- table) {
+      val got = Tokenizer.tokenize(in).map(_.text).toSeq
+      assert(got == want, s"tokenize('$in'): got $got want $want")
+      for (t <- Tokenizer.tokenize(in))
+        assert(in.substring(t.start, t.stop) == t.text)
+    }
+    assert(table.size >= 50)
+  }
+
+  test("sentenize: initials and abbreviations do not end sentences") {
+    def sents(t: String) = Tokenizer.sentenize(t).map(_.text).toSeq
+    assert(sents("Роман написал А. С. Пушкин. Все читали.") ==
+      Seq("Роман написал А. С. Пушкин.", "Все читали."))
+    assert(sents("Это было в 1990 г. Потом всё изменилось.") ==
+      Seq("Это было в 1990 г. Потом всё изменилось."))
+    assert(sents("Дом на ул. Ленина. Рядом парк.") ==
+      Seq("Дом на ул. Ленина.", "Рядом парк.")) // Ленина is no abbrev
+    assert(sents("Яблоки, груши и т.д. Сливы тоже.") ==
+      Seq("Яблоки, груши и т.д. Сливы тоже."))
+    assert(sents("Он ушёл. Она осталась.") == Seq("Он ушёл.", "Она осталась."))
+    assert(sents("Что это?! Не знаю...") == Seq("Что это?!", "Не знаю..."))
+    assert(sents("Конец.") == Seq("Конец."))
+  }
+
   test("findTokens aligns words to offsets (token.py:20-26)") {
     val text = "а б а"
     val toks = Tokenizer.findTokens(text, Seq("а", "б", "а"))
