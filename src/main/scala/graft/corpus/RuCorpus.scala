@@ -113,7 +113,9 @@ object RuCorpus {
     val cached = sentCache.get(key)
     if (cached != null) return cached
     val made = renderSentence(h)
-    if (sentCache.size() < 100000) sentCache.put(key, made)
+    // key space = 7 templates x 2^15 pick combos = 229,376 — cap above it
+    // (~60 MB/JVM) so the generator stays allocation-free at steady state
+    if (sentCache.size() < 250000) sentCache.put(key, made)
     made
   }
 
