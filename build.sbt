@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 val commonJavaOptions = jdk17AddOpens ++ Seq(
+  // SIMD kernels (graft.kernel.VectorGemm); Spark's own executor launcher
+  // injects the same module, so driver and executors agree.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // ParallelGC: pure-throughput batch workload, no latency SLO — measured

@@ -67,6 +67,10 @@ object SparkEntry {
       val e = tbl(s, d, "embeddings")
       Similarity.annLsh(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.annIvf(e, e.where(col("vec_id") % 97 === 0), 5)
+    }),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
     "q_agg_acc" -> ((s, d) => // Acc/Mean merge semantics (score.py:12-53)
@@ -250,6 +254,14 @@ object SparkEntry {
     }.mkString(" + ")
   }
 
+  /** inline the seeded IVF centroids as a DuckDB VALUES table */
+  private def ivfCentSql(cells: Int, dim: Int, seed: Long): String = {
+    val cs = ops.Similarity.ivfCentroids(cells, dim, seed)
+    cs.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = {
     val tokSql = Tok // backslashes are literal inside single-quoted SQL strings
     def toks(c: String) = s"regexp_extract_all($c, '$tokSql')"
@@ -376,6 +388,38 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored)
+        WHERE rank <= 5"""
+      },
+      "q_ann_ivf" -> {
+        // same seeded centroids as Similarity.annIvf: nearest-cell
+        // assignment per vector, nprobe=4 probed cells per query, exact
+        // cosine re-rank within probed cells
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent(cell, cv) AS (VALUES ${ivfCentSql(16, 64, 7L)}),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
+        qcells AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.q_emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        scored AS (
+            SELECT qc.query_id, ec.vec_id AS neighbor_id,
+                   list_cosine_similarity(e2.emb, q.q_emb) AS cos
+            FROM cells ec JOIN qcells qc ON ec.cell = qc.cell
+            JOIN e e2 ON e2.vec_id = ec.vec_id
+            JOIN q ON q.query_id = qc.query_id
+            WHERE ec.vec_id <> qc.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
         WHERE rank <= 5"""
       },
       "q_agg_acc" -> """

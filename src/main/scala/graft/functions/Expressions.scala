@@ -19,6 +19,10 @@ object F {
   def simhash64(c: Column): Column = column(Simhash64(expression(c)))
   def hyperplane_sig(c: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneSig(expression(c), planes))
+  def ivf_cell(c: Column, centroids: Array[Array[Double]]): Column =
+    column(IvfCell(expression(c), centroids))
+  def ivf_probe(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(IvfProbe(expression(c), centroids, nprobe))
 }
 
 /** word_shape as a scalar expression (semantics: graft.text.Shape,
@@ -125,6 +129,79 @@ object HyperplaneSig {
       b += 1
     }
     s
+  }
+}
+
+/** IVF coarse-quantizer cell id: the index of the centroid with the
+  * highest cosine similarity to the vector (first index on exact ties).
+  * Cosine is accumulated exactly like [[CosineSim.compute]] so the DuckDB
+  * oracle's `list_cosine_similarity` ranking reproduces the assignment.
+  * Codegen'd — the embedding scan stays inside whole-stage codegen.
+  */
+case class IvfCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    IvfCell.compute(v.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.IvfCell.compute($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object IvfCell {
+  def cos(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(c.length, v.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val y = c(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** static so generated code can call it */
+  def compute(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val d = cos(v, cs(c))
+      if (d > bestCos) { bestCos = d; best = c } // first-index ties
+      c += 1
+    }
+    best
+  }
+}
+
+/** The `nprobe` nearest IVF cells for a query vector, by (cosine desc,
+  * cell asc) — the query-side companion of [[IvfCell]].
+  */
+case class IvfProbe(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    IvfProbe.compute(v.asInstanceOf[ArrayData], centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.IvfProbe.compute($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object IvfProbe {
+  /** static so generated code can call it */
+  def compute(v: ArrayData, cs: Array[Array[Double]],
+              nprobe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val sims = Array.tabulate(cs.length)(c => (IvfCell.cos(v, cs(c)), c))
+    val top = sims.sortBy { case (d, c) => (-d, c) }.take(math.min(nprobe, cs.length))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top.map(_._2))
   }
 }
 

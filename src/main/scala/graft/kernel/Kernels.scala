@@ -37,6 +37,15 @@ object Kernels {
     }
   }
 
+  /** True when the JDK Vector API (jdk.incubator.vector) loaded — then
+    * gemmDense runs the SIMD kernel. Probed once; any linkage error means
+    * the JVM was started without --add-modules=jdk.incubator.vector and we
+    * keep the scalar loop. Both paths are bit-identical (see VectorGemm).
+    */
+  val simdAvailable: Boolean =
+    try VectorGemm.lanes >= 4
+    catch { case _: LinkageError => false }
+
   /** Dense GEMM with 4-way k-unrolling: out[m,n] = a[m,k] x b[k,n].
     * Each output element accumulates (a0*b0 + a1*b1 + a2*b2 + a3*b3) per
     * group of 4 — a fixed, deterministic order (bit-identical across runs,
@@ -45,10 +54,17 @@ object Kernels {
     * own numpy matmul delegates to BLAS with an implementation-defined
     * accumulation order anyway — sequential-order parity is not a
     * meaningful target there; the rigged sparse packs keep the bit-exact
-    * sequential path.
+    * sequential path. Dispatches to the SIMD twin when available; the two
+    * paths produce identical bits (KernelSpec asserts it).
     */
   def gemmDense(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
                 out: Array[Float]): Unit = {
+    if (simdAvailable) { VectorGemm.gemmDense(a, m, k, b, n, out); return }
+    gemmDenseScalar(a, m, k, b, n, out)
+  }
+
+  def gemmDenseScalar(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
+                      out: Array[Float]): Unit = {
     val k4 = k - (k & 3)
     var i = 0
     // 2-row blocks: each streamed b-row group feeds two output rows

@@ -316,4 +316,41 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** seeded IVF coarse-quantizer centroids — public so the DuckDB oracle
+    * can inline the exact same values (Double.toString round-trips).
+    */
+  def ivfCentroids(cells: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(cells, dim)(rnd.nextGaussian())
+  }
+
+  /** IVF-style ANN (the second scale path, alongside [[annLsh]]): every
+    * vector is assigned to its nearest seeded centroid cell (native
+    * codegen IvfCell — one pass, no shuffle on the data side); each query
+    * probes its `nprobe` nearest cells and exact-cosine re-ranks only the
+    * vectors in those cells. Candidate count scales as nprobe/cells of the
+    * table per query instead of N — at 100 TB the cell column is computed
+    * at ingest and the probe join is an equi-join on cell id, so AQE can
+    * split skewed cells. Recall improves with nprobe (nprobe = cells is
+    * exact search).
+    */
+  def annIvf(emb: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
+             nprobe: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val cs = ivfCentroids(cells, dim, seed)
+    val base = emb.withColumn("cell", F.ivf_cell(col("embedding"), cs))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("q_cell", explode(F.ivf_probe(col("q_emb"), cs, nprobe))))
+    val scored = base.join(q,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        F.cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
 }

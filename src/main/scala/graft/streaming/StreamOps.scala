@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A timestamped pipeline event (a doc/triple arrival) for the streaming
+  * operators below. `key` is the grouping dimension (source feed, bucket,
+  * predicate — caller's choice).
+  */
+case class StampedEvent(key: String, ts: Timestamp)
+
+/** One closed session of consecutive events for a key (gap-based). */
+case class EventSession(key: String, start: Timestamp, end: Timestamp, n: Long)
+
+/** Structured-Streaming operators over the pipeline's event streams —
+  * the streaming surface beyond IncrementalKg's foreachBatch batch-reuse:
+  * event-time windowed aggregation under a watermark, and custom session
+  * state via flatMapGroupsWithState.
+  *
+  * The reference itself has no event time (pull generators,
+  * exec/infer.py:37-51); these exist for the 100 TB ingest side, where doc
+  * arrival time drives freshness metrics and late data is real. State
+  * stores shard by key hash — no driver state, arbitrarily many keys.
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts per key under an event-time watermark.
+    * Late events (older than the watermark delay) are dropped by Spark's
+    * state store instead of growing state forever — the property that
+    * keeps this runnable on an unbounded 100 TB/day feed.
+    *
+    * Works on a streaming OR batch DataFrame with (key, ts) columns.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String,
+                     watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("key"), col("n"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session for a
+    * key closes once the event-time watermark passes (last event + gap).
+    * Uses EventTimeTimeout so state is evicted by watermark progress, not
+    * wall clock — deterministic under replay. Append mode: sessions are
+    * emitted exactly once, when closed.
+    */
+  def sessionize(events: Dataset[StampedEvent], gapMs: Long,
+                 watermarkDelay: String): Dataset[EventSession] = {
+    implicit val sessEnc = Encoders.product[EventSession]
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val strEnc = Encoders.STRING
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long), EventSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[StampedEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: close and emit the session
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(EventSession(key, new Timestamp(start), new Timestamp(last), n))
+          } else {
+            // merge the micro-batch's events into the open session. Events
+            // within one group iterator are not ordered by time; fold
+            // min/max/count. A gap WITHIN a batch still splits correctly
+            // only at watermark timeouts — acceptable for coarse gaps
+            // (sessions are closed by event-time progress, not batch
+            // boundaries).
+            var start = Long.MaxValue; var last = Long.MinValue; var n = 0L
+            if (state.exists) { val s = state.get; start = s._1; last = s._2; n = s._3 }
+            it.foreach { e =>
+              val t = e.ts.getTime
+              if (t < start) start = t
+              if (t > last) last = t
+              n += 1
+            }
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

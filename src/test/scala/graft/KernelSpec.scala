@@ -122,6 +122,23 @@ class KernelSpec extends AnyFunSuite {
       naive(wSparse, bias, in).toSeq)
   }
 
+  test("SIMD gemmDense is bit-identical to the scalar kernel (all tail shapes)") {
+    assert(Kernels.simdAvailable, "vector module missing in test JVM")
+    val rnd = new java.util.Random(11)
+    // shapes hit: 4-vector tiles, 1-vector tiles, scalar column tails,
+    // odd final row, k%4 remainders, tiny-n
+    for ((m, k, n) <- Seq((5, 7, 3), (2, 990, 256), (3, 768, 128), (7, 33, 65),
+                          (1, 5, 17), (4, 384, 64), (9, 13, 100), (2, 4, 130))) {
+      val a = Array.fill(m * k)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(k * n)(rnd.nextFloat() * 2 - 1)
+      val o1 = new Array[Float](m * n)
+      val o2 = Array.fill(m * n)(Float.NaN) // scalar path must overwrite all
+      VectorGemm.gemmDense(a, m, k, b, n, o1)
+      Kernels.gemmDenseScalar(a, m, k, b, n, o2)
+      assert(java.util.Arrays.equals(o1, o2), s"mismatch at m=$m k=$k n=$n")
+    }
+  }
+
   test("reference-dims pack: golden checksum + batch invariance") {
     // production dims (250K x 100q navec, [256,128,64] CNN) shrunk only in
     // vocab (2k) to keep the test fast — all tensor shapes that matter for

@@ -98,6 +98,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(1)), "invariant violated")
   }
 
+  test("annIvf with nprobe = cells equals exact brute-force top-k") {
+    // probing every cell makes IVF an exact search — must match bruteTopK
+    // bit for bit (same re-rank, same tie order)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+    val ivf = graft.ops.Similarity.annIvf(e, q, 5, cells = 8, nprobe = 8)
+      .collect().map(_.toString).sorted
+    val brute = graft.ops.Similarity.bruteTopK(e, q, 5)
+      .collect().map(_.toString).sorted
+    assert(ivf.nonEmpty && ivf.sameElements(brute))
+  }
+
   test("fused linkCanonicalize == canonicalize(link(...)) row for row") {
     val triples = graft.kg.Kg.triples(Pipeline.parse(
       Docs.sentences(Docs.russianDocs(spark, 120L)), SparkEntry.packBc(spark)))

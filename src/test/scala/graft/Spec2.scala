@@ -209,4 +209,55 @@ class StreamSpec extends AnyFunSuite {
     assert(dups == 0)
     docs.unpersist()
   }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("watermarked windowed counts finalize windows and drop late events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)]
+    val counts = graft.streaming.StreamOps.windowedCounts(
+      mem.toDF().toDF("key", "ts"), "10 seconds", "5 seconds")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", ts(1)), ("a", ts(3)), ("b", ts(12)))
+      q.processAllAvailable() // watermark after batch: 12-5 = 7
+      mem.addData(("a", ts(25)))
+      q.processAllAvailable() // watermark -> 20
+      mem.addData(("a", ts(2))) // LATE: far behind watermark 20 — dropped
+      q.processAllAvailable() // windows ending <= 20 finalize
+      val got = spark.table("wc")
+        .select($"w_start".cast("long"), $"key", $"n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.contains((0L, "a", 2L)), s"window [0,10) a should count 2 (late row dropped): $got")
+      assert(got.contains((10L, "b", 1L)), s"window [10,20) b missing: $got")
+      assert(!got.contains((0L, "a", 3L)), "late event was counted")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions by watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StampedEvent]
+    val sessions = graft.streaming.StreamOps.sessionize(
+      mem.toDS(), gapMs = 10000L, watermarkDelay = "5 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(graft.streaming.StampedEvent("a", ts(1)),
+        graft.streaming.StampedEvent("a", ts(4)),
+        graft.streaming.StampedEvent("b", ts(2)))
+      q.processAllAvailable() // wm -> 0 (max 4 - 5)
+      mem.addData(graft.streaming.StampedEvent("flush", ts(30)))
+      q.processAllAvailable() // wm -> 25; a times out at 14, b at 12
+      mem.addData(graft.streaming.StampedEvent("flush2", ts(60)))
+      q.processAllAvailable() // timeouts for a and b fire this batch
+      val got = spark.table("sess")
+        .select($"key", $"start".cast("long"), $"end".cast("long"), $"n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.contains(("a", 1L, 4L, 2L)), s"session a[1,4]x2 missing: $got")
+      assert(got.contains(("b", 2L, 2L, 1L)), s"session b[2,2]x1 missing: $got")
+    } finally q.stop()
+  }
 }

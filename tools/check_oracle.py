@@ -2,7 +2,7 @@ import duckdb, json, sys, glob
 import pandas as pd
 
 sf = "/root/testdata/sf0.01"
-out = "/tmp/vout"
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
 con = duckdb.connect()
 for t in ["documents","embeddings","events","lineitem","orders","customer","nation","supplier","part","region"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
