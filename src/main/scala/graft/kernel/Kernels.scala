@@ -17,6 +17,11 @@ object Kernels {
   def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
            out: Array[Float]): Unit = gemm(a, m, k, b, n, out, 0)
 
+  // NOTE: an explicit Vector-API twin of this sequential gemm was measured
+  // SLOWER than this loop at the pipeline's shapes (biaffine n=32, rel
+  // n=H*R; syntax stage 3.5s scalar vs 5.4s SIMD best-of-3) — C2 already
+  // auto-vectorizes the inner j-loop and accumulates in place. SIMD
+  // dispatch is therefore only on the dense-conv path (gemmDense below).
   def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
            out: Array[Float], outOff: Int): Unit = {
     java.util.Arrays.fill(out, outOff, outOff + m * n, 0f)
