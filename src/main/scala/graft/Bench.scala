@@ -125,7 +125,9 @@ object Bench {
     }
     // reference-dims inference is ~2 orders of magnitude more FLOPs/token;
     // size its legs so each stays multi-second without dominating the run
-    val refDocs = math.max(20000L, graft.corpus.RuCorpus.docCount(sfDir) / 2)
+    // (the SIMD conv rework made inference ~5x faster — 200k docs keeps
+    // the 32-core leg ~8s and the 8-core leg ~30s)
+    val refDocs = math.max(80000L, graft.corpus.RuCorpus.docCount(sfDir) * 2)
     def leg(totalCores: Int): (Long, Double, String, Long, Double) = {
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
