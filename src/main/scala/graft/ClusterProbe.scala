@@ -25,22 +25,31 @@ object ClusterProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(): Double = {
+    // args(3) = "ref": parse-only at production model dims (the soak
+    // variant for the honest-FLOPs workload; triples from random weights
+    // would be meaningless, sents/s is the metric)
+    val refMode = args.length > 3 && args(3) == "ref"
+    lazy val refBc = spark.sparkContext.broadcast(graft.pack.SynthPack.buildRandom())
+    def run(docs: Long): Double = {
       val t0 = System.nanoTime()
-      val canon = graft.kg.Kg.linkCanonicalize(spark,
-        graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-          graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, nDocs)),
-          SparkEntry.packBc(spark))))
-      val n = canon.count()
+      val n =
+        if (refMode)
+          graft.nlp.Pipeline.parse(
+            graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, docs)),
+            refBc).count()
+        else
+          graft.kg.Kg.linkCanonicalize(spark,
+            graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
+              graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, docs)),
+              SparkEntry.packBc(spark)))).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs triples=$n sec=$dt%.2f thr=${n / dt}%.0f")
+      val unit = if (refMode) "sents" else "triples"
+      if (docs == nDocs)
+        println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs $unit=$n sec=$dt%.2f thr=${n / dt}%.0f")
       dt
     }
-    graft.kg.Kg.linkCanonicalize(spark,
-      graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-        graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, 5000L)),
-        SparkEntry.packBc(spark)))).count() // warmup
-    run(); run()
+    run(5000L) // warmup
+    run(nDocs); run(nDocs)
     spark.stop()
   }
 }

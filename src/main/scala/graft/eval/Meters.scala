@@ -1,0 +1,85 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Score meters + metrics table — the Spark analogue of the reference's
+  * ScoreMeter/BoardWriter pairs (score.py:120-369 accumulate batch scores
+  * and write scalars to a board; here the accumulation is a distributed
+  * aggregation and the "board" is a parquet metrics table).
+  *
+  * Idempotence mirrors runtime/KgJob's commit protocol: one partition dir
+  * per (run_id, step), written with Overwrite — re-logging a step after a
+  * retry replaces its rows instead of duplicating them.
+  */
+object Meters {
+
+  /** NERScoreMeter (score.py:162-213): per-entity-type P/R/F1 between a
+    * predicted and a gold span table. Join on exact span identity
+    * (doc/sent/start/stop/type) — token-level variants reduce to the same
+    * shape. Expects columns: doc_id, sent_idx, start, stop, type.
+    */
+  def nerTypeF1(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val keys = Seq("doc_id", "sent_idx", "start", "stop", "type")
+    val hits = pred.join(gold, keys, "inner").groupBy("type").agg(count(lit(1)).as("hits"))
+    val p = pred.groupBy("type").agg(count(lit(1)).as("pred_n"))
+    val g = gold.groupBy("type").agg(count(lit(1)).as("gold_n"))
+    p.join(g, Seq("type"), "full_outer")
+      .join(hits, Seq("type"), "left_outer")
+      .na.fill(0L, Seq("pred_n", "gold_n", "hits"))
+      .select(col("type"),
+        when(col("pred_n") > 0, col("hits") / col("pred_n")).otherwise(0.0).as("precision"),
+        when(col("gold_n") > 0, col("hits") / col("gold_n")).otherwise(0.0).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0))
+  }
+
+  /** MorphScoreMeter (score.py:120-143): tag accuracy. Expects columns
+    * pred_tag, gold_tag.
+    */
+  def morphAccuracy(joined: DataFrame): Double = {
+    val r = joined.agg(
+      avg(when(col("pred_tag") === col("gold_tag"), 1.0).otherwise(0.0)).as("acc"))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** SyntaxScoreMeter (score.py:307-369): UAS/LAS over joined head/rel
+    * predictions. Expects columns pred_head, gold_head, pred_rel, gold_rel.
+    */
+  def syntaxUasLas(joined: DataFrame): (Double, Double) = {
+    import org.apache.spark.sql.Encoders
+    implicit val e = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt,
+      Encoders.STRING, Encoders.STRING)
+    val ds = joined.select(col("pred_head").cast("int"), col("gold_head").cast("int"),
+      col("pred_rel"), col("gold_rel")).as[(Int, Int, String, String)]
+    val ul = ds.select(new UasLasAgg().toColumn).head()
+    (ul.uas, ul.las)
+  }
+
+  /** The metrics board: append scalar metrics for (runId, step). One
+    * Overwrite'd partition dir per step — idempotent under retries.
+    */
+  def log(spark: SparkSession, dir: String, runId: String, step: Long,
+          metrics: Map[String, Double]): Unit = {
+    import spark.implicits._
+    // run_id/step live in the partition path (recovered on read) — keeping
+    // them out of the data files avoids the duplicate-column clash
+    metrics.toSeq.sortBy(_._1).toDF("name", "value")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/run_id=${escape(runId)}/step=$step")
+  }
+
+  /** Read the whole board back (partition columns recovered from paths). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("basePath", dir)
+      .parquet(dir)
+      .select(col("run_id"), col("step").cast("long").as("step"),
+        col("name"), col("value"))
+
+  private def escape(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_.-]", "_")
+}

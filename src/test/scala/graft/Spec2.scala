@@ -153,6 +153,38 @@ class ScoresSpec extends AnyFunSuite {
     assert(ds.select(new graft.eval.TopkAccAgg(3).toColumn).head() == 1.0)
   }
 
+  test("score meters: per-type NER F1 + morph acc + metrics board round trip") {
+    import spark.implicits._
+    import graft.eval.Meters
+    // NERScoreMeter analogue: PER 1 hit of 2 pred / 2 gold; ORG clean miss
+    val pred = Seq(("d0", 0, 0, 4, "PER"), ("d0", 0, 10, 14, "PER"),
+      ("d0", 0, 20, 24, "ORG")).toDF("doc_id", "sent_idx", "start", "stop", "type")
+    val gold = Seq(("d0", 0, 0, 4, "PER"), ("d0", 0, 30, 34, "PER"),
+      ("d1", 0, 5, 9, "LOC")).toDF("doc_id", "sent_idx", "start", "stop", "type")
+    val f1 = Meters.nerTypeF1(pred, gold).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(f1("PER") == ((0.5, 0.5, 0.5)))
+    assert(f1("ORG") == ((0.0, 0.0, 0.0))) // predicted, no gold
+    assert(f1("LOC") == ((0.0, 0.0, 0.0))) // gold, no prediction
+    // MorphScoreMeter analogue
+    val m = Seq(("NOUN", "NOUN"), ("VERB", "NOUN"), ("ADJ", "ADJ"), ("X", "X"))
+      .toDF("pred_tag", "gold_tag")
+    assert(Meters.morphAccuracy(m) == 0.75)
+    // SyntaxScoreMeter analogue (delegates to UasLasAgg)
+    val s = Seq((1, 1, "obj", "obj"), (2, 0, "nsubj", "nsubj"))
+      .toDF("pred_head", "gold_head", "pred_rel", "gold_rel")
+    assert(Meters.syntaxUasLas(s) == ((0.5, 0.5)))
+    // board: log two steps, re-log step 1 (idempotent overwrite), read back
+    val dir = java.nio.file.Files.createTempDirectory("board").toString
+    Meters.log(spark, dir, "run-a", 1L, Map("f1_PER" -> 0.4, "acc" -> 0.9))
+    Meters.log(spark, dir, "run-a", 2L, Map("f1_PER" -> 0.6))
+    Meters.log(spark, dir, "run-a", 1L, Map("f1_PER" -> 0.5, "acc" -> 0.9)) // retry
+    val board = Meters.read(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(board == Set(("run-a", 1L, "f1_PER", 0.5), ("run-a", 1L, "acc", 0.9),
+      ("run-a", 2L, "f1_PER", 0.6)))
+  }
+
   test("pipeline triples reach P/R >= 0.95 vs golden (BASELINE gate)") {
     import spark.implicits._
     import graft.corpus.RuCorpus
