@@ -80,6 +80,16 @@ object Meters {
       .select(col("run_id"), col("step").cast("long").as("step"),
         col("name"), col("value"))
 
-  private def escape(s: String): String =
-    s.replaceAll("[^A-Za-z0-9_.-]", "_")
+  /** injective path encoding — distinct run ids must never collide into
+    * one partition dir (Overwrite would clobber across runs); '%' itself
+    * is escaped so the mapping is reversible
+    */
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c.isLetterOrDigit || c == '_' || c == '.' || c == '-') sb.append(c)
+      else sb.append(f"%%${c.toInt}%04x")
+    }
+    sb.toString
+  }
 }

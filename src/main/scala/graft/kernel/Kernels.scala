@@ -13,18 +13,17 @@ package graft.kernel
   */
 object Kernels {
 
-  /** out[m,n] = a[m,k] x b[k,n] (+= if acc). */
+  /** out[m,n] = a[m,k] x b[k,n].
+    *
+    * NOTE: an explicit Vector-API twin of this sequential gemm was measured
+    * SLOWER than this loop at the pipeline's shapes (biaffine n=32, rel
+    * n=H*R; syntax stage 3.5s scalar vs 5.4s SIMD best-of-3) — C2 already
+    * auto-vectorizes the inner j-loop and accumulates in place. SIMD
+    * dispatch is therefore only on the dense-conv path (gemmDense below).
+    */
   def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
-           out: Array[Float]): Unit = gemm(a, m, k, b, n, out, 0)
-
-  // NOTE: an explicit Vector-API twin of this sequential gemm was measured
-  // SLOWER than this loop at the pipeline's shapes (biaffine n=32, rel
-  // n=H*R; syntax stage 3.5s scalar vs 5.4s SIMD best-of-3) — C2 already
-  // auto-vectorizes the inner j-loop and accumulates in place. SIMD
-  // dispatch is therefore only on the dense-conv path (gemmDense below).
-  def gemm(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
-           out: Array[Float], outOff: Int): Unit = {
-    java.util.Arrays.fill(out, outOff, outOff + m * n, 0f)
+           out: Array[Float]): Unit = {
+    java.util.Arrays.fill(out, 0, m * n, 0f)
     var i = 0
     while (i < m) {
       var p = 0
@@ -32,7 +31,7 @@ object Kernels {
         val av = a(i * k + p)
         if (av != 0f) {
           val bOff = p * n
-          val oOff = outOff + i * n
+          val oOff = i * n
           var j = 0
           while (j < n) { out(oOff + j) += av * b(bOff + j); j += 1 }
         }

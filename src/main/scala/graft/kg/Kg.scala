@@ -64,23 +64,35 @@ object Kg {
       "NOUN"
     }
 
+    // flat:name child index, built in ONE pass: per head token its flat
+    // children as an intrusive linked list in token order — mention() is
+    // then O(children), not O(n) per call (which went quadratic on long
+    // chunked sentences with many pattern tokens)
+    val flatFirst = new Array[Int](n) // head idx -> first child idx+1 (0 = none)
+    val flatNext = new Array[Int](n)  // child idx -> next sibling idx+1
+    val flatLast = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      if (syn(i).rel == "flat:name") {
+        val h = syn(i).headId - 1
+        if (h >= 0 && h < n) {
+          if (flatFirst(h) == 0) flatFirst(h) = i + 1
+          else flatNext(flatLast(h) - 1) = i + 1
+          flatLast(h) = i + 1
+        }
+      }
+      i += 1
+    }
+
     /** token i + its flat:name children (by head edge), in token order. */
     def mention(i: Int): String = {
-      val id1 = i + 1
-      var single = true
-      var j = 0
-      while (single && j < n) {
-        if (syn(j).rel == "flat:name" && syn(j).headId == id1) single = false
-        j += 1
-      }
-      if (single) p.tokens(i).text // single-token mention: no copy
+      var c = flatFirst(i)
+      if (c == 0) p.tokens(i).text // single-token mention: no copy
       else {
         val sb = new java.lang.StringBuilder(p.tokens(i).text)
-        var k = 0
-        while (k < n) {
-          if (syn(k).rel == "flat:name" && syn(k).headId == id1)
-            sb.append(' ').append(p.tokens(k).text)
-          k += 1
+        while (c != 0) {
+          sb.append(' ').append(p.tokens(c - 1).text)
+          c = flatNext(c - 1)
         }
         sb.toString
       }

@@ -45,7 +45,12 @@ object SlovnetPack {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes(s"vocabs/$id.gz")))
       val out = new ByteArrayOutputStream()
       in.transferTo(out)
-      Vocab(new String(out.toByteArray, StandardCharsets.UTF_8).split("\n", -1).toArray)
+      // the reference dumps vocabs as `item + "\n"` per line
+      // (io.py dump_gz_lines) and its loader strips per line — a
+      // trailing newline must not become a phantom empty vocab item
+      // (it would desync vocab.size from the head projections' outDim)
+      val items = new String(out.toByteArray, StandardCharsets.UTF_8).split("\n", -1)
+      Vocab(if (items.nonEmpty && items.last.isEmpty) items.init else items)
     }
     def checkProtocol(): String = {
       val meta = json("meta.json")
@@ -171,18 +176,31 @@ object SlovnetPack {
   }
 
   /** Assemble the three loaded task packs into one broadcastable ModelPack,
-    * re-establishing navec weight sharing (one embedding instance) when the
-    * three words vocabs agree — exec/model.py:536-557 / api.py:29-31.
+    * re-establishing navec weight sharing — exec/model.py:536-557 /
+    * api.py:29-31. The reference shares ONLY the navec word part across
+    * tasks; each task's SHAPE embedding is trained separately, so it must
+    * never be clobbered. We therefore share the word part when its arrays
+    * are identical, and promote to whole-instance sharing (which unlocks
+    * the one-pass emb+transpose fusion, ModelPack.sharedEmb) only when the
+    * shape weights are also bit-identical.
     */
   def assemble(id: String, ner: LoadedNer, morph: LoadedMorph,
                syntax: LoadedSyntax): ModelPack = {
     val shared = ner.model.emb
     val sameVocab = ner.words.items.sameElements(morph.words.items) &&
       ner.words.items.sameElements(syntax.words.items)
-    val morphModel =
-      if (sameVocab) morph.model.copy(emb = shared) else morph.model
-    val synModel =
-      if (sameVocab) syntax.model.copy(emb = shared) else syntax.model
+    def share(m: graft.kernel.WordShapeEmbedding): graft.kernel.WordShapeEmbedding = {
+      if (!sameVocab) return m
+      val sameWord = (m.word eq shared.word) ||
+        (java.util.Arrays.equals(m.word.indexes, shared.word.indexes) &&
+          java.util.Arrays.equals(m.word.codes, shared.word.codes))
+      if (!sameWord) m
+      else if ((m.shape eq shared.shape) ||
+        java.util.Arrays.equals(m.shape.weight, shared.shape.weight)) shared
+      else m.copy(word = shared.word)
+    }
+    val morphModel = morph.model.copy(emb = share(morph.model.emb))
+    val synModel = syntax.model.copy(emb = share(syntax.model.emb))
     ModelPack(id, ner.words, ner.shapes, ner.tags, morph.tags, syntax.rels,
       ner.model, morphModel, synModel)
   }

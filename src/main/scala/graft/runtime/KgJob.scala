@@ -114,9 +114,16 @@ object KgJob {
       if (failAfterBuckets >= 0 && processed >= failAfterBuckets)
         throw new RuntimeException(s"injected failure before bucket $b")
       val bucketDocs = bucketedInputDir match {
-        case Some(dir) => // partition-pruned read: only this bucket's dir
-          spark.read.parquet(s"$dir/bucket=$b")
-            .select("doc_id", "spans").as[graft.sources.InterleavedDoc]
+        case Some(dir) => // partition-pruned read: only this bucket's dir.
+          // partitionBy never writes a dir for an EMPTY bucket — that is
+          // still a valid (vacuously complete) bucket, not a crash: commit
+          // it with zero counters so resume semantics hold
+          val p = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            spark.read.parquet(p.toString)
+              .select("doc_id", "spans").as[graft.sources.InterleavedDoc]
+          else spark.emptyDataset[graft.sources.InterleavedDoc]
         case None =>
           docs.where(col("bucket") === b).drop("bucket")
             .as[graft.sources.InterleavedDoc]

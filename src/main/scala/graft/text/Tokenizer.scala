@@ -120,7 +120,7 @@ object Tokenizer {
     Seq("т", "д", "п", "г", "гг", "вв", "млн", "млрд", "тыс", "руб", "коп",
       "см", "мм", "км", "кг", "га", "им", "ул", "просп", "пр", "пл", "наб",
       "стр", "корп", "обл", "респ", "тел", "англ", "рус", "лат", "греч",
-      "др", "проч", "см", "ср", "напр", "т.е", "т.д", "т.п", "n", "no",
+      "др", "проч", "ср", "напр", "т.е", "т.д", "т.п", "n", "no",
       "vol", "p", "pp", "св", "акад", "проф", "доц", "канд", "ст", "рис",
       "табл", "гл", "разд", "изд", "ред", "сост", "пер").foreach(s.add)
     s

@@ -59,6 +59,21 @@ class ResumeSpec extends AnyFunSuite {
     assert(KgJob.triples(spark, out).collect().map(_.toString).sorted.toSeq ==
       KgJob.triples(spark, viaGen).collect().map(_.toString).sorted.toSeq)
 
+    // empty buckets are valid: partitionBy writes no dir for them, but a
+    // resumable run must commit them (zero counters), not crash on read.
+    // Force one deterministically by deleting a bucket dir post-write.
+    val inWide = freshDir(); val outWide = freshDir()
+    KgJob.writeBucketedInput(spark, sf, inWide, nBuckets = 8)
+    val victim = new java.io.File(inWide, "bucket=5")
+    assert(victim.exists, "expected bucket=5 dir from partitionBy")
+    victim.listFiles().foreach(_.delete()); assert(victim.delete())
+    assert(KgJob.run(spark, sf, outWide, "run_w", nBuckets = 8,
+      bucketedInputDir = Some(inWide)) == 8)
+    val log5 = KgJob.commitLog(spark, outWide).where("bucket = 5")
+      .selectExpr("docs", "triples").first()
+    assert(log5.getLong(0) == 0L && log5.getLong(1) == 0L,
+      "missing bucket dir must commit as an empty bucket")
+
     // single-pass proof: the docs counter rides the ONE action per bucket
     // as an accumulator, so any re-scan of the input (the old
     // count/agg/sents.count shape) would double-count it. Summing to

@@ -74,6 +74,56 @@ class PackIoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.pack.PackIO.load(dir))
   }
 
+  test("assemble keeps per-task shape embeddings (shares only the navec word part)") {
+    import graft.nlp.{Pipeline, SentRow}
+    import graft.pack.SlovnetPack
+    // real released packs share the navec word part but each task trains
+    // its OWN shape embedding — build such a pack by perturbing morph's
+    // shape weights, round-trip it, and require morph outputs to survive
+    val base = graft.pack.SynthPack.build()
+    val mEmb = base.morph.emb
+    val shapePerturbed = mEmb.shape.copy(weight = mEmb.shape.weight.map(_ + 0.25f))
+    val pack = base.copy(morph = base.morph.copy(emb = mEmb.copy(shape = shapePerturbed)))
+    val rows = Seq("Иван Петров купил завод в Москве.", "«Газпром» открыл филиал.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    def morphSig(p: graft.pack.ModelPack) =
+      Pipeline.inferBatch(rows, p).map(x => x.morph.map(m => (m.text, m.pos)).toSeq)
+    val want = morphSig(pack)
+    val dir = java.nio.file.Files.createTempDirectory("slovnet_shape").toFile
+    SlovnetPack.dumpAll(pack, dir)
+    val loaded = SlovnetPack.loadAll(dir)
+    assert(!loaded.sharedEmb, "distinct shape weights must not be whole-instance shared")
+    // navec word part IS shared across task models (one broadcast copy)
+    assert(loaded.ner.emb.word eq loaded.morph.emb.word)
+    assert(morphSig(loaded) == want,
+      "morph must run with its own shape embedding after round trip")
+  }
+
+  test("vocab gz with trailing newline (reference dump_gz_lines) gains no phantom item") {
+    import graft.pack.{SlovnetPack, Tar}
+    val pack = graft.pack.SynthPack.build()
+    val dir = java.nio.file.Files.createTempDirectory("slovnet_nl").toFile
+    SlovnetPack.dumpAll(pack, dir)
+    // rewrite every vocab member the way the reference writes them:
+    // one `item + "\n"` per line -> file ends with a newline
+    val tarFile = new java.io.File(dir, "morph.tar")
+    val members = Tar.read(tarFile).map {
+      case (name, bytes) if name.startsWith("vocabs/") =>
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+        val txt = new String(in.readAllBytes(), "UTF-8")
+        val withNl = if (txt.endsWith("\n")) txt else txt + "\n"
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(withNl.getBytes("UTF-8")); gz.close()
+        name -> bos.toByteArray
+      case kv => kv
+    }
+    Tar.write(tarFile, members)
+    val loaded = SlovnetPack.loadMorph(tarFile, Some(pack.ner.emb.word))
+    assert(loaded.tags.items.toSeq == pack.morphTags.items.toSeq,
+      "trailing newline must not become an empty vocab item")
+  }
+
   test("reference-layout pack round trip (recursive model.json, exec/pack.py)") {
     import graft.nlp.{Pipeline, SentRow}
     import graft.pack.SlovnetPack
