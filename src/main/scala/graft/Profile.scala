@@ -5,6 +5,33 @@ import org.apache.spark.sql.SparkSession
 /** Phase profiler: args = cpus nDocs. Times generation / inference /
   * triples / full pipeline separately.
   */
+/** Time individual catalog queries: args = cpus sfDir q1 [q2 ...] —
+  * best-of-3 wall seconds per query (the bench harness measures the whole
+  * catalog; this isolates one query for optimization work).
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (q <- args.drop(2)) {
+      val fn = SparkEntry.queries(q)
+      fn(spark, sfDir).count() // warmup
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"QTIME $q $best%.2f s")
+    }
+    spark.stop()
+  }
+}
+
 object Profile {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt

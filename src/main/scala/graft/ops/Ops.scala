@@ -141,18 +141,32 @@ object Dedup {
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
 
   /** MinHash signatures: k affine slots mh_k = (a_k*h + b_k) mod P over the
-    * md5 base hash. shuffle = one groupBy(doc, k).
+    * md5 base hash, all k computed in ONE aggregation pass — no k-fold row
+    * explode: the shuffle carries |docs| wide partial rows instead of
+    * |shingles|*k exploded rows (a 32x shuffle-volume cut at defaults, the
+    * difference between viable and not at 100 TB).
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
-    signaturesOf(shingles(docs, n), numHashes)
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    // long format (doc_id, k, mh) for API compatibility — unpivot AFTER
+    // the aggregation, so the expansion is |docs|*k, not |shingles|*k
+    val wide = signaturesWide(shingles(docs, n), numHashes)
+    val stackArgs = (0 until numHashes).map(k => s"$k, mh_$k").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($numHashes, $stackArgs) AS (k, mh)")
+  }
 
-  private def signaturesOf(sh: DataFrame, numHashes: Int): DataFrame = {
+  /** (doc_id, mh_0..mh_{numHashes-1}): per-slot affine constants are plain
+    * Scala longs, arithmetic identical to the previous per-row form.
+    */
+  private def signaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
     val p = lit(MinhashP)
-    sh.select(col("doc_id"), baseHash(col("shingle")).as("h"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min((lit(2654435761L) * (col("k") + 1) % p * col("h") +
-        lit(40503L) * (col("k") + 7) % p) % p).as("mh"))
+    val aggs = (0 until numHashes).map { k =>
+      val ak = 2654435761L * (k + 1) % MinhashP
+      val bk = 40503L * (k + 7) % MinhashP
+      min((lit(ak) * col("h") + lit(bk)) % p).as(s"mh_$k")
+    }
+    sh.select(col("doc_id"), baseHash(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs + exact-Jaccard verification. */
@@ -160,11 +174,17 @@ object Dedup {
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     val shAll = persistShingles(shingles(docs, n))
-    val sig = signaturesOf(shAll, numHashes)
-      .withColumn("band", (col("k") / rows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        array_sort(collect_list(concat_ws(":", col("k"), col("mh"))))).as("bh"))
+    // band hash strings built straight from the wide signature row —
+    // byte-identical to the old collect_list form (same "k:mh" atoms,
+    // same lexical array_sort)
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows)
+        .map(k => concat_ws(":", lit(k), col(s"mh_$k")))
+      struct(lit(b).as("band"), concat_ws(",", array_sort(array(parts: _*))).as("bh"))
+    }
+    val sig = signaturesWide(shAll, numHashes)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
