@@ -19,6 +19,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh == graft.ops.Simhash.of("abc def abc"))
   }
 
+  test("IvfCell/IvfProbe: first-index ties, zero vectors, nprobe clamp") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(fs: Float*) = new GenericArrayData(fs.toArray)
+    // two identical centroids -> first index wins
+    val cs = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    assert(graft.functions.IvfCell.compute(arr(1f, 0f), cs) == 0)
+    assert(graft.functions.IvfCell.compute(arr(0f, 1f), cs) == 2)
+    // zero vector: all cosines 0.0, ties -> cell 0
+    assert(graft.functions.IvfCell.compute(arr(0f, 0f), cs) == 0)
+    // probe order: cos desc, cell asc on ties; nprobe beyond cells clamps
+    val p = graft.functions.IvfProbe.compute(arr(1f, 0f), cs, 10)
+    assert(p.toIntArray().toSeq == Seq(0, 1, 2))
+    assert(graft.functions.IvfProbe.compute(arr(0f, 1f), cs, 1).toIntArray().toSeq == Seq(2))
+  }
+
   test("withExtensions wiring registers functions at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
