@@ -94,9 +94,10 @@ object Bench {
     * such sessions separated in time — steal epochs last minutes, so a
     * single 90s window no longer decides a leg.
     */
-  private def measure(s: SparkSession, scaleDocs: Long): (Long, Double) = {
+  private def measure(s: SparkSession, scaleDocs: Long,
+                      reps: Int): (Long, Double) = {
     pipeline(s, 5000L)
-    (1 to 2).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
+    (1 to reps).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,13 +130,16 @@ object Bench {
     // the 32-core leg ~8s and the 8-core leg ~30s)
     val refDocs = math.max(80000L, graft.corpus.RuCorpus.docCount(sfDir) * 2)
     def leg(totalCores: Int): (Long, Double, String, Long, Double) = {
+      // the high-parallelism leg's runs are ~3-4x shorter, so one steal
+      // epoch distorts them proportionally more — give it an extra rep
+      val reps = if (totalCores == cpus) 3 else 2
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
       try {
         val s = clusterSession(math.max(1, totalCores / cpw), cpw)
         if (probe(s)) {
           try {
-            val (n, t) = measure(s, scaleDocs)
+            val (n, t) = measure(s, scaleDocs, reps)
             val (rn, rt) = measureRef(s, refDocs)
             return (n, t, "local-cluster", rn, rt)
           } finally s.stop()
@@ -143,7 +147,7 @@ object Bench {
       } catch { case _: Throwable => }
       val s = localSession(totalCores)
       try {
-        val (n, t) = measure(s, scaleDocs)
+        val (n, t) = measure(s, scaleDocs, reps)
         val (rn, rt) = measureRef(s, refDocs)
         (n, t, "local", rn, rt)
       } finally s.stop()
