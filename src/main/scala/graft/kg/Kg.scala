@@ -23,6 +23,30 @@ final case class LinkedTriple(
 
 object Kg {
 
+  /** per-thread scratch for the flat:name child index — zeroed on acquire
+    * (only the first n slots, and only those that were dirtied is
+    * overkill: Arrays.fill of 3n ints is ~free vs allocating them).
+    */
+  private final class FlatScratch {
+    private var first = new Array[Int](64)
+    private var next = new Array[Int](64)
+    private var last = new Array[Int](64)
+    def acquire(n: Int): (Array[Int], Array[Int], Array[Int]) = {
+      if (first.length < n) {
+        val cap = Integer.highestOneBit(n - 1) << 1
+        first = new Array[Int](cap); next = new Array[Int](cap); last = new Array[Int](cap)
+      } else {
+        java.util.Arrays.fill(first, 0, n, 0)
+        java.util.Arrays.fill(next, 0, n, 0)
+        java.util.Arrays.fill(last, 0, n, 0)
+      }
+      (first, next, last)
+    }
+  }
+  private val flatScratch = new ThreadLocal[FlatScratch] {
+    override def initialValue(): FlatScratch = new FlatScratch
+  }
+
   /** Dependency-pattern triple extraction over parsed sentences — TREE
     * patterns over `(head_id, rel)` edges (shapes per reference
     * markup.py:162-193), not token positions:
@@ -67,10 +91,12 @@ object Kg {
     // flat:name child index, built in ONE pass: per head token its flat
     // children as an intrusive linked list in token order — mention() is
     // then O(children), not O(n) per call (which went quadratic on long
-    // chunked sentences with many pattern tokens)
-    val flatFirst = new Array[Int](n) // head idx -> first child idx+1 (0 = none)
-    val flatNext = new Array[Int](n)  // child idx -> next sibling idx+1
-    val flatLast = new Array[Int](n)
+    // chunked sentences with many pattern tokens). Scratch arrays come
+    // from a per-thread pool: this flatMap runs at millions of sentences
+    // per second and allocation bandwidth is the measured 32-thread
+    // scaling limiter (BASELINE.md round-1 analysis).
+    val scratch = flatScratch.get()
+    val (flatFirst, flatNext, flatLast) = scratch.acquire(n)
     i = 0
     while (i < n) {
       if (syn(i).rel == "flat:name") {

@@ -353,7 +353,9 @@ object Similarity {
     * table per query instead of N — at 100 TB the cell column is computed
     * at ingest and the probe join is an equi-join on cell id, so AQE can
     * split skewed cells. Recall improves with nprobe (nprobe = cells is
-    * exact search).
+    * exact search). Centroids here are seeded-random so the DuckDB oracle
+    * can inline them; in production you'd train them offline (k-means over
+    * a sample) and pass the trained array — the plan shape is unchanged.
     */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
              nprobe: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
