@@ -85,7 +85,7 @@ object Bench {
   }
 
   private def measureRef(s: SparkSession, nDocs: Long): (Long, Double) = {
-    refPipeline(s, 2000L) // warmup/JIT
+    refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
     (1 to 2).map(_ => refPipeline(s, nDocs)).minBy(_._2)
   }
 
@@ -96,7 +96,10 @@ object Bench {
     */
   private def measure(s: SparkSession, scaleDocs: Long,
                       reps: Int): (Long, Double) = {
-    pipeline(s, 5000L)
+    // a 5k-doc warmup barely touches executor JIT: the first big run was
+    // measured 2-3x slower than the second purely from compilation — warm
+    // with ~1/12 of the real load so every measured rep is steady-state
+    pipeline(s, math.max(5000L, scaleDocs / 12))
     (1 to reps).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
   }
 
