@@ -63,10 +63,10 @@ object Bench {
   // one seeded reference-dims pack per session (navec 250K x 300d x 100q,
   // CNN [256,128,64] — the honest production-FLOPs workload)
   private val refPackCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      org.apache.spark.broadcast.Broadcast[graft.pack.ModelPack]]()
+    new graft.runtime.SessionCache[
+      org.apache.spark.broadcast.Broadcast[graft.pack.ModelPack]]
   private def refPackBc(s: SparkSession) =
-    refPackCache.computeIfAbsent(s,
+    refPackCache.getOrUpdate(s)(
       ss => ss.sparkContext.broadcast(graft.pack.SynthPack.buildRandom()))
 
   /** NLP inference at production model dims: returns (sentences, seconds).

@@ -26,7 +26,7 @@ object InteropDump {
     val parsed = sents.zipWithIndex.map { case (t, i) =>
       Pipeline.inferBatch(Seq(SentRow(s"d$i", 0, 0, 0, t.length, t)), pack).head
     }
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def js(s: String) = graft.text.Json.quote(s)
     val ner = parsed.map(p => p.nerSpans.map(sp =>
       s"[${sp.start}, ${sp.stop}, ${js(sp.tpe)}]").mkString("[", ", ", "]"))
     val morph = parsed.map(p => p.morph.map(m =>

@@ -20,9 +20,9 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   // one broadcast pack per SparkSession (pinned model state for executors)
-  private val packCache = new java.util.concurrent.ConcurrentHashMap[SparkSession, Broadcast[ModelPack]]()
+  private val packCache = new graft.runtime.SessionCache[Broadcast[ModelPack]]
   def packBc(s: SparkSession): Broadcast[ModelPack] =
-    packCache.computeIfAbsent(s, ss => ss.sparkContext.broadcast(SynthPack.build()))
+    packCache.getOrUpdate(s)(ss => ss.sparkContext.broadcast(SynthPack.build()))
 
   /** Parsed Russian corpus (full NLP inference) for a test dir. */
   def parsed(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.nlp.ParsedSent] =
@@ -314,9 +314,9 @@ object SparkEntry {
         sh AS (
           SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END) AS u
           FROM bits GROUP BY 1)
-        SELECT doc_id,
-          (u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS simhash
-        FROM sh""",
+        SELECT d.doc_id,
+          coalesce((u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT, 0) AS simhash
+        FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id""",
       "q_fp_poly" -> """
         SELECT doc_id,
           (u - CASE WHEN u >= 9223372036854775808::HUGEINT THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS poly_fp

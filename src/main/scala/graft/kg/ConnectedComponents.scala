@@ -81,15 +81,23 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
 
-      // converged when the edge set is stable (size + content hash)
-      val oldSig = e.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v"))), lit(0L)))
-        .first()
-      val newSig = small.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v"))), lit(0L)))
-        .first()
-      converged = oldSig == newSig
+      // converged when the edge set is stable: size + order-insensitive
+      // 64-bit content hash (xxhash64 XOR-fold: overflow-free under ANSI,
+      // sound because the edge set is distinct; a 32-bit hash sum over
+      // large edge sets had a real collision-driven false-convergence risk)
+      def sig(df: DataFrame) =
+        df.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      converged = sig(e) == sig(small)
       e = small
       iter += 1
     }
+    // a silently non-converged mapping would merge/split entities wrongly
+    // downstream — refuse to return one (25 alternating rounds covers any
+    // realistic graph; O(log n) convergence per Kiveris et al.)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
 
     vertices.select(col("id"))
       .join(e.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")

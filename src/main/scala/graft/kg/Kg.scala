@@ -261,14 +261,13 @@ object Kg {
     * solves it driver-side; cached per session (dict-derived, reusable
     * across buckets and queries).
     */
-  private val canonCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private val canonCache = new graft.runtime.SessionCache[DataFrame]
   def canonicalMap(spark: SparkSession): DataFrame =
-    canonCache.computeIfAbsent(spark, s => {
+    canonCache.getOrUpdate(spark) { s =>
       val edges = aliasEdges(s)
       val vertices = aliasDf(s).select(col("entity_id").as("id")).distinct()
       ConnectedComponents.runAdaptive(edges, vertices).cache()
-    })
+    }
 
   /** alias -> canonical entity id, composed at the driver: the per-alias
     * representative (min entity) remapped through the connected-component
@@ -276,17 +275,16 @@ object Kg {
     * instead of four (link probe + canonical probe per side) — the join
     * probes were the top CPU frame once inference went zero-alloc.
     */
-  private val aliasCanonCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private val aliasCanonCache = new graft.runtime.SessionCache[DataFrame]
   def aliasCanonicalDf(spark: SparkSession): DataFrame =
-    aliasCanonCache.computeIfAbsent(spark, s => {
+    aliasCanonCache.getOrUpdate(spark) { s =>
       val rep = aliasDf(s).groupBy("alias").agg(min("entity_id").as("entity_id"))
       val cm = canonicalMap(s)
       rep.join(cm, col("entity_id") === col("id"), "left")
         .select(col("alias"),
           coalesce(col("component"), col("entity_id")).as("canonical_id"))
         .cache()
-    })
+    }
 
   /** link + canonicalize fused: identical output to
     * `canonicalize(spark, link(spark, triples))` (the composition

@@ -194,6 +194,12 @@ final case class ModelPack(
     morph: MorphModel,
     syntax: SyntaxModel
 ) extends Serializable {
+  // fail fast on corrupt/foreign packs: a missing <unk>/<pad> would
+  // otherwise surface as a negative array index deep in embedding lookup
+  // on an executor (shape vocab is closed-class — it needs only <pad>)
+  require(wordVocab.unkId >= 0 && wordVocab.padId >= 0,
+    s"word vocab must contain ${Vocab.UNK} and ${Vocab.PAD}")
+  require(shapeVocab.padId >= 0, s"shape vocab must contain ${Vocab.PAD}")
   /** tag id -> (pos, feats) parsed once per executor — morph tagsets are
     * tiny, so sharing the Map objects avoids a per-token allocation storm
     * at 32 threads (conll.py:14-23 parse, hoisted).

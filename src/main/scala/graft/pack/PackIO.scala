@@ -59,17 +59,18 @@ object PackIO {
 
   def readVocab(path: File): Vocab = {
     val in = new GZIPInputStream(new BufferedInputStream(new FileInputStream(path)))
-    try Vocab(new String(in.readAllBytes(), "UTF-8").split("\n", -1))
-    finally in.close()
+    // writeVocab emits no trailing newline, but a hand-built or
+    // reference-written file may (dump_gz_lines) — never let it become a
+    // phantom empty vocab item
+    try {
+      val items = new String(in.readAllBytes(), "UTF-8").split("\n", -1)
+      Vocab(if (items.nonEmpty && items.last.isEmpty) items.init else items)
+    } finally in.close()
   }
 
   // ---------- JSON (hand-rolled: flat schema, zero deps) ----------
 
-  private def jq(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  private def jq(s: String): String = graft.text.Json.quote(s)
 
   // ---------- tar container (the reference's shipping format) ----------
 
@@ -102,6 +103,19 @@ object PackIO {
 
   /** Dump the pack: navec arrays stripped into their own dir. */
   def dump(pack: ModelPack, dir: String): Unit = {
+    // this flat layout stores ONE embedding (ner's) that load() re-shares
+    // across all three task models — packs whose trunks carry distinct
+    // embeddings (possible via SlovnetPack.assemble on real released tars)
+    // would be silently corrupted; such packs must round-trip through
+    // SlovnetPack.dumpAll instead, which keeps per-task embeddings
+    def sameEmb(b: graft.kernel.WordShapeEmbedding): Boolean =
+      ((pack.ner.emb.word eq b.word) ||
+        (java.util.Arrays.equals(pack.ner.emb.word.indexes, b.word.indexes) &&
+          java.util.Arrays.equals(pack.ner.emb.word.codes, b.word.codes))) &&
+        java.util.Arrays.equals(pack.ner.emb.shape.weight, b.shape.weight)
+    require(pack.sharedEmb || (sameEmb(pack.morph.emb) && sameEmb(pack.syntax.emb)),
+      "PackIO.dump requires one shared embedding across trunks; " +
+        "use SlovnetPack.dumpAll for packs with per-task embeddings")
     val root = new File(dir)
     new File(root, "arrays").mkdirs()
     new File(root, "vocabs").mkdirs()

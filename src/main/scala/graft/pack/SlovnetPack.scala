@@ -189,6 +189,16 @@ object SlovnetPack {
     val shared = ner.model.emb
     val sameVocab = ner.words.items.sameElements(morph.words.items) &&
       ner.words.items.sameElements(syntax.words.items)
+    // the fused pipeline encodes word/shape ids ONCE (with ner's vocabs)
+    // for all three trunks — packs exported against different vocabs would
+    // silently index the wrong embedding rows, so refuse them up front
+    require(sameVocab,
+      "assemble: the three packs must share one word vocab (fused encoding); " +
+        s"sizes ner=${ner.words.items.length} morph=${morph.words.items.length} " +
+        s"syntax=${syntax.words.items.length}")
+    require(ner.shapes.items.sameElements(morph.shapes.items) &&
+      ner.shapes.items.sameElements(syntax.shapes.items),
+      "assemble: the three packs must share one shape vocab (fused encoding)")
     def share(m: graft.kernel.WordShapeEmbedding): graft.kernel.WordShapeEmbedding = {
       if (!sameVocab) return m
       val sameWord = (m.word eq shared.word) ||

@@ -14,15 +14,18 @@ import graft.corpus.RuCorpus.{AC, M, N, R, SC, WordInfo}
   * argmax / biaffine decode) reproduces the dictionary-planted classes
   * exactly:
   *
-  *  - each word's navec code stores 12 bits:
-  *    dims 0-2 NER tag id, 3-7 morph tag id, 8 is-verb, 9-11 rel id;
+  *  - each word's navec code stores 18 bits (see [[wordBits]], the truth):
+  *    bits 0-2 NER tag id, 3-7 morph tag id, 8-11 rel id, 12-14 the word's
+  *    self attachment class (SC), 15-17 the attachment class it accepts as
+  *    a dependent (AC) — class semantics in RuCorpus;
   *  - conv layers are center-tap passthroughs selecting the per-task dims,
   *    batchnorm is identity, CRF transitions are zero (Viterbi = per-token
   *    argmax), projections are Hamming decoders
   *    (logit_t = sum_k (2 c_tk - 1) b_k - |c_t|, max 0 iff b == c_t);
-  *  - the biaffine arc scorer computes
-  *    score(i,j) = isVerb_j + isVerb_i * (2*isRoot_j - isVerb_j), whose
-  *    masked argmax is: verbs head to ROOT, everything else to the verb.
+  *  - the biaffine arc scorer is a CLASS MATCHER: score(i,j) = 1 iff
+  *    selfCls(j) == attCls(i) — token i attaches to the unique candidate
+  *    whose self class is the one i accepts (ROOT pseudo-node for root
+  *    tokens) — reproducing the planted tree under masked argmax.
   *
   * This makes the distributed pipeline exactly verifiable against the
   * planted annotations with the full kernel stack exercised.
