@@ -128,7 +128,8 @@ class KernelSpec extends AnyFunSuite {
     // shapes hit: 4-vector tiles, 1-vector tiles, scalar column tails,
     // odd final row, k%4 remainders, tiny-n
     for ((m, k, n) <- Seq((5, 7, 3), (2, 990, 256), (3, 768, 128), (7, 33, 65),
-                          (1, 5, 17), (4, 384, 64), (9, 13, 100), (2, 4, 130))) {
+                          (1, 5, 17), (4, 384, 64), (9, 13, 100), (2, 4, 130),
+                          (6, 50, 96), (8, 990, 256), (5, 7, 40))) {
       val a = Array.fill(m * k)(rnd.nextFloat() * 2 - 1)
       val b = Array.fill(k * n)(rnd.nextFloat() * 2 - 1)
       val o1 = new Array[Float](m * n)
