@@ -17,12 +17,30 @@ object InteropDump {
     val pack = SynthPack.build()
     SlovnetPack.dumpAll(pack, new File(out))
 
+    // Keep in lockstep with tools/check_slovnet_interop.py `sents`.
     val sents = Seq(
       "Иван Петров купил завод в Москве.",
       "«Газпром» открыл филиал.",
       "директор Газпрома возглавил проект.",
       "Анна Иванова — лидер.",
-      "Олег Смирнов, банкир, создал сервис.")
+      "Олег Смирнов, банкир, создал сервис.",
+      "А. С. Пушкин родился в Москве.",
+      "Встреча прошла 8 марта 2020 г. в Казани.",
+      "Выручка выросла на 5,3% до 1.5 млрд руб.",
+      "Кружка-термос на 0.5л (50/64 см³, 516;...)",
+      "Офис на ул. Тверской открыт с 9:00.",
+      "Музей им. Пушкина закрыт на ремонт.",
+      "COVID-19 изменил планы «Аэрофлота».",
+      "Самолёт Ту-154 совершил посадку.",
+      "Он сказал: «Всё хорошо». Потом ушёл.",
+      "Что это?! Не знаю...",
+      "Ростов-на-Дону принял форум IT-специалистов.",
+      "Температура достигла 25°C днём.",
+      "См. табл. 2 на стр. 10.",
+      "Цена — 100$ за м².",
+      "Пётр Волков и т. д. посетили музей.",
+      "1. Первый пункт повестки.",
+      "Яндекс запустил сервис e-mail рассылок.")
     val parsed = sents.zipWithIndex.map { case (t, i) =>
       Pipeline.inferBatch(Seq(SentRow(s"d$i", 0, 0, 0, t.length, t)), pack).head
     }

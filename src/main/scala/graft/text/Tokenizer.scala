@@ -2,40 +2,74 @@ package graft.text
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Rule-based word tokenizer and sentence splitter.
+/** Rule-based word tokenizer and sentence splitter with razdel-equivalent
+  * architecture.
   *
-  * Re-creates the observable behavior of the reference's tokenize/sentenize
-  * wrappers (reference: slovnet/token.py:11-17, slovnet/sent.py:13-30, which
-  * delegate to the razdel segmenter). Behavior pinned by the reference's own
-  * test fixtures (tests/test_shape.py:14-43):
-  *   - letter runs and digit runs are separate atoms ("105г." -> 105 | г | .)
-  *   - word-dash-word atoms join ("ИЛ-2", "Pal-Yz", "Я-ДаА" are one token)
-  *   - digit,digit / digit.digit join into one numeric token ("3,5")
-  *   - adjacent dash/dot/terminal punct of the joinable class runs join
-  *     ("-‐" is one token, "..." is one token); other punct is one char each
+  * The reference delegates both to the `razdel` package (reference:
+  * slovnet/token.py:11-17, slovnet/sent.py:13-30). razdel (natasha/razdel,
+  * MIT, public) segments by (1) splitting text into typed ATOMS —
+  * RU `[а-яё]+`, LAT `[a-z]+` (case-insensitive), INT `\d+`, PUNCT (single
+  * punct char), OTHER (any other non-space char) — then (2) running a rule
+  * pipeline over each split between adjacent atoms: atoms separated by
+  * whitespace always split; adjacent atoms join when a rule fires:
+  *   - dash rule ("2112"): `a-b` joins when neither side of the dash is
+  *     punctuation ("по-моему", "ИЛ-2", "2011-2020", "Pal-Yz")
+  *   - underscore rule: same for `_` ("a_b")
+  *   - float rule: INT `.`/`,` INT joins ("3,5", "1.2.3")
+  *   - fraction rule: INT `/`/`\` INT joins ("50/64")
+  *   - punct-pair rule: runs of sentence endings join ("...", "?!", "?.."),
+  *     runs of dashes join ("--", "-‐"), runs of `*` join; any other
+  *     punct-punct pair splits
+  *   - other rule: OTHER atoms join with adjacent letters/OTHER ("см³")
+  * This file re-implements that contract from the public razdel repo's
+  * documented behavior and README goldens — NOT a code translation; the
+  * hot loop is allocation-free packed-long atoms, no regex.
+  *
+  * Sentence splitting follows razdel's sentenize architecture: candidate
+  * boundaries at sentence-ending runs `[.?!…]+` plus trailing closing
+  * quotes/brackets; a boundary is suppressed (JOIN) when — no whitespace
+  * follows; the next word starts lowercase; the next char cannot start a
+  * sentence (`,;:)]»`); a single dot follows an initial ("А. С. Пушкин"),
+  * a known abbreviation ("1990 г.", "ул. Ленина"), or a line-leading list
+  * number ("1. Пункт"). Completed abbreviation pairs ("и т. д. И затем")
+  * DO split before a capital, matching razdel's README golden.
   */
 object Tokenizer {
 
-  private def isWordChar(c: Char): Boolean =
-    Character.isLetter(c) || c == '_'
-  private def isDigit(c: Char): Boolean = Character.isDigit(c)
-  // joinable punct runs: dashes, dots, ellipsis, terminals
-  // (String.indexOf, not Set[Char] — avoids a Character box per lookup)
-  private final val JoinPunctS = "-‐−‒⁃–—―.…!?"
-  @inline private def isJoinPunct(c: Char): Boolean = JoinPunctS.indexOf(c) >= 0
-  private final val DashS = "-‐−‒⁃–—―"
-  @inline private def isDash(c: Char): Boolean = DashS.indexOf(c) >= 0
+  // ---- atom classes (razdel tokenize.py ATOM regex equivalent) ----
+  final val RU = 0; final val LAT = 1; final val INT = 2
+  final val PUNCT = 3; final val OTHER = 4
 
-  // Atoms packed into one Long each — (start << 34) | (stop << 4) | kind,
-  // kind: 0=word 1=digits 2=other char. Avoids a Tuple3 + 3 boxed Ints per
-  // atom in the hottest loop of the engine (tens of millions of atoms).
+  private final val Dashes = "-‐‑‒–—―−"
+  private final val Quotes = "\"'«»„“”‘’`"
+  private final val Brackets = "()[]{}"
+  private final val PunctMisc = "\\/!#$%&*+,.:;<=>?@^|~№…_"
+  private final val Endings = ".?!…"
+  // closing quotes/brackets that stay with the left sentence
+  private final val Closers = "»\"'”’)]"
+  // chars that open a sentence-leading quote/bracket
+  private final val Openers = "«\"'“‘([{"
+
+  @inline private def isRuChar(c: Char): Boolean =
+    (c >= 'а' && c <= 'я') || (c >= 'А' && c <= 'Я') || c == 'ё' || c == 'Ё'
+  @inline private def isLatChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDash(c: Char): Boolean = Dashes.indexOf(c) >= 0
+  @inline private def isPunctChar(c: Char): Boolean =
+    isDash(c) || PunctMisc.indexOf(c) >= 0 || Quotes.indexOf(c) >= 0 ||
+      Brackets.indexOf(c) >= 0
+  @inline private def isEnding(c: Char): Boolean = Endings.indexOf(c) >= 0
+
+  // Atoms packed into one Long each — (start << 34) | (stop << 4) | kind.
+  // Avoids a case class + boxed Ints per atom in the hottest loop of the
+  // engine (tens of millions of atoms).
   private def pk(start: Int, stop: Int, kind: Int): Long =
     (start.toLong << 34) | (stop.toLong << 4) | kind
   @inline private def pkStart(a: Long): Int = (a >>> 34).toInt
   @inline private def pkStop(a: Long): Int = ((a >>> 4) & 0x3fffffffL).toInt
   @inline private def pkKind(a: Long): Int = (a & 0xfL).toInt
 
-  /** Split into packed atoms; returns (array, count). */
+  /** Split into packed typed atoms; returns (array, count). */
   private def atoms(text: String): (Array[Long], Int) = {
     var out = new Array[Long](math.max(8, text.length / 4))
     var m = 0
@@ -48,20 +82,71 @@ object Tokenizer {
     while (i < n) {
       val c = text.charAt(i)
       if (Character.isWhitespace(c)) { i += 1 }
-      else if (isWordChar(c)) {
+      else if (isRuChar(c)) {
         val s = i
-        while (i < n && isWordChar(text.charAt(i))) i += 1
-        push(pk(s, i, 0))
-      } else if (isDigit(c)) {
+        while (i < n && isRuChar(text.charAt(i))) i += 1
+        push(pk(s, i, RU))
+      } else if (isLatChar(c)) {
         val s = i
-        while (i < n && isDigit(text.charAt(i))) i += 1
-        push(pk(s, i, 1))
+        while (i < n && isLatChar(text.charAt(i))) i += 1
+        push(pk(s, i, LAT))
+      } else if (Character.isDigit(c)) {
+        val s = i
+        while (i < n && Character.isDigit(text.charAt(i))) i += 1
+        push(pk(s, i, INT))
       } else {
-        push(pk(i, i + 1, 2))
+        push(pk(i, i + 1, if (isPunctChar(c)) PUNCT else OTHER))
         i += 1
       }
     }
     (out, m)
+  }
+
+  /** Is atom `a` the single character `c`? */
+  @inline private def isCharAtom(text: String, a: Long, pred: Char => Boolean): Boolean =
+    pkStop(a) == pkStart(a) + 1 && pred(text.charAt(pkStart(a)))
+
+  /** 2112-style rule: when one side of the split IS the delimiter atom,
+    * test the atoms on either side of the delimiter (razdel Rule2112;
+    * context atoms need not be adjacent — matches razdel).
+    * Returns 1=JOIN, 0=no opinion.
+    */
+  private def rule2112(text: String, as: Array[Long], m: Int, li: Int, ri: Int,
+                       isDelim: Char => Boolean, bothInt: Boolean): Int = {
+    var lk = -1; var rk = -1
+    if (isCharAtom(text, as(li), isDelim)) { // delimiter on the left of split
+      if (li - 1 >= 0) { lk = pkKind(as(li - 1)); rk = pkKind(as(ri)) }
+    } else if (isCharAtom(text, as(ri), isDelim)) { // delimiter on the right
+      if (ri + 1 < m) { lk = pkKind(as(li)); rk = pkKind(as(ri + 1)) }
+    }
+    if (lk < 0) 0
+    else if (bothInt) { if (lk == INT && rk == INT) 1 else 0 }
+    else { if (lk != PUNCT && rk != PUNCT) 1 else 0 }
+  }
+
+  /** Decide JOIN for the split between adjacent atoms li and ri. */
+  private def joins(text: String, as: Array[Long], m: Int, li: Int, ri: Int): Boolean = {
+    // dash rule: word-dash-word compounds ("по-моему", "ИЛ-2", "2011-2020").
+    // razdel's DashRule scoped to letters; widened to INT sides for
+    // letter-digit compounds per the reference's own shape fixtures
+    // (tests/test_shape.py "ИЛ-2" is one word).
+    var r = rule2112(text, as, m, li, ri, isDash, bothInt = false)
+    if (r == 0) r = rule2112(text, as, m, li, ri, _ == '_', bothInt = false)
+    if (r == 0) r = rule2112(text, as, m, li, ri,
+      c => c == '.' || c == ',', bothInt = true) // float
+    if (r == 0) r = rule2112(text, as, m, li, ri,
+      c => c == '/' || c == '\\', bothInt = true) // fraction
+    if (r != 0) return r > 0
+    val lk = pkKind(as(li)); val rk = pkKind(as(ri))
+    if (lk == PUNCT && rk == PUNCT) {
+      val cl = text.charAt(pkStart(as(li))); val cr = text.charAt(pkStart(as(ri)))
+      return (isEnding(cl) && isEnding(cr)) || (isDash(cl) && isDash(cr)) ||
+        (cl == '*' && cr == '*')
+    }
+    // other rule: unknown symbols glue to adjacent letters ("см³")
+    if (lk == OTHER && (rk == OTHER || rk == RU || rk == LAT)) return true
+    if ((lk == OTHER || lk == RU || lk == LAT) && rk == OTHER) return true
+    false
   }
 
   /** Tokenize one text into char-offset tokens. */
@@ -72,34 +157,12 @@ object Tokenizer {
     while (i < m) {
       val s = pkStart(as(i))
       var e = pkStop(as(i))
-      val k = pkKind(as(i))
-      if (k == 0 || k == 1) {
-        // join word(-word)* and digit([.,]digit|-digit)* chains; atoms must be adjacent
-        var done = false
-        while (!done && i + 2 < m) {
-          val ms = pkStart(as(i + 1)); val me = pkStop(as(i + 1)); val mk = pkKind(as(i + 1))
-          val rs = pkStart(as(i + 2)); val re = pkStop(as(i + 2)); val rk = pkKind(as(i + 2))
-          val midChar = if (mk == 2) text.charAt(ms) else ' '
-          val joinableMid =
-            (mk == 2 && me == ms + 1) &&
-              (isDash(midChar) || (k == 1 && rk == 1 && (midChar == '.' || midChar == ',')))
-          if (joinableMid && ms == e && rs == me && (rk == 0 || rk == 1)) {
-            e = re
-            i += 2
-          } else done = true
-        }
-        out += Token(s, e, text.substring(s, e))
-      } else {
-        // punct: join runs of joinable punct chars
-        if (isJoinPunct(text.charAt(s))) {
-          while (i + 1 < m && pkKind(as(i + 1)) == 2 && pkStart(as(i + 1)) == e &&
-                 isJoinPunct(text.charAt(pkStart(as(i + 1))))) {
-            e = pkStop(as(i + 1))
-            i += 1
-          }
-        }
-        out += Token(s, e, text.substring(s, e))
+      // join next atoms while adjacent (no whitespace) and a rule fires
+      while (i + 1 < m && pkStart(as(i + 1)) == e && joins(text, as, m, i, i + 1)) {
+        i += 1
+        e = pkStop(as(i))
       }
+      out += Token(s, e, text.substring(s, e))
       i += 1
     }
     out.toArray
@@ -107,29 +170,40 @@ object Tokenizer {
 
   def textWords(text: String): Array[String] = tokenize(text).map(_.text)
 
-  @inline private def isSentEnd(c: Char): Boolean =
-    c == '.' || c == '!' || c == '?' || c == '…'
+  // ---- sentence splitting (razdel sentenize architecture) ----
 
-  /** Common Russian abbreviations a single dot does NOT end a sentence
-    * after (razdel's behavior on its fixture corpora: "т.д.", "г.",
-    * "105 г.", "ул. Ленина"). Lowercased; single Cyrillic/Latin letters are
-    * handled separately as initials ("А. С. Пушкин").
+  /** Abbreviations a single trailing dot does not terminate a sentence
+    * after, even before a capital (razdel sokr.py-style sets, curated for
+    * Russian news text). Tail sokrs attach to the preceding number/word
+    * ("1990 г.", "5 млн руб."); head sokrs attach to the following word
+    * ("ул. Ленина", "им. Пушкина"). Single-letter pair sokrs ("т. д.")
+    * are NOT here: inside a pair the lowercase-right rule joins, and after
+    * a completed pair razdel splits before a capital (README golden
+    * "И т. д. и т. п. В общем" splits before "В").
     */
-  private val Abbrevs: java.util.HashSet[String] = {
+  private val JoinSokrs: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    Seq("т", "д", "п", "г", "гг", "вв", "млн", "млрд", "тыс", "руб", "коп",
-      "см", "мм", "км", "кг", "га", "им", "ул", "просп", "пр", "пл", "наб",
-      "стр", "корп", "обл", "респ", "тел", "англ", "рус", "лат", "греч",
-      "др", "проч", "ср", "напр", "т.е", "т.д", "т.п", "n", "no",
-      "vol", "p", "pp", "св", "акад", "проф", "доц", "канд", "ст", "рис",
-      "табл", "гл", "разд", "изд", "ред", "сост", "пер").foreach(s.add)
+    Seq(
+      // tail: units, money, time, dates
+      "г", "гг", "в", "вв", "млн", "млрд", "тыс", "руб", "коп", "долл",
+      "евро", "кг", "км", "см", "мм", "га", "ч", "мин", "сек", "л", "чел",
+      "экз", "шт", "стр", "таб", "н", "э",
+      // head: address/citation/title abbreviations
+      "ул", "пер", "просп", "пр", "пл", "наб", "обл", "респ", "гор", "пос",
+      "дер", "им", "акад", "проф", "доц", "канд", "св", "гл", "ст", "рис",
+      "табл", "илл", "разд", "изд", "ред", "сост", "тел", "факс", "англ",
+      "рус", "лат", "греч", "нем", "фр", "ит", "исп", "др", "проч", "ср",
+      "напр", "зав", "зам", "деп", "чл", "корр",
+      // latin citation abbreviations
+      "vol", "p", "pp", "no", "n", "fig", "eq", "et", "al", "etc", "e", "i",
+      "cf", "ca").foreach(s.add)
     s
   }
 
+  @inline private def isSentEnd(c: Char): Boolean = isEnding(c)
+
   /** Sentence splitter: first split hard lines (slovnet/sent.py:13-18 regex
-    * `[^\r\n]+`), then within a line split after terminal punct followed by
-    * whitespace + an uppercase/digit start (razdel-like heuristic;
-    * abbreviation handling scoped to our deterministic corpora).
+    * `[^\r\n]+`), then razdel-style boundary rules within each line.
     */
   def sentenize(text: String): Array[Sent] = {
     val out = new ArrayBuffer[Sent]
@@ -153,36 +227,73 @@ object Tokenizer {
     while (i < le) {
       val c = text.charAt(i)
       if (isSentEnd(c)) {
-        // consume the full terminal run (e.g. "?!", "...")
+        // consume the full ending run ("...", "?!", "?..")
         var j = i + 1
         while (j < le && isSentEnd(text.charAt(j))) j += 1
-        // a SINGLE dot after an initial ("А. С. Пушкин") or a known
-        // abbreviation ("т.", "ул.", "105 г.") is not a terminal
-        val abbrevDot = c == '.' && j == i + 1 && {
-          var ws = i
-          while (ws > ls && (Character.isLetter(text.charAt(ws - 1)) ||
-            text.charAt(ws - 1) == '.')) ws -= 1
-          val w = text.substring(ws, i).stripPrefix(".")
-          (w.length == 1 && Character.isLetter(w.charAt(0)) &&
-            Character.isUpperCase(w.charAt(0))) ||
-            Abbrevs.contains(w.toLowerCase(java.util.Locale.ROOT))
-        }
-        // closing quotes/brackets stay with the sentence
-        while (j < le && "»\")]".contains(text.charAt(j))) j += 1
-        // boundary if followed by whitespace then an upper-case/digit start
-        var k = j
+        // closing quotes/brackets stay with the left sentence
+        var close = j
+        while (close < le && Closers.indexOf(text.charAt(close)) >= 0) close += 1
+        // next non-space char
+        var k = close
         while (k < le && Character.isWhitespace(text.charAt(k))) k += 1
-        val boundary = !abbrevDot && (k == le ||
-          (k > j && (Character.isUpperCase(text.charAt(k)) ||
-            Character.isDigit(text.charAt(k)) || "«\"([".contains(text.charAt(k)))))
-        if (boundary) {
-          emit(text, s, j, out)
+        val singleDot = c == '.' && j == i + 1
+        var join = false
+        if (close < le && k == close) join = true // no whitespace after → mid-token
+        else if (k < le) {
+          val nc = text.charAt(k)
+          if (Character.isLetter(nc) && Character.isLowerCase(nc)) join = true
+          else if (",;:".indexOf(nc) >= 0 || Closers.indexOf(nc) >= 0) join = true
+          else if (isDash(nc)) {
+            // speech attribution continues the sentence («Кто?» — спросил
+            // он), while a dash opening new direct speech splits (razdel
+            // README: `- "Не ра-ду-ют".` starts a new sentence)
+            var k3 = k + 1
+            while (k3 < le && Character.isWhitespace(text.charAt(k3))) k3 += 1
+            if (k3 < le && Character.isLetter(text.charAt(k3)) &&
+              Character.isLowerCase(text.charAt(k3))) join = true
+          }
+        }
+        if (!join && singleDot) join = abbrevBeforeDot(text, ls, i)
+        if (join) i = j
+        else {
+          emit(text, s, close, out)
           s = k
           i = k
-        } else i = j
+        }
       } else i += 1
     }
     if (s < le) emit(text, s, le, out)
+  }
+
+  /** Is the single dot at `dot` preceded by an initial, a known
+    * abbreviation, or a line-leading list number?
+    */
+  private def abbrevBeforeDot(text: String, ls: Int, dot: Int): Boolean = {
+    var ws = dot
+    while (ws > ls && Character.isLetter(text.charAt(ws - 1))) ws -= 1
+    if (ws < dot) {
+      // letters immediately before the dot
+      if (dot - ws == 1 && Character.isUpperCase(text.charAt(ws)))
+        return true // initial: "А. С. Пушкин"
+      // pair sokr completion splits ("т. д. И"): the single letter must be
+      // preceded by "<letter>." to count as a completed pair — single
+      // letters are otherwise not in JoinSokrs, so fall through to the set
+      val w = text.substring(ws, dot).toLowerCase(java.util.Locale.ROOT)
+      return JoinSokrs.contains(w)
+    }
+    // digits before the dot: list item "1. Пункт" only at line start
+    var ds = dot
+    while (ds > ls && Character.isDigit(text.charAt(ds - 1))) ds -= 1
+    if (ds < dot) {
+      var p = ls
+      while (p < ds) {
+        val pc = text.charAt(p)
+        if (!Character.isWhitespace(pc) && Openers.indexOf(pc) < 0) return false
+        p += 1
+      }
+      return true
+    }
+    false
   }
 
   private def emit(text: String, s0: Int, e0: Int, out: ArrayBuffer[Sent]): Unit = {

@@ -90,16 +90,36 @@ class TokenizerSpec extends AnyFunSuite {
       assert(text.substring(s.start, s.stop) == s.text)
   }
 
-  test("razdel-parity fixture table (tokenize), 50+ cases") {
-    // sources: reference tests/test_shape.py:14-51 word classes, README
-    // examples, and razdel's documented conventions on initials,
+  test("razdel README tokenize golden") {
+    // razdel README's own example (public, natasha/razdel):
+    // 'Кружка-термос на 0.5л (50/64 см³, 516;...)'
+    val got = Tokenizer.tokenize("Кружка-термос на 0.5л (50/64 см³, 516;...)")
+    assert(got.map(_.text).toSeq == Seq(
+      "Кружка-термос", "на", "0.5", "л", "(", "50/64", "см³", ",",
+      "516", ";", "...", ")"))
+    assert(got.map(t => (t.start, t.stop)).toSeq == Seq(
+      (0, 13), (14, 16), (17, 20), (20, 21), (22, 23), (23, 28), (29, 32),
+      (32, 33), (34, 37), (37, 38), (38, 41), (41, 42)))
+  }
+
+  test("razdel README sentenize golden") {
+    val text = "- \"Так в чем же дело?\" - \"Не ра-ду-ют\".\n" +
+      "И т. д. и т. п. В общем, вся газета"
+    assert(Tokenizer.sentenize(text).map(_.text).toSeq == Seq(
+      "- \"Так в чем же дело?\"", "- \"Не ра-ду-ют\".",
+      "И т. д. и т. п.", "В общем, вся газета"))
+  }
+
+  test("razdel-parity fixture table (tokenize), 100+ cases") {
+    // sources: reference tests/test_shape.py:14-51 word classes, razdel
+    // README examples, and razdel's documented conventions on initials,
     // abbreviations, digit+unit, hyphen compounds, numeric formats
     val table: Seq[(String, Seq[String])] = Seq(
       // digit/letter splits and units
       "105г." -> Seq("105", "г", "."),
       "105 г." -> Seq("105", "г", "."),
       "10кг" -> Seq("10", "кг"),
-      "XXIвек" -> Seq("XXIвек"), // roman numerals are letters
+      "XXIвек" -> Seq("XXI", "век"), // razdel atoms split at script change
       "5-й" -> Seq("5-й"),
       "70-х" -> Seq("70-х"),
       "2011-2020" -> Seq("2011-2020"),
@@ -154,16 +174,97 @@ class TokenizerSpec extends AnyFunSuite {
       "123слово" -> Seq("123", "слово"),
       "e-mail" -> Seq("e-mail"),
       "сумма=100" -> Seq("сумма", "=", "100"),
-      "a_b" -> Seq("a_b"), // underscore is a word char (\w)
+      "a_b" -> Seq("a_b"), // underscore joins via the underscore rule
       "Привет, мир!" -> Seq("Привет", ",", "мир", "!"),
-      "«Яндекс»!" -> Seq("«", "Яндекс", "»", "!"))
+      "«Яндекс»!" -> Seq("«", "Яндекс", "»", "!"),
+      // fractions (razdel FractionRule)
+      "50/64" -> Seq("50/64"),
+      "1/2" -> Seq("1/2"),
+      "3\\4" -> Seq("3\\4"),
+      "а/б" -> Seq("а", "/", "б"), // letters do not join across slash
+      "км/ч" -> Seq("км", "/", "ч"),
+      "и/или" -> Seq("и", "/", "или"),
+      // floats with units (razdel README: 0.5л -> 0.5 | л)
+      "0.5л" -> Seq("0.5", "л"),
+      "2,5кг" -> Seq("2,5", "кг"),
+      "1.000.000" -> Seq("1.000.000"),
+      "01.02.2020" -> Seq("01.02.2020"),
+      "12:30" -> Seq("12", ":", "30"),
+      // OTHER symbols glue to adjacent letters (razdel other rule)
+      "см³" -> Seq("см³"),
+      "м²" -> Seq("м²"),
+      "градусы°" -> Seq("градусы°"),
+      "°C" -> Seq("°C"),
+      "§5" -> Seq("§", "5"), // OTHER does not glue to digits
+      "C™" -> Seq("C™"),
+      // mixed-script words split at the script boundary (razdel atoms)
+      "Яndex" -> Seq("Я", "ndex"),
+      "IT-специалист" -> Seq("IT-специалист"),
+      "COVID-19" -> Seq("COVID-19"),
+      "МиГ-29" -> Seq("МиГ-29"),
+      "Ту-154" -> Seq("Ту-154"),
+      "Боинг-737" -> Seq("Боинг-737"),
+      // multi-dash chains
+      "Ростов-на-Дону" -> Seq("Ростов-на-Дону"),
+      "жар-птица" -> Seq("жар-птица"),
+      "ванька-встанька" -> Seq("ванька-встанька"),
+      "north-east-west" -> Seq("north-east-west"),
+      // en/em dashes join words the same as hyphens when adjacent
+      "сло–во" -> Seq("сло–во"),
+      "сло—во" -> Seq("сло—во"),
+      // spaced dashes never join
+      "слово — слово" -> Seq("слово", "—", "слово"),
+      "5 - 6" -> Seq("5", "-", "6"),
+      "5-6" -> Seq("5-6"),
+      // punct-pair joins and splits
+      "?.." -> Seq("?.."),
+      "!!!" -> Seq("!!!"),
+      "???" -> Seq("???"),
+      "…" -> Seq("…"),
+      ".…" -> Seq(".…"),
+      "--" -> Seq("--"),
+      "**" -> Seq("**"),
+      ",." -> Seq(",", "."),
+      ".,," -> Seq(".", ",", ","),
+      ":)" -> Seq(":", ")"),
+      ")(" -> Seq(")", "("),
+      "«!»" -> Seq("«", "!", "»"),
+      // money / percent / ids
+      "100$" -> Seq("100", "$"),
+      "€50" -> Seq("€", "50"), // € is OTHER; does not glue to digits
+      "5%" -> Seq("5", "%"),
+      "№ 5" -> Seq("№", "5"),
+      "#hashtag" -> Seq("#", "hashtag"),
+      "@user" -> Seq("@", "user"),
+      "user@mail.ru" -> Seq("user", "@", "mail", ".", "ru"),
+      "http://a.ru" -> Seq("http", ":", "/", "/", "a", ".", "ru"),
+      // quotes and brackets are single atoms
+      "«слово»" -> Seq("«", "слово", "»"),
+      "„слово“" -> Seq("„", "слово", "“"),
+      "(в скобках)" -> Seq("(", "в", "скобках", ")"),
+      "[прим.]" -> Seq("[", "прим", ".", "]"),
+      "'quote'" -> Seq("'", "quote", "'"),
+      // dates and ordinals
+      "1990-е" -> Seq("1990-е"),
+      "XX-й" -> Seq("XX-й"),
+      "8-го" -> Seq("8-го"),
+      "1-ый" -> Seq("1-ый"),
+      // sentences from the corpus charset stay stable
+      "Иван Петров купил завод." ->
+        Seq("Иван", "Петров", "купил", "завод", "."),
+      "«Газпром» открыл филиал в Москве." ->
+        Seq("«", "Газпром", "»", "открыл", "филиал", "в", "Москве", "."),
+      "Анна Иванова — лидер." ->
+        Seq("Анна", "Иванова", "—", "лидер", "."),
+      "Олег Смирнов, банкир, создал сервис." ->
+        Seq("Олег", "Смирнов", ",", "банкир", ",", "создал", "сервис", "."))
     for ((in, want) <- table) {
       val got = Tokenizer.tokenize(in).map(_.text).toSeq
       assert(got == want, s"tokenize('$in'): got $got want $want")
       for (t <- Tokenizer.tokenize(in))
         assert(in.substring(t.start, t.stop) == t.text)
     }
-    assert(table.size >= 50)
+    assert(table.size >= 100)
   }
 
   test("sentenize: initials and abbreviations do not end sentences") {
@@ -174,11 +275,77 @@ class TokenizerSpec extends AnyFunSuite {
       Seq("Это было в 1990 г. Потом всё изменилось."))
     assert(sents("Дом на ул. Ленина. Рядом парк.") ==
       Seq("Дом на ул. Ленина.", "Рядом парк.")) // Ленина is no abbrev
+    // a COMPLETED pair sokr splits before a capital (razdel README golden
+    // "И т. д. и т. п. В общем" splits before "В")
     assert(sents("Яблоки, груши и т.д. Сливы тоже.") ==
-      Seq("Яблоки, груши и т.д. Сливы тоже."))
+      Seq("Яблоки, груши и т.д.", "Сливы тоже."))
+    assert(sents("Яблоки, груши и т. д. и прочее.") ==
+      Seq("Яблоки, груши и т. д. и прочее."))
     assert(sents("Он ушёл. Она осталась.") == Seq("Он ушёл.", "Она осталась."))
     assert(sents("Что это?! Не знаю...") == Seq("Что это?!", "Не знаю..."))
     assert(sents("Конец.") == Seq("Конец."))
+  }
+
+  test("sentenize: real-shaped news sentences (20+ cases)") {
+    def sents(t: String) = Tokenizer.sentenize(t).map(_.text).toSeq
+    val cases: Seq[(String, Seq[String])] = Seq(
+      // dates and numbers
+      "Выручка выросла на 5,3%. Прибыль упала." ->
+        Seq("Выручка выросла на 5,3%.", "Прибыль упала."),
+      "Встреча прошла 8 марта 2020 г. Итоги подвели позже." ->
+        Seq("Встреча прошла 8 марта 2020 г. Итоги подвели позже."),
+      "Проект стартовал в 2019 г., завершился в 2021 г. Оценки высокие." ->
+        Seq("Проект стартовал в 2019 г., завершился в 2021 г. Оценки высокие."),
+      "Цена составила 1.5 млн руб. Сделку закрыли." ->
+        Seq("Цена составила 1.5 млн руб. Сделку закрыли."),
+      // initials
+      "Доклад читал А. С. Пушкин. Зал аплодировал." ->
+        Seq("Доклад читал А. С. Пушкин.", "Зал аплодировал."),
+      "Работы М. В. Ломоносова изданы. Тираж разошёлся." ->
+        Seq("Работы М. В. Ломоносова изданы.", "Тираж разошёлся."),
+      // quotes around sentence ends
+      "Он сказал: «Всё хорошо». Потом ушёл." ->
+        Seq("Он сказал: «Всё хорошо».", "Потом ушёл."),
+      "«Кто там?» — спросил он. Ответа не было." ->
+        Seq("«Кто там?» — спросил он.", "Ответа не было."),
+      "Статья «Итоги года» вышла. Её обсуждают." ->
+        Seq("Статья «Итоги года» вышла.", "Её обсуждают."),
+      // abbreviations head/tail
+      "Офис на ул. Тверской открыт. Работает ежедневно." ->
+        Seq("Офис на ул. Тверской открыт.", "Работает ежедневно."),
+      "Музей им. Пушкина закрыт. Ремонт продлится год." ->
+        Seq("Музей им. Пушкина закрыт.", "Ремонт продлится год."),
+      "См. рис. 2 на стр. 5. Там схема." ->
+        Seq("См. рис. 2 на стр. 5.", "Там схема."),
+      "Подробнее см. гл. 3. Выводы в конце." ->
+        Seq("Подробнее см. гл. 3.", "Выводы в конце."),
+      // ellipsis and ?!
+      "Он задумался... Потом ответил." ->
+        Seq("Он задумался...", "Потом ответил."),
+      "Неужели?! Это правда." -> Seq("Неужели?!", "Это правда."),
+      "Как же так?.. Никто не знал." ->
+        Seq("Как же так?..", "Никто не знал."),
+      // lowercase right never splits
+      "Он пришёл... и ушёл." -> Seq("Он пришёл... и ушёл."),
+      "Т. е. всё понятно." -> Seq("Т. е. всё понятно."),
+      // list items at line start
+      "1. Первый пункт." -> Seq("1. Первый пункт."),
+      "2. Второй пункт. Примечание." ->
+        Seq("2. Второй пункт.", "Примечание."),
+      // direct speech dashes
+      "— Кто здесь? — Никого." -> Seq("— Кто здесь?", "— Никого."),
+      // multi-sentence with media-style refs
+      "Фото: ИТАР-ТАСС. Текст: Иванов." ->
+        Seq("Фото: ИТАР-ТАСС.", "Текст: Иванов."),
+      // digits starting the next sentence split
+      "Итоги подведены. 5 мая начнётся новый этап." ->
+        Seq("Итоги подведены.", "5 мая начнётся новый этап."))
+    for ((in, want) <- cases)
+      assert(sents(in) == want, s"sentenize('$in')")
+    assert(cases.size >= 20)
+    // offsets are exact substrings on every case
+    for ((in, _) <- cases; s <- Tokenizer.sentenize(in))
+      assert(in.substring(s.start, s.stop) == s.text)
   }
 
   test("findTokens aligns words to offsets (token.py:20-26)") {

@@ -3,50 +3,59 @@
 # our engine's output for the same sentences.
 #
 # razdel is not installed in this sandbox; the reference only uses it for
-# tokenize/sentenize, so we shim a minimal module whose behavior matches on
-# the fixture charset (the same \w+|[^\w\s] contract our engine's
-# tokenizer satisfies on the planted corpus — SURVEY.md §2.2).
+# tokenize/sentenize, so we inject a razdel module backed by
+# tools/razdel_rules.py — a full port of the engine's razdel-equivalent
+# rule pipeline (atoms RU/LAT/INT/PUNCT/OTHER; dash/underscore/float/
+# fraction/punct-pair/other join rules; sokr-aware sentence boundaries).
+# The probe sentences below exercise real news shapes: initials, «quotes»,
+# dates, abbreviations, hyphen compounds, floats, fractions, units.
 import json
-import re
+import os
 import sys
 import types
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import razdel_rules  # noqa: E402
 
 ref = sys.argv[1] if len(sys.argv) > 1 else "/root/reference"
 packs = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slovnet_packs"
 
 razdel = types.ModuleType("razdel")
-
-
-class _Tok:
-    def __init__(self, start, stop, text):
-        self.start, self.stop, self.text = start, stop, text
-
-
-def _tokenize(text):
-    for m in re.finditer(r"[\w\d_]+|[^\w\s]", text):
-        yield _Tok(m.start(), m.end(), m.group())
-
-
-def _sentenize(text):
-    for m in re.finditer(r"[^\r\n]+", text):
-        yield _Tok(m.start(), m.end(), m.group())
-
-
-razdel.tokenize = _tokenize
-razdel.sentenize = _sentenize
+razdel.tokenize = razdel_rules.tokenize
+razdel.sentenize = razdel_rules.sentenize
 sys.modules["razdel"] = razdel
 sys.path.insert(0, ref)
 
 from slovnet import NER, Morph, Syntax  # noqa: E402
 
 sents = [
+    # corpus-charset probes (round 1-2)
     "Иван Петров купил завод в Москве.",
     "«Газпром» открыл филиал.",
     "директор Газпрома возглавил проект.",
     "Анна Иванова — лидер.",
     "Олег Смирнов, банкир, создал сервис.",
+    # real-shaped news probes (round 3): initials, dates, abbreviations,
+    # hyphen compounds, floats, fractions, units, quotes
+    "А. С. Пушкин родился в Москве.",
+    "Встреча прошла 8 марта 2020 г. в Казани.",
+    "Выручка выросла на 5,3% до 1.5 млрд руб.",
+    "Кружка-термос на 0.5л (50/64 см³, 516;...)",
+    "Офис на ул. Тверской открыт с 9:00.",
+    "Музей им. Пушкина закрыт на ремонт.",
+    "COVID-19 изменил планы «Аэрофлота».",
+    "Самолёт Ту-154 совершил посадку.",
+    "Он сказал: «Всё хорошо». Потом ушёл.",
+    "Что это?! Не знаю...",
+    "Ростов-на-Дону принял форум IT-специалистов.",
+    "Температура достигла 25°C днём.",
+    "См. табл. 2 на стр. 10.",
+    "Цена — 100$ за м².",
+    "Пётр Волков и т. д. посетили музей.",
+    "1. Первый пункт повестки.",
+    "Яндекс запустил сервис e-mail рассылок.",
 ]
-words = [[t.text for t in _tokenize(s)] for s in sents]
+words = [[t.text for t in razdel_rules.tokenize(s)] for s in sents]
 
 ner = NER.load(f"{packs}/ner.tar")
 morph = Morph.load(f"{packs}/morph.tar")
