@@ -395,22 +395,36 @@ final case class Embedding(weight: Array[Float], dim: Int) extends Serializable 
 }
 
 /** Product-quantized Navec embedding (exec/model.py:213-234).
-  * indexes [vocab, qdim] (u8 centroid ids, as in the navec PQ format —
-  * keeps the production broadcast at 25 MB for 250K x 100q),
+  * indexes [vocab, qdim] centroid ids — u8 when centroids <= 256 (the navec
+  * PQ format's own dtype rule; keeps the production broadcast at 25 MB for
+  * 250K x 100q), u16 via `indexes16` when centroids > 256.
   * codes [qdim, centroids, chunk]; a word vector is the concat of its
   * per-subquantizer centroid chunks: dim = qdim*chunk.
   */
 final case class NavecEmbedding(indexes: Array[Byte], qdim: Int,
-                                codes: Array[Float], centroids: Int, chunk: Int)
+                                codes: Array[Float], centroids: Int, chunk: Int,
+                                indexes16: Array[Short] = null)
     extends Serializable {
-  require(centroids <= 256, s"u8 centroid ids: centroids=$centroids > 256")
+  require(centroids <= 256 || indexes16 != null,
+    s"centroids=$centroids > 256 requires u16 indexes (indexes16)")
   val dim: Int = qdim * chunk
+  /** vocabulary rows covered by the index table */
+  def vocabN: Int =
+    (if (indexes16 != null) indexes16.length else indexes.length) / qdim
   def lookup(id: Int, out: Array[Float], off: Int): Unit = {
     var q = 0
-    while (q < qdim) {
-      val cIdx = indexes(id * qdim + q) & 0xff
-      System.arraycopy(codes, (q * centroids + cIdx) * chunk, out, off + q * chunk, chunk)
-      q += 1
+    if (indexes16 != null) {
+      while (q < qdim) {
+        val cIdx = indexes16(id * qdim + q) & 0xffff
+        System.arraycopy(codes, (q * centroids + cIdx) * chunk, out, off + q * chunk, chunk)
+        q += 1
+      }
+    } else {
+      while (q < qdim) {
+        val cIdx = indexes(id * qdim + q) & 0xff
+        System.arraycopy(codes, (q * centroids + cIdx) * chunk, out, off + q * chunk, chunk)
+        q += 1
+      }
     }
   }
 }

@@ -231,10 +231,15 @@ object PackIO {
     val nmeta = Files.readString(navecDir.toPath.resolve("meta.json"))
     def ni(key: String): Int =
       s""""$key":\\s*(\\d+)""".r.findFirstMatchIn(nmeta).get.group(1).toInt
-    val navec = NavecEmbedding(
-      java.nio.file.Files.readAllBytes(new File(navecDir, "indexes.bin").toPath),
-      ni("qdim"), readFloats(new File(navecDir, "codes.bin")),
-      ni("centroids"), ni("chunk"))
+    val navec = {
+      val idx = java.nio.file.Files.readAllBytes(new File(navecDir, "indexes.bin").toPath)
+      // indexes.bin is raw u8 — a pack written in the old int32 layout (or
+      // any corruption) must fail loudly, not load 4x the ids silently
+      require(idx.length == wordVocab.size * ni("qdim"),
+        s"navec indexes.bin: ${idx.length} bytes, want vocab ${wordVocab.size} x qdim ${ni("qdim")} u8 ids")
+      NavecEmbedding(idx, ni("qdim"), readFloats(new File(navecDir, "codes.bin")),
+        ni("centroids"), ni("chunk"))
+    }
     val shapeEmb = {
       val d = dims("emb.shape.dims")
       Embedding(arr("emb.shape.weight"), d(1))

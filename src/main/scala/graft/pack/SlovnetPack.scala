@@ -83,7 +83,7 @@ object SlovnetPack {
       case d => throw new IllegalArgumentException(s"unsupported float dtype $d")
     }
   }
-  /** integer ids as u8 bytes (navec centroid ids are < 256). */
+  /** integer ids as u8 bytes (centroids <= 256, the navec dtype rule). */
   private def idsOf(w: Wt, r: PackReader): Array[Byte] = {
     require(w.id >= 0, "weight is stripped (navec?) — inject before use")
     val bb = ByteBuffer.wrap(r.bytes(s"arrays/${w.id}.bin")).order(ByteOrder.LITTLE_ENDIAN)
@@ -96,6 +96,22 @@ object SlovnetPack {
       case "int32"  => Array.tabulate(w.n)(i => check(bb.getInt(i * 4).toLong))
       case "uint16" => Array.tabulate(w.n)(i => check((bb.getShort(i * 2) & 0xffff).toLong))
       case "uint8" | "int8" => Array.tabulate(w.n)(i => bb.get(i))
+      case d => throw new IllegalArgumentException(s"unsupported int dtype $d")
+    }
+  }
+  /** integer ids as u16 shorts (centroids > 256). */
+  private def ids16Of(w: Wt, r: PackReader): Array[Short] = {
+    require(w.id >= 0, "weight is stripped (navec?) — inject before use")
+    val bb = ByteBuffer.wrap(r.bytes(s"arrays/${w.id}.bin")).order(ByteOrder.LITTLE_ENDIAN)
+    def check(v: Long): Short = {
+      require(v >= 0 && v < 65536, s"centroid id $v out of u16 range")
+      v.toShort
+    }
+    w.dtype match {
+      case "int64"  => Array.tabulate(w.n)(i => check(bb.getLong(i * 8)))
+      case "int32"  => Array.tabulate(w.n)(i => check(bb.getInt(i * 4).toLong))
+      case "uint16" => Array.tabulate(w.n)(i => bb.getShort(i * 2))
+      case "uint8" | "int8" => Array.tabulate(w.n)(i => (bb.get(i) & 0xff).toShort)
       case d => throw new IllegalArgumentException(s"unsupported int dtype $d")
     }
   }
@@ -124,10 +140,15 @@ object SlovnetPack {
     val wn = node.get("word")
     val word = {
       val idx = wt(wn.get("indexes")); val cod = wt(wn.get("codes"))
-      if (idx.id >= 0 && cod.id >= 0)
-        NavecEmbedding(idsOf(idx, r), idx.shape(1), floatsOf(cod, r),
-          cod.shape(1), cod.shape(2))
-      else navec.getOrElse(throw new IllegalArgumentException(
+      if (idx.id >= 0 && cod.id >= 0) {
+        val centroids = cod.shape(1)
+        if (centroids <= 256)
+          NavecEmbedding(idsOf(idx, r), idx.shape(1), floatsOf(cod, r),
+            centroids, cod.shape(2))
+        else // navec dtype rule: u16 ids above 256 centroids
+          NavecEmbedding(null, idx.shape(1), floatsOf(cod, r),
+            centroids, cod.shape(2), ids16Of(idx, r))
+      } else navec.getOrElse(throw new IllegalArgumentException(
         s"navec '${wn.get("id").asText()}' is stripped from the pack — pass one to inject"))
     }
     val sw = wt(node.get("shape").get("weight"))
@@ -203,6 +224,7 @@ object SlovnetPack {
       if (!sameVocab) return m
       val sameWord = (m.word eq shared.word) ||
         (java.util.Arrays.equals(m.word.indexes, shared.word.indexes) &&
+          java.util.Arrays.equals(m.word.indexes16, shared.word.indexes16) &&
           java.util.Arrays.equals(m.word.codes, shared.word.codes))
       if (!sameWord) m
       else if ((m.shape eq shared.shape) ||
@@ -246,6 +268,11 @@ object SlovnetPack {
     }
     def u8(shape: Seq[Int], a: Array[Byte]): ObjectNode =
       w(shape, "uint8", a.clone())
+    def u16(shape: Seq[Int], a: Array[Short]): ObjectNode = {
+      val bb = ByteBuffer.allocate(a.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      bb.asShortBuffer().put(a)
+      w(shape, "uint16", bb.array())
+    }
 
     def linearN(l: Linear): ObjectNode = {
       val n = om.createObjectNode()
@@ -286,13 +313,16 @@ object SlovnetPack {
       val wn = om.createObjectNode()
       wn.put("id", navecId)
       val nav = e.word
-      val vocabN = nav.indexes.length / nav.qdim
+      val vocabN = nav.vocabN
+      val idxDtype = if (nav.indexes16 != null) "uint16" else "uint8"
       if (strip) {
-        wn.set[JsonNode]("indexes", stripped(Seq(vocabN, nav.qdim), "uint8"))
+        wn.set[JsonNode]("indexes", stripped(Seq(vocabN, nav.qdim), idxDtype))
         wn.set[JsonNode]("codes",
           stripped(Seq(nav.qdim, nav.centroids, nav.chunk), "float32"))
       } else {
-        wn.set[JsonNode]("indexes", u8(Seq(vocabN, nav.qdim), nav.indexes))
+        wn.set[JsonNode]("indexes",
+          if (nav.indexes16 != null) u16(Seq(vocabN, nav.qdim), nav.indexes16)
+          else u8(Seq(vocabN, nav.qdim), nav.indexes))
         wn.set[JsonNode]("codes",
           f32(Seq(nav.qdim, nav.centroids, nav.chunk), nav.codes))
       }

@@ -241,11 +241,15 @@ object SynthPack {
     // it (as navec does) — a zero pad embedding is what makes inference
     // independent of batch composition (the first conv layer reads raw
     // embeddings at pad positions before any mask zeroing)
-    val indexes = Array.fill(wordItems.length * d.qdim)((1 + rnd.nextInt(d.centroids - 1)).toByte)
-    for (q <- 0 until d.qdim) indexes(wordVocab.padId * d.qdim + q) = 0
+    val ids = Array.fill(wordItems.length * d.qdim)(1 + rnd.nextInt(d.centroids - 1))
+    for (q <- 0 until d.qdim) ids(wordVocab.padId * d.qdim + q) = 0
     val codes = arr(d.qdim * d.centroids * d.chunk, 1f)
     for (q <- 0 until d.qdim; k <- 0 until d.chunk) codes(q * d.centroids * d.chunk + k) = 0f
-    val navec = NavecEmbedding(indexes, d.qdim, codes, d.centroids, d.chunk)
+    val navec =
+      if (d.centroids <= 256)
+        NavecEmbedding(ids.map(_.toByte), d.qdim, codes, d.centroids, d.chunk)
+      else // navec dtype rule: u16 ids above 256 centroids
+        NavecEmbedding(null, d.qdim, codes, d.centroids, d.chunk, ids.map(_.toShort))
     val shapeW = arr(shapeVocab.size * d.shapeDim, 1f)
     for (k <- 0 until d.shapeDim) shapeW(shapeVocab.padId * d.shapeDim + k) = 0f
     val emb = WordShapeEmbedding(navec, Embedding(shapeW, d.shapeDim))

@@ -343,3 +343,111 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** The navec package's own artifact format (public natasha/navec repo):
+  * meta.json + vocab.bin + pq.bin in one tar. A user with the released
+  * 25 MB navec artifact plus a STRIPPED slovnet pack assembles a working
+  * model through this codec (reference: api.py:29-31 injects a Navec
+  * loaded by the navec package; exec/model.py:544-557).
+  */
+class NavecTarSpec extends AnyFunSuite {
+  import graft.pack.{NavecTar, SlovnetPack, SynthPack}
+  import graft.nlp.{Pipeline, SentRow}
+
+  private def artifactOf(pack: graft.pack.ModelPack, id: String) =
+    NavecTar.NavecArtifact(id, pack.wordVocab.items,
+      Array.tabulate(pack.wordVocab.size)(i => (1000 - i).toLong max 1L),
+      pack.ner.emb.word)
+
+  test("navec tar round trip (u8 centroid ids)") {
+    val pack = SynthPack.build()
+    val a = artifactOf(pack, "navec_test_v1")
+    val f = java.nio.file.Files.createTempDirectory("navec").resolve("navec.tar").toFile
+    NavecTar.dump(a, f)
+    val b = NavecTar.load(f)
+    assert(b.id == a.id)
+    assert(b.words.toSeq == a.words.toSeq)
+    assert(b.counts.toSeq == a.counts.toSeq)
+    assert(java.util.Arrays.equals(b.emb.indexes, a.emb.indexes))
+    assert(java.util.Arrays.equals(b.emb.codes, a.emb.codes))
+    assert(b.emb.qdim == a.emb.qdim && b.emb.centroids == a.emb.centroids &&
+      b.emb.chunk == a.emb.chunk)
+    // the binary layout really is the navec package's: 3 flat members
+    val names = graft.pack.Tar.read(f).map(_._1)
+    assert(names == Seq("meta.json", "vocab.bin", "pq.bin"))
+  }
+
+  test("stripped slovnet pack + navec tar assembles a working model") {
+    val pack = SynthPack.build()
+    val rows = Seq("Иван Петров купил завод в Москве.", "«Газпром» открыл филиал.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    def sig(p: graft.pack.ModelPack) = Pipeline.inferBatch(rows, p)
+      .map(x => (x.nerSpans.toSeq, x.morph.toSeq, x.syn.toSeq))
+    val want = sig(pack)
+
+    val dir = java.nio.file.Files.createTempDirectory("navec_e2e").toFile
+    SlovnetPack.dumpAll(pack, dir, stripNavec = true)
+    NavecTar.dump(artifactOf(pack, "navec_test_v1"), new java.io.File(dir, "navec.tar"))
+
+    // ...in a fresh process the user would only have the two artifacts:
+    val navec = NavecTar.load(new java.io.File(dir, "navec.tar"))
+    val loaded = SlovnetPack.loadAll(dir, Some(navec.emb))
+    assert(sig(loaded) == want, "stripped pack + navec artifact must run identically")
+  }
+
+  test("u16 centroid ids (centroids > 256) round trip navec tar + slovnet pack") {
+    val d = SynthPack.Dims(vocab = 60, qdim = 4, centroids = 300, chunk = 2,
+      shapeDim = 6, encDims = Seq(8, 8), kernel = 3, morphTags = 7, rels = 12,
+      seed = 11L)
+    val pack = SynthPack.buildRandom(d)
+    assert(pack.ner.emb.word.indexes16 != null, "u16 path must engage above 256 centroids")
+    assert(pack.ner.emb.word.indexes16.exists(id => (id & 0xffff) > 255),
+      "fixture must actually exercise ids beyond the u8 range")
+
+    // navec artifact round trip at u16
+    val a = artifactOf(pack, "navec_u16")
+    val f = java.nio.file.Files.createTempDirectory("navec16").resolve("navec.tar").toFile
+    NavecTar.dump(a, f)
+    val b = NavecTar.load(f)
+    assert(java.util.Arrays.equals(b.emb.indexes16, a.emb.indexes16))
+    assert(java.util.Arrays.equals(b.emb.codes, a.emb.codes))
+
+    // slovnet-layout pack round trip at u16 (uint16 dtype in model.json)
+    val rows = Seq("w000001 w000002 w000003.", "w000004 w000010.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    def sig(p: graft.pack.ModelPack) = Pipeline.inferBatch(rows, p)
+      .map(x => (x.nerSpans.toSeq, x.morph.toSeq, x.syn.toSeq))
+    val want = sig(pack)
+    val dir = java.nio.file.Files.createTempDirectory("slovnet_u16").toFile
+    SlovnetPack.dumpAll(pack, dir)
+    val loaded = SlovnetPack.loadAll(dir)
+    assert(loaded.ner.emb.word.indexes16 != null)
+    assert(sig(loaded) == want, "u16 pack must round trip bit-identically")
+  }
+
+  test("reference-dims pack round trips the tar layout bit-identically") {
+    // the production-shape interop proof: 250K x 300d x 100q navec,
+    // CNN [256,128,64] — dumped in the reference tar layout and reloaded
+    val pack = SynthPack.buildRandom()
+    val rows = Seq("Иван Петров купил завод в Москве.",
+      "Анна Иванова — лидер, банкир и инвестор из Казани.")
+      .zipWithIndex.map { case (t, i) => SentRow(s"d$i", 0, 0, 0, t.length, t) }
+    def sig(p: graft.pack.ModelPack) = Pipeline.inferBatch(rows, p)
+      .map(x => (x.nerSpans.toSeq, x.morph.toSeq, x.syn.toSeq))
+    val want = sig(pack)
+    val dir = java.nio.file.Files.createTempDirectory("slovnet_refdims").toFile
+    try {
+      SlovnetPack.dumpAll(pack, dir, stripNavec = true) // released-pack shape
+      NavecTar.dump(NavecTar.NavecArtifact("navec_refdims",
+        pack.wordVocab.items,
+        Array.fill(pack.wordVocab.size)(1L), pack.ner.emb.word),
+        new java.io.File(dir, "navec.tar"))
+      val navec = NavecTar.load(new java.io.File(dir, "navec.tar"))
+      val loaded = SlovnetPack.loadAll(dir, Some(navec.emb))
+      assert(sig(loaded) == want,
+        "reference-dims pack must survive the tar round trip bit-identically")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
