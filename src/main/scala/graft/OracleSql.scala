@@ -170,6 +170,24 @@ object OracleSql {
     s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
   }
 
+  /** Feats as key/value rows: the SQL image of the Spark side's REAL
+    * `MapType(String,String)` column (markup.py:105-110 MorphToken.feats,
+    * conll.py:14-23 parse) exploded one row per feature pair.
+    */
+  def qMorphFeats: String = {
+    val branches = for {
+      (toks, t) <- templates.zipWithIndex
+      ((w, (pos, tag), _, _), i) <- toks.zipWithIndex
+      kv <- tag.split('|').iterator.drop(1)
+    } yield {
+      val Array(k, v) = kv.split('=')
+      s"SELECT 'd' || id AS doc_id, span_order, 0::INT AS sent_idx, " +
+        s"${i}::INT AS tok_idx, $w AS word, '$pos' AS pos, " +
+        s"'$k' AS feat, '$v' AS value FROM base WHERE t = $t"
+    }
+    s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
+  }
+
   private def syntaxBranches: String = {
     val branches = for {
       (toks, t) <- templates.zipWithIndex

@@ -187,6 +187,19 @@ object SparkEntry {
         })
         .toDF("doc_id", "span_order", "sent_idx", "tok_idx", "word", "pos", "tag")
     }),
+    "q_morph_feats" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode}
+      // feats surfaced as a REAL MapType(String,String) column
+      // (markup.py:105-110), then exploded for the row-level oracle check
+      parsed(s, d).flatMap(p => p.morph.zipWithIndex.map { case (m, i) =>
+          (p.docId, p.spanOrder, p.sentIdx, i, m.text, m.pos, m.feats)
+        })
+        .toDF("doc_id", "span_order", "sent_idx", "tok_idx", "word", "pos", "feats")
+        .select(col("doc_id"), col("span_order"), col("sent_idx"),
+          col("tok_idx"), col("word"), col("pos"),
+          explode(col("feats")).as(Seq("feat", "value")))
+    }),
     "q_syntax_parse" -> ((s, d) => {
       import s.implicits._
       parsed(s, d).flatMap(p => p.syn.map(t =>
@@ -493,6 +506,7 @@ object SparkEntry {
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_morph_tags" -> OracleSql.qMorphTags,
+      "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,
       "q_syntax_parse" -> OracleSql.qSyntaxParse,
       "q_ner_spans" -> OracleSql.qNerSpans,

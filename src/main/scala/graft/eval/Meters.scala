@@ -65,14 +65,20 @@ object Meters {
   def log(spark: SparkSession, dir: String, runId: String, step: Long,
           metrics: Map[String, Double]): Unit = {
     import spark.implicits._
-    // run_id/step live in the partition path (recovered on read) — keeping
-    // them out of the data files avoids the duplicate-column clash
-    metrics.toSeq.sortBy(_._1).toDF("name", "value")
+    // the (escaped) run id keys the partition DIR (Overwrite idempotency
+    // per (run, step)); the VERBATIM run_id travels as a data column —
+    // path-recovered values pass through Spark's own %hh partition-path
+    // unescaping, which would mangle any custom path encoding on read
+    metrics.toSeq.sortBy(_._1).map { case (n, v) => (runId, n, v) }
+      .toDF("run_id", "name", "value")
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/run_id=${escape(runId)}/step=$step")
+      .parquet(s"$dir/rid=${escape(runId)}/step=$step")
   }
 
-  /** Read the whole board back (partition columns recovered from paths). */
+  /** Read the whole board back. `step` is recovered from the partition
+    * path; `run_id` comes from the data files verbatim (the `rid` path
+    * key is a write-side dir name only — see [[log]]).
+    */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .option("basePath", dir)
@@ -82,12 +88,15 @@ object Meters {
 
   /** injective path encoding — distinct run ids must never collide into
     * one partition dir (Overwrite would clobber across runs); '%' itself
-    * is escaped so the mapping is reversible
+    * is escaped so the mapping is reversible, and ONLY ASCII
+    * letters/digits pass through (non-ASCII dir names die on filesystems
+    * whose JVM file.encoding cannot map them)
     */
   private def escape(s: String): String = {
     val sb = new StringBuilder
     s.foreach { c =>
-      if (c.isLetterOrDigit || c == '_' || c == '.' || c == '-') sb.append(c)
+      if (c < 128 && (c.isLetterOrDigit || c == '_' || c == '.' || c == '-'))
+        sb.append(c)
       else sb.append(f"%%${c.toInt}%04x")
     }
     sb.toString

@@ -215,19 +215,34 @@ object Kg {
     RuCorpus.aliasDict.toDF("alias", "entity_id", "tpe")
   }
 
-  /** Entity linking: normalized-mention equi-join against the broadcast
-    * alias dictionary (blocked scoring: the block key IS the normalized
+  /** Broadcast hint conditional on dictionary size: explicit `broadcast()`
+    * only while the dict fits comfortably on every executor
+    * (`spark.graft.link.broadcastMaxRows`, default 4M rows of two short
+    * strings ≈ hundreds of MB — inside the broadcast ceiling); above it the
+    * hint is dropped so the planner/AQE picks a shuffled hash join with
+    * skew split — a 100M+-alias Wikidata slice must not OOM the driver
+    * because of a hard-coded hint.
+    */
+  private def maybeBroadcast(spark: SparkSession, df: DataFrame, rows: Long): DataFrame = {
+    val max = spark.conf.get("spark.graft.link.broadcastMaxRows", "4000000").toLong
+    if (rows <= max) broadcast(df) else df
+  }
+  /** driver-known dict size (upper bound for its grouped/derived forms) */
+  private def dictRows: Long = RuCorpus.aliasDict.size.toLong
+
+  /** Entity linking: normalized-mention equi-join against the alias
+    * dictionary (blocked scoring: the block key IS the normalized
     * alias; deterministic winner = min entity_id). Unlinkable mentions
     * become literal nodes `M:<norm>`.
-    * Dict is broadcast here (small); at a real Wikidata-slice size the same
-    * plan works with a shuffled hash join + AQE skew split — nothing in the
-    * query pins the strategy.
+    * Dict is broadcast below the size threshold (maybeBroadcast); at a real
+    * Wikidata-slice size the same plan runs unhinted as a shuffled hash
+    * join + AQE skew split.
     */
   def link(spark: SparkSession, triples: Dataset[Triple]): Dataset[LinkedTriple] = {
     import spark.implicits._
     // one alias row per alias: deterministic representative before the join
-    val dict = broadcast(
-      aliasDf(spark).groupBy("alias").agg(min("entity_id").as("entity_id")))
+    val dict = maybeBroadcast(spark,
+      aliasDf(spark).groupBy("alias").agg(min("entity_id").as("entity_id")), dictRows)
     val t = triples.toDF()
       .withColumn("subj_norm", lower(col("subj")))
       .withColumn("obj_norm", lower(col("obj")))
@@ -293,7 +308,7 @@ object Kg {
     * fall back to M:<norm> literals in both).
     */
   def linkCanonicalize(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
-    val m = broadcast(aliasCanonicalDf(spark))
+    val m = maybeBroadcast(spark, aliasCanonicalDf(spark), dictRows)
     triples.toDF()
       .withColumn("subj_norm", lower(col("subj")))
       .withColumn("obj_norm", lower(col("obj")))
@@ -312,7 +327,7 @@ object Kg {
 
   /** Remap linked triples to canonical entity ids. */
   def canonicalize(spark: SparkSession, linked: Dataset[LinkedTriple]): DataFrame = {
-    val cm = broadcast(canonicalMap(spark))
+    val cm = maybeBroadcast(spark, canonicalMap(spark), dictRows)
     linked.toDF()
       .join(cm.as("cs"), col("subjId") === col("cs.id"), "left")
       .withColumn("subj_c", coalesce(col("cs.component"), col("subjId")))

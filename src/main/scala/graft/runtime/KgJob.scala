@@ -29,9 +29,16 @@ import graft.sources.Docs
   */
 object KgJob {
 
+  /** One committed bucket. `triples` is EXACT always (derived from the
+    * written parquet footers, not from the execution); `docs`/`sents`/
+    * `max_doc_id` ride the single pass as accumulators and are exact iff
+    * `counters_exact` — false when a task retry/speculative attempt was
+    * observed during the bucket (re-executed accumulator updates can
+    * overcount; the OUTPUT is exactly-once regardless via overwrite).
+    */
   final case class Commit(run_id: String, bucket: Int, docs: Long,
                           sents: Long, triples: Long, max_doc_id: String,
-                          committed_at: Long)
+                          committed_at: Long, counters_exact: Boolean)
 
   def commitLog(spark: SparkSession, outDir: String): DataFrame = {
     val dir = new java.io.File(s"$outDir/_commits")
@@ -64,6 +71,39 @@ object KgJob {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** Exact row count from parquet footers — metadata only, no Spark job,
+    * no data scan (the written files are already on disk; their footers
+    * carry the row counts a real table format would keep in its manifest).
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Counts task attempts that were retries/speculative/failed — any of
+    * them means transformation-side accumulators may have double-counted.
+    */
+  private final class RetryListener extends org.apache.spark.scheduler.SparkListener {
+    val dirty = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskInfo != null &&
+        (e.taskInfo.attemptNumber > 0 || e.taskInfo.speculative ||
+          e.taskInfo.failed)) dirty.incrementAndGet()
+  }
+
+  /** Test hook: when armed, the next doc mapped in [[run]]'s counting stage
+    * throws once, forcing a task retry (local-mode: one shared JVM).
+    */
+  private[graft] val chaosArm = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** String-max accumulator for the per-bucket doc_id watermark. */
   final class MaxStringAcc extends org.apache.spark.util.AccumulatorV2[String, String] {
     private var v: String = ""
@@ -90,12 +130,12 @@ object KgJob {
 
   /** Run (or resume) the full pipeline. Returns buckets processed this run.
     *
-    * ONE Spark action per bucket: the parquet write. The commit counters
-    * (docs/sents/triples) and the doc_id watermark ride the same pass as
-    * accumulators — no second sentenize pass, no separate count/agg jobs.
-    * (Accumulator counters are lineage metrics: exact in normal runs; a
-    * speculative/retried task could overcount them, never the output —
-    * the triples themselves stay exactly-once via overwrite + commit log.)
+    * ONE Spark action per bucket: the parquet write. The docs/sents
+    * counters and the doc_id watermark ride the same pass as accumulators
+    * — no second sentenize pass, no separate count/agg jobs. The `triples`
+    * counter is derived from the written parquet footers (metadata-only),
+    * so it is exact even under task retries; the accumulator counters are
+    * flagged via `counters_exact` when a retry/speculation was observed.
     *
     * @param bucketedInputDir when set, read `dir/bucket=<k>/` per bucket
     *        (layout from [[writeBucketedInput]]) — prunes instead of
@@ -130,20 +170,27 @@ object KgJob {
       }
       val docsAcc = spark.sparkContext.longAccumulator(s"docs_b$b")
       val sentsAcc = spark.sparkContext.longAccumulator(s"sents_b$b")
-      val triplesAcc = spark.sparkContext.longAccumulator(s"triples_b$b")
       val maxAcc = new MaxStringAcc
       spark.sparkContext.register(maxAcc, s"max_doc_id_b$b")
-      val counted = bucketDocs.map { d =>
-        docsAcc.add(1L); maxAcc.add(d.doc_id); d
-      }
-      val sents = Docs.sentences(counted).map { s => sentsAcc.add(1L); s }
-      val parsed = Pipeline.parse(sents, graft.SparkEntry.packBc(spark))
-      val triples = Kg.link(spark, Kg.triples(parsed))
-        .map { t => triplesAcc.add(1L); t }
-      triples.toDF().write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/triples/bucket=$b")
-      appendCommit(spark, outDir, Commit(runId, b, docsAcc.value, sentsAcc.value,
-        triplesAcc.value, maxAcc.value, System.currentTimeMillis()))
+      val retries = new RetryListener
+      spark.sparkContext.addSparkListener(retries)
+      try {
+        val counted = bucketDocs.map { d =>
+          if (chaosArm.compareAndSet(true, false))
+            throw new RuntimeException("injected task chaos")
+          docsAcc.add(1L); maxAcc.add(d.doc_id); d
+        }
+        val sents = Docs.sentences(counted).map { s => sentsAcc.add(1L); s }
+        val parsed = Pipeline.parse(sents, graft.SparkEntry.packBc(spark))
+        val triples = Kg.link(spark, Kg.triples(parsed))
+        val dir = s"$outDir/triples/bucket=$b"
+        triples.toDF().write.mode(SaveMode.Overwrite).parquet(dir)
+        // listener events are posted asynchronously — drain before reading
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+        appendCommit(spark, outDir, Commit(runId, b, docsAcc.value, sentsAcc.value,
+          parquetRowCount(spark, dir), maxAcc.value, System.currentTimeMillis(),
+          counters_exact = retries.dirty.get() == 0))
+      } finally spark.sparkContext.removeSparkListener(retries)
       processed += 1
     }
     processed

@@ -83,6 +83,35 @@ class ResumeSpec extends AnyFunSuite {
       assert(log.selectExpr("sum(docs)").first().getLong(0) ==
         graft.corpus.RuCorpus.docCount(sf), s"input scanned more than once ($dir)")
       assert(log.selectExpr("max(max_doc_id)").first().getString(0).nonEmpty)
+      assert(log.where("not counters_exact").count() == 0,
+        "retry-free run must record exact counters")
     }
+  }
+
+  test("injected task retry: triples counter stays exact, accumulators flagged") {
+    val sf = "/root/testdata/sf0.001"
+    val clean = freshDir(); val chaotic = freshDir()
+    assert(KgJob.run(spark, sf, clean, "run_clean", nBuckets = 2) == 2)
+
+    // arm the chaos hook: the first doc mapped in the next run throws once,
+    // failing that task attempt; local[4,2] retries it, re-executing the
+    // accumulator updates of the partial attempt
+    KgJob.chaosArm.set(true)
+    assert(KgJob.run(spark, sf, chaotic, "run_chaos", nBuckets = 2) == 2)
+    assert(!KgJob.chaosArm.get, "chaos must have fired")
+
+    val cleanLog = KgJob.commitLog(spark, clean).orderBy("bucket")
+      .selectExpr("bucket", "triples", "counters_exact").collect()
+    val chaosLog = KgJob.commitLog(spark, chaotic).orderBy("bucket")
+      .selectExpr("bucket", "triples", "counters_exact").collect()
+    // OUTPUT and the footer-derived triples counter are retry-immune
+    assert(KgJob.triples(spark, chaotic).collect().map(_.toString).sorted.toSeq ==
+      KgJob.triples(spark, clean).collect().map(_.toString).sorted.toSeq)
+    assert(chaosLog.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      cleanLog.map(r => (r.getInt(0), r.getLong(1))).toSeq,
+      "triples counter must equal the written row count even under retries")
+    // the bucket that saw the retry is flagged; the other stays exact
+    assert(chaosLog.exists(!_.getBoolean(2)), "retried bucket must be flagged inexact")
+    assert(cleanLog.forall(_.getBoolean(2)))
   }
 }

@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: allow ONE task retry so ResumeSpec can inject a real
+    // task failure and assert the commit counters stay honest under it
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -119,6 +121,46 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(fused.sameElements(twoStep))
     assert(fused.nonEmpty)
+  }
+
+  test("linking above the broadcast threshold flips strategy, keeps rows identical") {
+    // simulate a Wikidata-slice-sized dictionary: drop the broadcast hint
+    // (threshold 0) and pin autoBroadcastJoinThreshold off so neither the
+    // hint nor AQE re-broadcasts — the plan must become a shuffle join and
+    // the output must not change by a single row
+    val triples = graft.kg.Kg.triples(Pipeline.parse(
+      Docs.sentences(Docs.russianDocs(spark, 80L)), SparkEntry.packBc(spark)))
+    val want = graft.kg.Kg.linkCanonicalize(spark, triples)
+      .collect().map(_.toString).sorted
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      conf.set("spark.graft.link.broadcastMaxRows", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the cached dict's InMemoryRelation stores the plan it was BUILT
+      // with (which legitimately used broadcasts) — judge the probe joins
+      // by the plan prefix above the first cached relation
+      def probePlan(df: org.apache.spark.sql.DataFrame): String = {
+        val s = df.queryExecution.executedPlan.toString
+        val cut = s.indexOf("InMemoryRelation")
+        if (cut >= 0) s.substring(0, cut) else s
+      }
+      val df = graft.kg.Kg.linkCanonicalize(spark, triples)
+      val plan = probePlan(df)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"hint must be dropped above the threshold; plan:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join; plan:\n${plan.take(2000)}")
+      val got = df.collect().map(_.toString).sorted
+      assert(got.sameElements(want), "non-broadcast path must be row-identical")
+      // two-step path flips too
+      val two = graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark, triples))
+      assert(!probePlan(two).contains("BroadcastHashJoin"))
+      assert(two.collect().map(_.toString).sorted.sameElements(want))
+    } finally {
+      conf.set("spark.graft.link.broadcastMaxRows", "4000000")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
   }
 
   test("entity linking + canonicalization merge duplicate org ids") {

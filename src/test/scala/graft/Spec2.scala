@@ -233,6 +233,13 @@ class ScoresSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
     assert(board == Set(("run-a", 1L, "f1_PER", 0.5), ("run-a", 1L, "acc", 0.9),
       ("run-a", 2L, "f1_PER", 0.6)))
+    // run ids outside the path-safe charset survive the escape round trip
+    // (read applies the documented inverse of escape)
+    val wild = "run 2026/08: загрузка №7 100%"
+    Meters.log(spark, dir, wild, 3L, Map("acc" -> 1.0))
+    val got = Meters.read(spark, dir).where("step = 3")
+      .select("run_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq(wild), s"run_id must read back verbatim, got $got")
   }
 
   test("pipeline triples reach P/R >= 0.95 vs golden (BASELINE gate)") {
