@@ -255,6 +255,11 @@ object OracleSql {
     * from splitmix64(FNV-1a(ref)), mean byte from the digest's hex pairs,
     * payload digest = md5 of the lowercase-hex payload.
     */
+  /** The Spark side DECODES real PNG payloads (javax.imageio); this SQL
+    * reproduces the image GENERATION formula — dims and gradient-gray
+    * offset from splitmix64(fnv1a(ref)), pixel(x,y) = (a+x+y) mod 256 —
+    * so equality proves the decode recovered exactly what was encoded.
+    */
   def qMediaFeatures: String = {
     val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
       "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
@@ -265,19 +270,22 @@ object OracleSql {
     media AS (
       SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
       FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
-    wh AS (SELECT media_ref, ${mixSql(s"($fnv)")} AS h FROM media),
-    mb AS (
-      SELECT media_ref,
-             sum(('0x' || substring(md5(media_ref), 2*i + 1, 2))::INT) AS s16
-      FROM media, (SELECT unnest(generate_series(0, 15)) AS i)
-      GROUP BY 1)
+    wh AS (SELECT media_ref,
+                  (16 + (h % 16))::INT AS w,
+                  (16 + ((h >> 8) % 16))::INT AS hh,
+                  ((h >> 16) % 256)::INT AS a
+           FROM (SELECT media_ref, ${mixSql(s"($fnv)")} AS h FROM media)),
+    grid AS (SELECT gx.i AS x, gy.i AS y
+             FROM (SELECT unnest(generate_series(0, 30)) AS i) gx,
+                  (SELECT unnest(generate_series(0, 30)) AS i) gy),
+    px AS (SELECT media_ref, sum((a + x + y) % 256)::BIGINT AS s, count(*) AS n
+           FROM wh, grid WHERE x < w AND y < hh GROUP BY media_ref)
     SELECT wh.media_ref,
-           (16 + (h % 16))::INT AS width,
-           (16 + ((h >> 8) % 16))::INT AS height,
-           64::BIGINT AS n_bytes,
-           (s16 / 16.0) AS mean_byte,
-           md5(repeat(md5(wh.media_ref), 4)) AS payload_md5
-    FROM wh JOIN mb ON wh.media_ref = mb.media_ref"""
+           wh.w AS width,
+           wh.hh AS height,
+           (wh.w * wh.hh)::BIGINT AS n_px,
+           (px.s::DOUBLE / px.n) AS mean_px
+    FROM wh JOIN px ON wh.media_ref = px.media_ref"""
   }
 
   /** linking + canonicalization applied to the goldens in SQL: alias dict

@@ -1,41 +1,66 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Docs
 
 /** Multimodal columns: media as opaque binary + typed metadata.
   *
-  * The Spark-side plumbing (schema, partition-friendly batch processing,
-  * deterministic payloads) is real; the actual image/audio DECODE is
-  * STUBBED (no codec libs in this container) with a deterministic fake:
-  * payload bytes are md5(media_ref) repeated, "decoded" features are byte
-  * statistics. Swap `fakeDecode` for a real decoder (e.g. mapInPandas with
-  * PIL on PySpark, or javax.imageio here) off-sandbox.
+  * Images are REAL: the fixture generator renders a deterministic
+  * grayscale PNG per media ref (javax.imageio, in the JDK), and
+  * [[features]]/[[resize]] DECODE those payloads — width/height/pixel
+  * stats come from the decoded raster, not from byte stubs. The DuckDB
+  * oracle reproduces the generation formula (dims + gradient pixel mean)
+  * so the driver gate checks the decode end-to-end. Formats the JDK
+  * cannot decode (video, audio) keep an honest deterministic stub with
+  * real Spark plumbing ([[sampleFrames]]); swap in codec libs off-sandbox.
   */
 object Multimodal {
 
   final case class MediaRow(media_ref: String, payload: Array[Byte],
                             width: Int, height: Int)
   final case class MediaFeat(media_ref: String, width: Int, height: Int,
-                             n_bytes: Int, mean_byte: Double, payload_md5: String,
-                             feature: Array[Float])
+                             n_bytes: Int, n_px: Long, mean_px: Double,
+                             payload_md5: String, feature: Array[Float])
 
-  /** Media table derived from the interleaved corpus' media spans.
-    * Width/height derive from splitmix64 over the FNV-1a hash of the ref —
-    * both are reproduced bit-exactly by the DuckDB oracle
-    * (OracleSql.qMediaFeatures), so the table is value-checkable.
+  /** Deterministic image parameters for a media ref: dims in [16,31] and a
+    * gray-gradient offset, all from splitmix64 over the ref's FNV-1a hash
+    * (reproduced bit-exactly by OracleSql.qMediaFeatures).
+    */
+  def params(ref: String): (Int, Int, Int) = {
+    val h = graft.corpus.RuCorpus.mix(graft.ops.Simhash.tokenHash(ref))
+    (16 + (h & 15).toInt, 16 + ((h >>> 8) & 15).toInt, ((h >>> 16) & 255).toInt)
+  }
+
+  /** Render the ref's image: TYPE_BYTE_GRAY, pixel(x,y) = (a+x+y) mod 256. */
+  def renderPng(ref: String): (Array[Byte], Int, Int) = {
+    val (w, h, a) = params(ref)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, (a + x + y) % 256); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
+  /** Media table derived from the interleaved corpus' media spans: one REAL
+    * PNG payload per ref (decoders see genuine image bytes, not stubs).
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Docs.russianDocs(spark, sfDir)
       .flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
       .map { ref =>
-        // STUB payload: deterministic pseudo-bytes from the ref (md5 x4)
-        val md = java.security.MessageDigest.getInstance("MD5").digest(ref.getBytes("UTF-8"))
-        val payload = Array.fill(4)(md).flatten
-        val h = graft.corpus.RuCorpus.mix(graft.ops.Simhash.tokenHash(ref))
-        MediaRow(ref, payload, 16 + (h & 15).toInt, 16 + ((h >>> 8) & 15).toInt)
+        val (png, w, h) = renderPng(ref)
+        MediaRow(ref, png, w, h)
       }.toDF()
   }
 
@@ -43,21 +68,44 @@ object Multimodal {
                               payload: Array[Byte])
   final case class FrameRow(media_ref: String, frame_idx: Int, payload: Array[Byte])
 
-  /** STUB resize: real plumbing (schema, batch shape), fake resample —
-    * truncates/pads the payload to w*h bytes deterministically. Swap the
-    * body for javax.imageio / a Pandas UDF off-sandbox.
+  /** Real resize for JDK-decodable payloads: nearest-neighbor resample of
+    * the decoded raster (deterministic — no AWT graphics pipeline),
+    * re-encoded as PNG. Payloads ImageIO cannot decode fall back to the
+    * documented stub (truncate/pad) so the operator stays total.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_ref", "payload").as[(String, Array[Byte])]
       .mapPartitions(_.map { case (ref, payload) =>
-        val out = java.util.Arrays.copyOf(payload, w * h) // ??? real resample
-        ResizedRow(ref, w, h, out)
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img != null) {
+          val iw = img.getWidth; val ih = img.getHeight
+          val in = img.getRaster
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val or = out.getRaster
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * ih / h).toInt
+            var x = 0
+            while (x < w) {
+              or.setSample(x, y, 0, in.getSample((x.toLong * iw / w).toInt, sy, 0))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          ResizedRow(ref, w, h, bos.toByteArray)
+        } else // non-image payload: stub resample (no codec in the JDK)
+          ResizedRow(ref, w, h, java.util.Arrays.copyOf(payload, w * h))
       }).toDF()
   }
 
-  /** STUB frame sampling: every k-th 16-byte block is a "frame". */
+  /** STUB frame sampling: every k-th 16-byte block is a "frame" (video
+    * codecs are not in the JDK; the Spark plumbing — flatMap batch shape,
+    * schema — is the real scale path).
+    */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -69,42 +117,60 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Batched "decode + feature extract" over media payloads.
-    * Runs as mapPartitions so a real decoder can amortize per-batch init
-    * (model load, codec context) exactly like the NLP inference path.
+  /** Batched decode + feature extract over media payloads: REAL ImageIO
+    * decode (width/height/pixel mean/8-bin gray histogram from the raster).
+    * Runs as mapPartitions so a heavier decoder can amortize per-batch
+    * init exactly like the NLP inference path. Undecodable payloads fall
+    * back to byte statistics (stub path), flagged by n_px = -1.
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, sfDir)
-      .select("media_ref", "payload", "width", "height")
-      .as[(String, Array[Byte], Int, Int)]
+      .select("media_ref", "payload")
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
         val md5 = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (ref, payload, w, h) =>
-          // STUB decode: byte statistics as the "embedding"
-          var sum = 0L
-          payload.foreach(b => sum += (b & 0xff))
-          val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-          val feat = new Array[Float](8)
-          var i = 0
-          while (i < payload.length) {
-            feat(i % 8) += (payload(i) & 0xff) / 255f
-            i += 1
-          }
-          // digest of the lowercase-hex payload (duckdb: md5(repeat(md5(ref),4)))
+        it.map { case (ref, payload) =>
           md5.reset()
-          val hex = payload.map(b => f"${b & 0xff}%02x").mkString
-          val dig = md5.digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
-          MediaFeat(ref, w, h, payload.length, math.rint(mean * 1e6) / 1e6, dig, feat)
+          val dig = md5.digest(payload).map(b => f"${b & 0xff}%02x").mkString
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img != null) {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            val feat = new Array[Float](8)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = raster.getSample(x, y, 0)
+                sum += g
+                feat(g >> 5) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val nPx = w.toLong * h
+            var i = 0
+            while (i < 8) { feat(i) /= nPx; i += 1 }
+            MediaFeat(ref, w, h, payload.length, nPx, sum.toDouble / nPx, dig, feat)
+          } else {
+            var sum = 0L
+            payload.foreach(b => sum += (b & 0xff))
+            val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+            MediaFeat(ref, 0, 0, payload.length, -1L, mean, dig,
+              new Array[Float](8))
+          }
         }
       }.toDF()
   }
 
-  /** The driver-checked projection of [[features]]: scalar columns only
-    * (sortable/hashable by the oracle gate), the full `feature` vector
-    * stays on the internal API.
+  /** The driver-checked projection of [[features]]: DECODED dims and the
+    * exact raster mean — value-checked by the oracle against the
+    * generation formula (scalar columns only; the feature vector and the
+    * PNG-byte md5 stay on the internal API).
     */
   def featureScalars(spark: SparkSession, sfDir: String): DataFrame =
     features(spark, sfDir).select(col("media_ref"), col("width"), col("height"),
-      col("n_bytes").cast("long").as("n_bytes"), col("mean_byte"), col("payload_md5"))
+      col("n_px"), col("mean_px"))
 }

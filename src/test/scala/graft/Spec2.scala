@@ -458,3 +458,74 @@ class NavecTarSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Real-image multimodal path: the fixture PNGs decode back to their
+  * generation parameters, resize is an exact nearest-neighbor resample,
+  * and the feature extractor's stats equal the closed-form gradient mean.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import graft.ops.Multimodal
+  lazy val spark = TestSpark.spark
+
+  test("generated PNG decodes to formula dims and gradient pixels") {
+    val ref = "s3://media/42/1.jpg"
+    val (png, w, h) = Multimodal.renderPng(ref)
+    val (ew, eh, a) = Multimodal.params(ref)
+    assert((w, h) == ((ew, eh)))
+    // PNG magic: a REAL image payload, not a byte stub
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == ew && img.getHeight == eh)
+    for (y <- 0 until eh; x <- 0 until ew)
+      assert(img.getRaster.getSample(x, y, 0) == (a + x + y) % 256)
+  }
+
+  test("features: decoded dims + raster mean equal the generation formula") {
+    val rows = Multimodal.features(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ref = r.getAs[String]("media_ref")
+      val (w, h, a) = Multimodal.params(ref)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h,
+        s"decoded dims for $ref")
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (a + x + y) % 256
+      assert(r.getAs[Double]("mean_px") == s.toDouble / (w * h), s"mean for $ref")
+      val hist = r.getAs[scala.collection.Seq[Float]]("feature")
+      assert(math.abs(hist.sum - 1f) < 1e-4, "8-bin histogram must sum to 1")
+    }
+  }
+
+  test("resize: exact nearest-neighbor resample, re-encoded as PNG") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").limit(4)
+    val out = Multimodal.resize(media, 8, 5).collect()
+    assert(out.nonEmpty)
+    val src = media.collect().map(r =>
+      r.getAs[String]("media_ref") -> r.getAs[Array[Byte]]("payload")).toMap
+    for (r <- out) {
+      val ref = r.getAs[String]("media_ref")
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 5)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img.getWidth == 8 && img.getHeight == 5)
+      val in = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src(ref)))
+      for (y <- 0 until 5; x <- 0 until 8)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          in.getRaster.getSample(x * in.getWidth / 8, y * in.getHeight / 5, 0))
+    }
+    // undecodable payload takes the documented stub path, stays total
+    import spark.implicits._
+    val junk = Seq(("x", Array[Byte](1, 2, 3))).toDF("media_ref", "payload")
+    val stub = Multimodal.resize(junk, 4, 4).collect().head
+    assert(stub.getAs[Array[Byte]]("payload").length == 16)
+  }
+
+  test("frame sampling keeps every k-th block (stub, documented)") {
+    import spark.implicits._
+    val media = Seq(("v", Array.tabulate[Byte](64)(_.toByte)))
+      .toDF("media_ref", "payload")
+    val frames = Multimodal.sampleFrames(media, 2).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+  }
+}
