@@ -89,10 +89,11 @@ object Bench {
     (1 to 2).map(_ => refPipeline(s, nDocs)).minBy(_._2)
   }
 
-  /** warmup + best-of-2 within one session (the sandbox VM has host-steal
-    * noise; min is the honest steady-state estimate). Each leg runs TWO
-    * such sessions separated in time — steal epochs last minutes, so a
-    * single 90s window no longer decides a leg.
+  /** warmup + best-of-reps within one session (the sandbox VM has
+    * host-steal noise; min is the honest steady-state estimate). Each leg
+    * additionally runs THREE such sessions interleaved in time — steal
+    * epochs last minutes, so no single window decides a leg (the
+    * min-reduction lives HERE, inside the one driver-recorded run).
     */
   private def measure(s: SparkSession, scaleDocs: Long,
                       reps: Int): (Long, Double) = {
@@ -102,6 +103,10 @@ object Bench {
     pipeline(s, math.max(5000L, scaleDocs / 12))
     (1 to reps).map(_ => pipeline(s, scaleDocs)).minBy(_._2)
   }
+
+  /** One leg session's best-of-reps results. */
+  final case class Leg(triples: Long, sec: Double, mode: String,
+                       refSents: Long, refSec: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,10 +137,8 @@ object Bench {
     // (the SIMD conv rework made inference ~5x faster — 200k docs keeps
     // the 32-core leg ~8s and the 8-core leg ~30s)
     val refDocs = math.max(80000L, graft.corpus.RuCorpus.docCount(sfDir) * 2)
-    def leg(totalCores: Int): (Long, Double, String, Long, Double) = {
-      // the high-parallelism leg's runs are ~3-4x shorter, so one steal
-      // epoch distorts them proportionally more — give it an extra rep
-      val reps = if (totalCores == cpus) 3 else 2
+    def leg(totalCores: Int): Leg = {
+      val reps = 2 // per session; x3 interleaved sessions per leg below
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
       try {
@@ -144,7 +147,7 @@ object Bench {
           try {
             val (n, t) = measure(s, scaleDocs, reps)
             val (rn, rt) = measureRef(s, refDocs)
-            return (n, t, "local-cluster", rn, rt)
+            return Leg(n, t, "local-cluster", rn, rt)
           } finally s.stop()
         } else s.stop()
       } catch { case _: Throwable => }
@@ -152,23 +155,30 @@ object Bench {
       try {
         val (n, t) = measure(s, scaleDocs, reps)
         val (rn, rt) = measureRef(s, refDocs)
-        (n, t, "local", rn, rt)
+        Leg(n, t, "local", rn, rt)
       } finally s.stop()
     }
-    // interleave the legs: low, high, low, high; min per leg across the
-    // two time-separated sessions
-    val (lo1, hi1) = (leg(cpusLow), leg(cpus))
-    val (lo2, hi2) = (leg(cpusLow), leg(cpus))
-    val (nTriplesLow, tLow, modeLow, refSentsLow, refTLow) =
-      if (lo1._2 <= lo2._2) lo1 else lo2
-    val (nTriples, tHigh, modeHigh, refSents, refTHigh) =
-      if (hi1._2 <= hi2._2) hi1 else hi2
-    val thrLow = nTriplesLow / tLow
-    val thrHigh = nTriples / tHigh
+    // THREE time-interleaved sessions per leg (lo,hi,lo,hi,lo,hi); the
+    // recorded figure is the min across sessions, and the per-session
+    // spread is reported so the noise band is visible in the artifact
+    // itself (hypervisor steal epochs last minutes — see BASELINE.md)
+    val sessions = (1 to 3).map(_ => (leg(cpusLow), leg(cpus)))
+    val los = sessions.map(_._1)
+    val his = sessions.map(_._2)
+    val lo = los.minBy(_.sec)
+    val hi = his.minBy(_.sec)
+    val thrLow = lo.triples / lo.sec
+    val thrHigh = hi.triples / hi.sec
     val efficiency = thrHigh / (4.0 * thrLow)
-    val refThrLow = refSentsLow / (if (lo1._5 <= lo2._5) lo1._5 else lo2._5)
-    val refThrHigh = refSents / (if (hi1._5 <= hi2._5) hi1._5 else hi2._5)
+    // ref-dims: pick the (sents, sec) PAIR from the min-ref-time session so
+    // the throughput stays self-consistent even if leg inputs diverge
+    val refLo = los.minBy(_.refSec)
+    val refHi = his.minBy(_.refSec)
+    val refThrLow = refLo.refSents / refLo.refSec
+    val refThrHigh = refHi.refSents / refHi.refSec
     val refEff = refThrHigh / (4.0 * refThrLow)
+    def secs(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.2f").mkString("[", ",", "]")
 
     // --- per-query catalog timings on plain local[cpus]; best-of-2 (the
     // host has hypervisor-level steal spikes that single-shot timings hit)
@@ -184,13 +194,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val scaling =
-      f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"$modeLow/$modeHigh",""" +
-        f""""triples_low":$nTriplesLow,"sec_low":$tLow%.2f,"triples_per_sec_low":$thrLow%.1f,""" +
-        f""""triples_high":$nTriples,"sec_high":$tHigh%.2f,"triples_per_sec_high":$thrHigh%.1f,""" +
+      f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"${lo.mode}/${hi.mode}",""" +
+        f""""sessions_per_leg":${sessions.length},""" +
+        f""""sec_low_sessions":${secs(los.map(_.sec))},"sec_high_sessions":${secs(his.map(_.sec))},""" +
+        f""""triples_low":${lo.triples},"sec_low":${lo.sec}%.2f,"triples_per_sec_low":$thrLow%.1f,""" +
+        f""""triples_high":${hi.triples},"sec_high":${hi.sec}%.2f,"triples_per_sec_high":$thrHigh%.1f,""" +
         f""""efficiency":$efficiency%.3f}"""
     val refDims =
       f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
-        f""""sents":$refSents,"sents_per_sec_low":$refThrLow%.1f,""" +
+        f""""sents":${refHi.refSents},""" +
+        f""""sec_low_sessions":${secs(los.map(_.refSec))},"sec_high_sessions":${secs(his.map(_.refSec))},""" +
+        f""""sents_per_sec_low":$refThrLow%.1f,""" +
         f""""sents_per_sec_high":$refThrHigh%.1f,"efficiency":$refEff%.3f}"""
     println(
       f"""{"metric":"triples_per_sec","value":$thrHigh%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"ref_dims":$refDims,"total_query_sec":${results.map(_._2).sum}%.1f}""")
