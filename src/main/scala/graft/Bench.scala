@@ -86,7 +86,7 @@ object Bench {
 
   private def measureRef(s: SparkSession, nDocs: Long): (Long, Double) = {
     refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
-    (1 to 2).map(_ => refPipeline(s, nDocs)).minBy(_._2)
+    (1 to 3).map(_ => refPipeline(s, nDocs)).minBy(_._2)
   }
 
   /** warmup + best-of-reps within one session (the sandbox VM has
@@ -138,7 +138,11 @@ object Bench {
     // the 32-core leg ~8s and the 8-core leg ~30s)
     val refDocs = math.max(80000L, graft.corpus.RuCorpus.docCount(sfDir) * 2)
     def leg(totalCores: Int): Leg = {
-      val reps = 2 // per session; x3 interleaved sessions per leg below
+      // 3 reps x 3 interleaved sessions = 9 draws per leg: fresh-executor
+      // JIT makes run1 of a session 1.3-1.9x slower than run3 even after
+      // the doc warmup, and host steal swings adjacent runs ±50% — the
+      // min over 9 draws is what actually converges (measured 2026-08-17)
+      val reps = 3
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
       try {

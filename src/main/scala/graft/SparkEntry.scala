@@ -50,6 +50,14 @@ object SparkEntry {
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
+    "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark slice = every 97th doc; train = the rest (3-gram rule
+      // at fixture scale; 13-gram at web scale)
+      val docs = tbl(s, d, "documents")
+      Dedup.decontaminate(docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), 3)
+    }),
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1)),
     "q_minhash_dups" -> ((s, d) =>
@@ -300,6 +308,25 @@ object SparkEntry {
       "q_dedup_exact" -> """
         SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY 1""",
+      "q_repetition" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        b AS (SELECT doc_id, tk,
+              CASE WHEN len(tk) >= 2
+                   THEN [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk)-1)]
+                   ELSE [] END AS bg FROM t)
+        SELECT doc_id,
+          round(1.0 - len(list_distinct(tk)) / greatest(len(tk), 1), 6) AS dup_word_ratio,
+          round(coalesce(list_max([len(list_filter(bg, x -> x = g)) FOR g IN bg]), 0)
+                / greatest(len(tk) - 1, 1), 6) AS top_bigram_ratio
+        FROM b""",
+      "q_decontaminate" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        SELECT doc_id, count(*) AS n_hits
+        FROM train JOIN bench USING (shingle) GROUP BY 1""",
       "q_jaccard_pairs" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),

@@ -59,6 +59,29 @@ object TextStats {
     docs.select(col("doc_id"),
       F.poly_hash(col("text")).as("poly_fp"),
       md5(array_join(tokens(lower(col("text"))), " ")).as("norm_fp"))
+
+  /** Gopher/C4-style repetition metrics, entirely ROW-LOCAL (no shuffle,
+    * stays inside whole-stage codegen): dup_word_ratio = 1 − distinct/total
+    * words; top_bigram_ratio = occurrences of the most frequent adjacent
+    * word pair / (n−1). The per-row bigram count is O(n²) over short web
+    * docs — cheaper than a per-doc groupBy shuffle at corpus scale.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val n = size(t)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array())
+    val topBg = coalesce(
+      array_max(transform(bigrams, b => size(filter(bigrams, x => x === b)))),
+      lit(0))
+    docs.select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(t)) / greatest(n, lit(1)).cast("double"), 6)
+        .as("dup_word_ratio"),
+      round(topBg / greatest(n - 1, lit(1)).cast("double"), 6)
+        .as("top_bigram_ratio"))
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -101,6 +124,21 @@ object Dedup {
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
           i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("shingle"))
       .distinct()
+  }
+
+  /** Benchmark decontamination (the classic n-gram collision rule — GPT-3
+    * removed training docs sharing any 13-gram with an eval set): flag
+    * training docs whose shingles collide with the benchmark corpus.
+    * Blocked equi-join on the shingle; the benchmark side is an eval
+    * suite (KB–MB scale), hence broadcast; the training side streams
+    * through with one shuffle for the per-doc hit count. Returns
+    * (doc_id, n_hits) for thresholding by the caller.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val d = shingles(docs, n)
+    val b = broadcast(shingles(bench, n).select("shingle").distinct())
+    d.join(b, "shingle") // d is distinct (doc, shingle) → count = distinct hits
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** Exact n-gram Jaccard pairs >= threshold. The blocking key is the
