@@ -20,6 +20,17 @@ object Api {
   final case class MorphMarkup(tokens: Array[MorphTok])
   final case class SyntaxMarkup(tokens: Array[SynTok])
 
+  /** Load the reference-layout task tars (ner.tar/morph.tar/syntax.tar in
+    * `dir`) plus, for navec-stripped released packs, the navec artifact in
+    * the navec package's own tar format — the exact file set a slovnet
+    * user holds (api.py:41-113 load + api.py:29-31 navec injection).
+    */
+  def loadSlovnet(dir: java.io.File,
+                  navecTar: Option[java.io.File] = None): ModelPack = {
+    val navec = navecTar.map(f => graft.pack.NavecTar.load(f).emb)
+    graft.pack.SlovnetPack.loadAll(dir, navec)
+  }
+
   /** rectangular encode of pre-tokenized items (exec/encoders.py:25-49) */
   private[graft] def encode(words: Array[Array[String]], pack: ModelPack,
                             ws: Workspace): (Int, Int) = {

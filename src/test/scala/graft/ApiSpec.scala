@@ -36,4 +36,23 @@ class ApiSpec extends AnyFunSuite {
     val texts = (0L until 20L).map(RuCorpus.sentence(_, 1).text)
     assert(ner.map(texts).toSeq.map(_.spans.toSeq) == texts.map(t => ner(t).spans.toSeq))
   }
+
+  test("Api.loadSlovnet: released-pack file set (stripped tars + navec artifact)") {
+    val pack = SynthPack.build()
+    val dir = java.nio.file.Files.createTempDirectory("slovnet_user").toFile
+    graft.pack.SlovnetPack.dumpAll(pack, dir, stripNavec = true)
+    graft.pack.NavecTar.dump(
+      graft.pack.NavecTar.NavecArtifact("navec_test", pack.wordVocab.items,
+        Array.fill(pack.wordVocab.size)(1L), pack.ner.emb.word),
+      new java.io.File(dir, "navec.tar"))
+
+    val loaded = Api.loadSlovnet(dir, Some(new java.io.File(dir, "navec.tar")))
+    val ner = new NER(loaded)
+    val direct = new NER(pack)
+    val texts = (0L until 20L).map(RuCorpus.sentence(_, 2).text)
+    assert(ner.map(texts).toSeq.map(_.spans.toSeq) ==
+      direct.map(texts).toSeq.map(_.spans.toSeq))
+    // without the navec artifact the stripped pack must refuse loudly
+    intercept[IllegalArgumentException](Api.loadSlovnet(dir))
+  }
 }
