@@ -51,6 +51,7 @@ object SparkEntry {
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
+    "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
       // at fixture scale; 13-gram at web scale)
@@ -308,6 +309,12 @@ object SparkEntry {
       "q_dedup_exact" -> """
         SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         FROM documents GROUP BY 1""",
+      "q_bucketed_join" -> """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               count(DISTINCT c_custkey) AS n_customers,
+               max(o_totalprice) AS max_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""",
       "q_repetition" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         b AS (SELECT doc_id, tk,

@@ -186,6 +186,30 @@ class PipelineSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
+
+  test("bucketed tables: co-located join plans with zero Exchange") {
+    val sf = "/root/testdata/sf0.001"
+    graft.ops.Bucketed.materialize(spark, sf)
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = graft.ops.Bucketed.colocatedJoin(spark)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(1500)}")
+      // result identical to the plain (shuffling) join
+      import org.apache.spark.sql.functions.col
+      val plain = spark.read.parquet(s"$sf/orders.parquet")
+        .join(spark.read.parquet(s"$sf/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+      assert(j.count() == plain.count())
+      val a = j.select("o_orderkey", "c_custkey").collect().map(_.toString).sorted
+      val b = plain.select("o_orderkey", "c_custkey").collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+  }
 }
 
 class CcSpec extends AnyFunSuite {
