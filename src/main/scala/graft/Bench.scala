@@ -207,14 +207,15 @@ object Bench {
     val lo = los.minBy(_.sec)
     val hi = his.minBy(_.sec)
     val thrHigh = hi.thrRaw
-    val efficiency = hi.thr / (4.0 * lo.thr)
-    val efficiencyRaw = hi.thrRaw / (4.0 * lo.thrRaw)
+    val mainRatio = cpus.toDouble / cpusLow // ideal speedup (4 when cpus%4==0)
+    val efficiency = hi.thr / (mainRatio * lo.thr)
+    val efficiencyRaw = hi.thrRaw / (mainRatio * lo.thrRaw)
     // ref-dims: pick the (sents, sec) PAIR from the min-ref-time session so
     // the throughput stays self-consistent even if leg inputs diverge
     val refLo = los.minBy(_.refSec)
     val refHi = his.minBy(_.refSec)
-    val refEff = refHi.refThr / (4.0 * refLo.refThr)
-    val refEffRaw = refHi.refThrRaw / (4.0 * refLo.refThrRaw)
+    val refEff = refHi.refThr / (mainRatio * refLo.refThr)
+    val refEffRaw = refHi.refThrRaw / (mainRatio * refLo.refThrRaw)
     def secs(xs: Seq[Double]): String =
       xs.map(v => f"$v%.2f").mkString("[", ",", "]")
 
@@ -241,8 +242,8 @@ object Bench {
     // else runs on it, so its efficiency conflates OUR scaling with
     // co-tenant contention; a pair that leaves headroom on both legs
     // isolates the code's scaling (the north rule fixes the RATIO N->4N,
-    // not N itself). Toy pipeline only, half the docs, two interleaved
-    // sessions per leg.
+    // not N itself). Toy AND ref-dims workloads, half the docs, ONE
+    // session per leg (budget-bound; in-session best-of-2 only).
     val midLowCores = math.max(1, cpus / 8)
     val midHighCores = math.max(2, cpus / 2)
     val midDocs = scaleDocs / 2
@@ -252,11 +253,12 @@ object Bench {
         legAt(midHighCores, midDocs, midRefDocs)))
     val midLos = midSessions.map(_._1); val midHis = midSessions.map(_._2)
     val midLo = midLos.minBy(_.sec); val midHi = midHis.minBy(_.sec)
-    val midEff = midHi.thr / (4.0 * midLo.thr)
-    val midEffRaw = midHi.thrRaw / (4.0 * midLo.thrRaw)
+    val midRatio = midHighCores.toDouble / midLowCores // ideal speedup
+    val midEff = midHi.thr / (midRatio * midLo.thr)
+    val midEffRaw = midHi.thrRaw / (midRatio * midLo.thrRaw)
     val midRefLo = midLos.minBy(_.refSec); val midRefHi = midHis.minBy(_.refSec)
-    val midRefEff = midRefHi.refThr / (4.0 * midRefLo.refThr)
-    val midRefEffRaw = midRefHi.refThrRaw / (4.0 * midRefLo.refThrRaw)
+    val midRefEff = midRefHi.refThr / (midRatio * midRefLo.refThr)
+    val midRefEffRaw = midRefHi.refThrRaw / (midRatio * midRefLo.refThrRaw)
     val scalingMid =
       f"""{"cpus_low":$midLowCores,"cpus_high":$midHighCores,"docs":$midDocs,""" +
         f""""sec_low_sessions":${secs(midLos.map(_.sec))},""" +
@@ -287,7 +289,7 @@ object Bench {
       val first = once()
       // sub-0.4s queries are fixed-cost-dominated; a second pass buys no
       // signal and the whole main must fit the driver's bench window
-      name -> (if (first >= 0 && first < 0.4) first else math.min(first, once()))
+      name -> (if (first < 0.4) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -40,7 +40,8 @@ object InteropDump {
       "Цена — 100$ за м².",
       "Пётр Волков и т. д. посетили музей.",
       "1. Первый пункт повестки.",
-      "Яндекс запустил сервис e-mail рассылок.")
+      "Яндекс запустил сервис e-mail рассылок.",
+      "Выручка достигла 5\u00a0млрд руб. за год.")
     val parsed = sents.zipWithIndex.map { case (t, i) =>
       Pipeline.inferBatch(Seq(SentRow(s"d$i", 0, 0, 0, t.length, t)), pack).head
     }

@@ -69,6 +69,13 @@ object Meters {
     // per (run, step)); the VERBATIM run_id travels as a data column —
     // path-recovered values pass through Spark's own %hh partition-path
     // unescaping, which would mangle any custom path encoding on read
+    // fail fast on a pre-rename board layout: old `run_id=` partition
+    // dirs would make read() see conflicting partition columns, and the
+    // (run, step) overwrite idempotency would silently stop applying
+    val stale = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("run_id="))
+    require(!stale,
+      s"metrics board at $dir uses the old run_id= partition layout — use a fresh dir")
     metrics.toSeq.sortBy(_._1).map { case (n, v) => (runId, n, v) }
       .toDF("run_id", "name", "value")
       .write.mode(SaveMode.Overwrite)

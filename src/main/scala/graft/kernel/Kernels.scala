@@ -411,6 +411,28 @@ final case class NavecEmbedding(indexes: Array[Byte], qdim: Int,
   /** vocabulary rows covered by the index table */
   def vocabN: Int =
     (if (indexes16 != null) indexes16.length else indexes.length) / qdim
+  /** Fail-fast id scan for LOADERS (not run on broadcast deserialization):
+    * an out-of-range centroid id would otherwise read another
+    * subquantizer's codes silently or crash mid-inference on an executor.
+    */
+  def validateIds(): this.type = {
+    if (indexes16 != null) {
+      var i = 0
+      while (i < indexes16.length) {
+        val v = indexes16(i) & 0xffff
+        require(v < centroids, s"centroid id $v >= centroids=$centroids at $i")
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < indexes.length) {
+        val v = indexes(i) & 0xff
+        require(v < centroids, s"centroid id $v >= centroids=$centroids at $i")
+        i += 1
+      }
+    }
+    this
+  }
   def lookup(id: Int, out: Array[Float], off: Int): Unit = {
     var q = 0
     if (indexes16 != null) {

@@ -20,6 +20,11 @@ import graft.sources.Docs
   */
 object Multimodal {
 
+  // keep ImageIO fully in-memory: the default disk cache creates/deletes a
+  // temp file per decode/encode, which is pure syscall churn for these
+  // sub-KB images on every executor (JVM-global toggle, set once on load)
+  ImageIO.setUseCache(false)
+
   final case class MediaRow(media_ref: String, payload: Array[Byte],
                             width: Int, height: Int)
   final case class MediaFeat(media_ref: String, width: Int, height: Int,

@@ -87,7 +87,7 @@ object NavecTar {
         pb.asFloatBuffer().get(codes)
         NavecEmbedding(null, qdim, codes, centroids, chunk, idx)
       }
-    NavecArtifact(id, words, counts, emb)
+    NavecArtifact(id, words, counts, emb.validateIds())
   }
 
   def dump(a: NavecArtifact, file: File): Unit = {

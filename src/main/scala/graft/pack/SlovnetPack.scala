@@ -142,12 +142,12 @@ object SlovnetPack {
       val idx = wt(wn.get("indexes")); val cod = wt(wn.get("codes"))
       if (idx.id >= 0 && cod.id >= 0) {
         val centroids = cod.shape(1)
-        if (centroids <= 256)
+        (if (centroids <= 256)
           NavecEmbedding(idsOf(idx, r), idx.shape(1), floatsOf(cod, r),
             centroids, cod.shape(2))
         else // navec dtype rule: u16 ids above 256 centroids
           NavecEmbedding(null, idx.shape(1), floatsOf(cod, r),
-            centroids, cod.shape(2), ids16Of(idx, r))
+            centroids, cod.shape(2), ids16Of(idx, r))).validateIds()
       } else navec.getOrElse(throw new IllegalArgumentException(
         s"navec '${wn.get("id").asText()}' is stripped from the pack — pass one to inject"))
     }

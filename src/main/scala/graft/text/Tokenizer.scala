@@ -50,6 +50,15 @@ object Tokenizer {
   // chars that open a sentence-leading quote/bracket
   private final val Openers = "«\"'“‘([{"
 
+  /** Whitespace for segmentation: Java's isWhitespace EXCLUDES the
+    * non-breaking family (U+00A0/U+202F/U+2007, NEL) that Python's `\s`
+    * and str.isspace treat as separators — and Russian news text uses
+    * NBSP routinely (number–unit, initials). isSpaceChar covers the Zs
+    * block; NEL is added explicitly.
+    */
+  @inline private def isSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == 0x85.toChar
+
   @inline private def isRuChar(c: Char): Boolean =
     (c >= 'а' && c <= 'я') || (c >= 'А' && c <= 'Я') || c == 'ё' || c == 'Ё'
   @inline private def isLatChar(c: Char): Boolean =
@@ -81,7 +90,7 @@ object Tokenizer {
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
-      if (Character.isWhitespace(c)) { i += 1 }
+      if (isSpace(c)) { i += 1 }
       else if (isRuChar(c)) {
         val s = i
         while (i < n && isRuChar(text.charAt(i))) i += 1
@@ -235,7 +244,7 @@ object Tokenizer {
         while (close < le && Closers.indexOf(text.charAt(close)) >= 0) close += 1
         // next non-space char
         var k = close
-        while (k < le && Character.isWhitespace(text.charAt(k))) k += 1
+        while (k < le && isSpace(text.charAt(k))) k += 1
         val singleDot = c == '.' && j == i + 1
         var join = false
         if (close < le && k == close) join = true // no whitespace after → mid-token
@@ -248,7 +257,7 @@ object Tokenizer {
             // он), while a dash opening new direct speech splits (razdel
             // README: `- "Не ра-ду-ют".` starts a new sentence)
             var k3 = k + 1
-            while (k3 < le && Character.isWhitespace(text.charAt(k3))) k3 += 1
+            while (k3 < le && isSpace(text.charAt(k3))) k3 += 1
             if (k3 < le && Character.isLetter(text.charAt(k3)) &&
               Character.isLowerCase(text.charAt(k3))) join = true
           }
@@ -288,7 +297,7 @@ object Tokenizer {
       var p = ls
       while (p < ds) {
         val pc = text.charAt(p)
-        if (!Character.isWhitespace(pc) && Openers.indexOf(pc) < 0) return false
+        if (!isSpace(pc) && Openers.indexOf(pc) < 0) return false
         p += 1
       }
       return true
@@ -298,8 +307,8 @@ object Tokenizer {
 
   private def emit(text: String, s0: Int, e0: Int, out: ArrayBuffer[Sent]): Unit = {
     var s = s0; var e = e0
-    while (s < e && Character.isWhitespace(text.charAt(s))) s += 1
-    while (e > s && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+    while (s < e && isSpace(text.charAt(s))) s += 1
+    while (e > s && isSpace(text.charAt(e - 1))) e -= 1
     if (e > s) out += Sent(s, e, text.substring(s, e)) // drop empty (sent.py:24-25)
   }
 

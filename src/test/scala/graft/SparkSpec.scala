@@ -194,7 +194,7 @@ class PipelineSpec extends AnyFunSuite {
     val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val j = graft.ops.Bucketed.colocatedJoin(spark)
+      val j = graft.ops.Bucketed.colocatedJoin(spark, sf)
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(1500))
       assert(!plan.contains("Exchange"),

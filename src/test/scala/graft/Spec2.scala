@@ -432,6 +432,20 @@ class NavecTarSpec extends AnyFunSuite {
     assert(sig(loaded) == want, "u16 pack must round trip bit-identically")
   }
 
+  test("out-of-range centroid ids fail loudly at load (validateIds)") {
+    val d = SynthPack.Dims(vocab = 40, qdim = 3, centroids = 300, chunk = 2,
+      shapeDim = 4, encDims = Seq(8, 8), kernel = 3, morphTags = 5, rels = 10,
+      seed = 13L)
+    val pack = SynthPack.buildRandom(d)
+    val good = artifactOf(pack, "navec_bad")
+    // corrupt one id beyond the codebook
+    val bad = good.emb.indexes16.clone(); bad(7) = 5000.toShort
+    val f = java.nio.file.Files.createTempDirectory("navec_bad").resolve("n.tar").toFile
+    NavecTar.dump(good.copy(emb = good.emb.copy(indexes16 = bad)), f)
+    val err = intercept[IllegalArgumentException](NavecTar.load(f))
+    assert(err.getMessage.contains("centroid id"), err.getMessage)
+  }
+
   test("reference-dims pack round trips the tar layout bit-identically") {
     // the production-shape interop proof: 250K x 300d x 100q navec,
     // CNN [256,128,64] — dumped in the reference tar layout and reloaded

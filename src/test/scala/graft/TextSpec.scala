@@ -257,7 +257,14 @@ class TokenizerSpec extends AnyFunSuite {
       "Анна Иванова — лидер." ->
         Seq("Анна", "Иванова", "—", "лидер", "."),
       "Олег Смирнов, банкир, создал сервис." ->
-        Seq("Олег", "Смирнов", ",", "банкир", ",", "создал", "сервис", "."))
+        Seq("Олег", "Смирнов", ",", "банкир", ",", "создал", "сервис", "."),
+      // non-breaking space family separates atoms — it must NEVER merge
+      // neighbors through the OTHER-glue rule (NBSP, narrow NBSP, figure
+      // space are everyday Russian typography)
+      "Анна Петрова" -> Seq("Анна", "Петрова"),
+      "3 000" -> Seq("3", "000"),
+      "5 млн" -> Seq("5", "млн"),
+      "12 мая" -> Seq("12", "мая"))
     for ((in, want) <- table) {
       val got = Tokenizer.tokenize(in).map(_.text).toSeq
       assert(got == want, s"tokenize('$in'): got $got want $want")
@@ -339,7 +346,10 @@ class TokenizerSpec extends AnyFunSuite {
         Seq("Фото: ИТАР-ТАСС.", "Текст: Иванов."),
       // digits starting the next sentence split
       "Итоги подведены. 5 мая начнётся новый этап." ->
-        Seq("Итоги подведены.", "5 мая начнётся новый этап."))
+        Seq("Итоги подведены.", "5 мая начнётся новый этап."),
+      // non-breaking spaces separate like ordinary spaces (Python \s
+      // semantics; NBSP is routine in Russian typography)
+      "Это конец. Новая мысль." -> Seq("Это конец.", "Новая мысль."))
     for ((in, want) <- cases)
       assert(sents(in) == want, s"sentenize('$in')")
     assert(cases.size >= 20)

@@ -54,6 +54,7 @@ sents = [
     "Пётр Волков и т. д. посетили музей.",
     "1. Первый пункт повестки.",
     "Яндекс запустил сервис e-mail рассылок.",
+    "Выручка достигла 5\u00a0млрд руб. за год.",
 ]
 words = [[t.text for t in razdel_rules.tokenize(s)] for s in sents]
 
