@@ -187,6 +187,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
 
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled down so the fixture-sized hot key trips the
+      // same OptimizeSkewedJoin rule a hot entity would at 100 TB
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // key 0 carries ~95% of all probe rows (the hot-PER-mention shape)
+      val big = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(9900).select((col("id") % 99 + 1).as("k"), col("id").as("v")))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"))
+      val j = big.join(dim, "k")
+      assert(j.count() == 209900L)
+      val plan = j.queryExecution.executedPlan.toString // final adaptive plan
+      assert(plan.contains("skew=true"),
+        s"AQE must have split the skewed partition:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("bucketed tables: co-located join plans with zero Exchange") {
     val sf = "/root/testdata/sf0.001"
     graft.ops.Bucketed.materialize(spark, sf)
