@@ -212,7 +212,9 @@ class PipelineSpec extends AnyFunSuite {
       val dim = spark.range(100).select(col("id").as("k"),
         concat(lit("n"), col("id")).as("name"))
       val j = big.join(dim, "k")
-      assert(j.count() == 209900L)
+      // execute j ITSELF (count() builds a separate QueryExecution whose
+      // final adaptive plan j.queryExecution would never see)
+      assert(j.collect().length == 209900)
       val plan = j.queryExecution.executedPlan.toString // final adaptive plan
       assert(plan.contains("skew=true"),
         s"AQE must have split the skewed partition:\n${plan.take(2000)}")
