@@ -259,8 +259,21 @@ object SparkEntry {
     // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
     // checked projection emits scalar columns only; the full feature vector
     // stays on Multimodal.features for internal callers
-    "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d))
+    "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d)),
+
+    // ---- corpus assembly (dedup clustering, sampling, packing, mixing) ----
+    "q_dedup_cluster" -> ((s, d) =>
+      Dedup.dedupClusters(tbl(s, d, "documents"), 3, 32, 8, 0.1)),
+    "q_stratified_sample" -> ((s, d) =>
+      ops.Corpus.stratifiedSample(tbl(s, d, "documents"), SampleRates)),
+    "q_pack_sequences" -> ((s, d) =>
+      ops.Corpus.packSequences(tbl(s, d, "documents"), 512, 8)),
+    "q_domain_mix" -> ((s, d) => ops.Corpus.domainMix(tbl(s, d, "documents")))
   )
+
+  /** mixture rates for the checked stratified-sample query (ppm-exact) */
+  private val SampleRates = Map(
+    "en" -> 0.5, "de" -> 0.25, "zh" -> 0.8, "fr" -> 1.0, "es" -> 0.125)
 
   /** hyperplane-LSH bucket expression over a DOUBLE[] column `emb`,
     * inlining the exact seeded planes; explicit left-assoc +-chains
@@ -287,6 +300,31 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val tokSql = Tok // backslashes are literal inside single-quoted SQL strings
     def toks(c: String) = s"regexp_extract_all($c, '$tokSql')"
+    // MinHash-LSH verified dup pairs as a reusable CTE chain ending in
+    // `pairs(doc_a, doc_b, jaccard)` — shared by q_minhash_dups and the
+    // connected-components clustering oracle
+    def minhashPairsCtes = s"""
+        t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
+        hb AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
+        mh AS (SELECT doc_id, k,
+                 min((((2654435761 * (k+1)) % 2147483647) * h + ((40503 * (k+7)) % 2147483647)) % 2147483647) AS mh
+               FROM hb, (SELECT unnest(generate_series(0, 31)) AS k) GROUP BY 1, 2),
+        band AS (SELECT doc_id, k // 4 AS band,
+                   array_to_string(list_sort(list(k || ':' || mh)), ',') AS bh
+                 FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+          FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1)"""
     Map(
       "q_tok_count" ->
         s"SELECT doc_id, len(${toks("text")}) AS n_tokens FROM documents",
@@ -373,26 +411,22 @@ object SparkEntry {
               (h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT AS u
           FROM documents)""",
       "q_minhash_dups" -> s"""
-        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
-        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
-        hb AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
-        mh AS (SELECT doc_id, k,
-                 min((((2654435761 * (k+1)) % 2147483647) * h + ((40503 * (k+7)) % 2147483647)) % 2147483647) AS mh
-               FROM hb, (SELECT unnest(generate_series(0, 31)) AS k) GROUP BY 1, 2),
-        band AS (SELECT doc_id, k // 4 AS band,
-                   array_to_string(list_sort(list(k || ':' || mh)), ',') AS bh
-                 FROM mh GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
-                  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-                  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1""",
+        WITH $minhashPairsCtes
+        SELECT doc_a, doc_b, jaccard FROM pairs""",
+      // clustering oracle: transitive min-label reachability over the
+      // symmetric dup-pair graph (WITH RECURSIVE fixpoint), then the
+      // survivor rule min(reachable) — semantically identical to the
+      // engine's connected components
+      "q_dedup_cluster" -> s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        r(doc, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN r ON r.doc = e.b)
+        SELECT doc AS doc_id, min(m) AS cluster_id, min(m) = doc AS keep
+        FROM r GROUP BY doc""",
       "q_embed_dups" -> {
         // same multi-table LSH blocking as Dedup.embeddingDupPairs: pairs
         // sharing a bucket in ANY of 4 plane sets, exact-cosine verified
@@ -552,7 +586,26 @@ object SparkEntry {
         UNION ALL
         SELECT doc_id, i*2+1 AS ord, 'media' AS kind, NULL AS text,
                's3://media/' || doc_id || '/' || i || '.bin' AS media_ref
-        FROM chunks WHERE (doc_id + i) % 4 = 0"""
+        FROM chunks WHERE (doc_id + i) % 4 = 0""",
+      // ppm rates must mirror SampleRates (driver-side math.round(r*1e6))
+      "q_stratified_sample" -> """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT % 1000000
+          < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                       WHEN 'zh' THEN 800000 WHEN 'fr' THEN 1000000
+                       WHEN 'es' THEN 125000 ELSE 1000000 END)""",
+      "q_pack_sequences" -> s"""
+        WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                          len(${toks("text")}) AS n_tokens FROM documents),
+        c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+        SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens FROM c""",
+      "q_domain_mix" -> s"""
+        WITH a AS (SELECT lang, source, count(*) AS n_docs,
+                          cast(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1, 2)
+        SELECT lang, source, n_docs, n_tokens,
+               round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share FROM a"""
     )
   }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly ops for training-data pipelines: deterministic
+  * stratified sampling (per-language mixture rates), greedy sequence
+  * packing into fixed token budgets, and domain-mixture accounting.
+  * All row-local or single-shuffle; no UDFs, no driver loops.
+  */
+object Corpus {
+
+  /** 60-bit md5-derived uniform hash in [0, 1e6) — same construction as
+    * [[Dedup.MinhashP]]'s base hash, chosen so DuckDB reproduces it
+    * bit-for-bit: ('0x'||substring(md5(s),1,15))::BIGINT % 1000000.
+    */
+  private def ppmHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 1000000L
+
+  /** Deterministic stratified sampling by language: keep a doc iff
+    * hash(doc_id) mod 1e6 < rate(lang)·1e6. Hash-based (not `rand()`) so
+    * the sample is reproducible across runs/retries and JOIN-stable —
+    * the property a resumable 10^12-doc job needs (a task retry with
+    * `rand()` silently changes the sample). Rates are rounded to ppm
+    * driver-side so Spark and the SQL oracle compare the same integer.
+    * Entirely row-local: filter + project, stays in one codegen stage,
+    * pushes down to the scan.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val ppm = rates.map { case (k, v) => k -> math.round(v * 1e6) }
+    val rateCol =
+      if (ppm.isEmpty) lit(math.round(defaultRate * 1e6))
+      else coalesce(
+        element_at(map(ppm.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+          col("lang")),
+        lit(math.round(defaultRate * 1e6)))
+    docs.where(ppmHash(col("doc_id")) < rateCol)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Greedy sequence packing: assign docs to fixed-token-budget training
+    * sequences. Docs are sharded (doc_id mod shards), ordered within a
+    * shard, and a doc's pack is floor(tokens-before-it / budget) — the
+    * streaming "fill until the boundary crosses" rule. The window runs
+    * per shard, so parallelism = shard count: at 10^12 docs you raise
+    * `shards` to O(cluster cores) and each shard's cumulative sum is an
+    * independent single-pass stream (one shuffle on the shard key, no
+    * global sort).
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512,
+                    shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before div $budget").as("pack_id"), col("n_tokens"))
+  }
+
+  /** Domain-mixture accounting: docs/tokens per (lang, source) plus each
+    * cell's share of total tokens — the table a mixture-weight tuner
+    * reads. One partial-agg shuffle to a tiny frame; the share window
+    * runs on the aggregated cells, not the corpus.
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val agg = docs
+      .select(col("lang"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    agg.withColumn("token_share",
+      round(col("n_tokens") / sum("n_tokens").over(Window.partitionBy()), 6))
+  }
+}

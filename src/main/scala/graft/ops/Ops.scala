@@ -288,6 +288,35 @@ object Dedup {
         round(F.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** End-to-end near-dup CLUSTERING: MinHash-LSH pairs → connected
+    * components over the dup-pair graph → one survivor per cluster
+    * (min doc_id). Returns every doc with its cluster id and a `keep`
+    * flag; `docs.join(result.where($"keep"), "doc_id")` is the dedup'd
+    * corpus.
+    *
+    * Scale shape: CC runs only over the docs that appear in a dup pair
+    * (near-dup graphs are a small fraction of the corpus), then the full
+    * corpus left-joins the component map — isolated docs never enter the
+    * CC iteration. Ids are zero-padded strings so the component min
+    * (string order) equals the numeric min.
+    */
+  def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashDupPairs(docs, n, numHashes, bands, threshold)
+    def pad(c: Column) = lpad(c.cast("string"), 15, "0")
+    val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val cc = graft.kg.ConnectedComponents.runAdaptive(edges, nodes)
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+  }
 }
 
 object Simhash {

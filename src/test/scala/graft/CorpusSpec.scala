@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-assembly ops: dedup clustering, stratified sampling, sequence
+  * packing, domain mixing — invariants checked on the sf0.001 documents
+  * table (driver-oracle queries cover the exact values at sf0.01).
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("dedupClusters: pairs land in one cluster, survivors are cluster minima") {
+    val pairs = ops.Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dups")
+    val cl = ops.Dedup.dedupClusters(docs, 3, 32, 8, 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cl.size == docs.count())
+    // every dup pair shares a cluster
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the min member; keep <=> doc IS the min
+    val members = cl.groupBy(_._2._1).view.mapValues(_.keys.min)
+    members.foreach { case (cid, minDoc) => assert(cid == minDoc) }
+    cl.foreach { case (doc, (cid, keep)) => assert(keep == (doc == cid)) }
+    // docs in no pair are their own singleton cluster
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    cl.collect { case (doc, (cid, _)) if !inPairs.contains(doc) =>
+      assert(cid == doc)
+    }
+  }
+
+  test("stratifiedSample: deterministic, subset, rate-shaped") {
+    val rates = Map("en" -> 0.5, "de" -> 0.0, "zh" -> 1.0)
+    val s1 = ops.Corpus.stratifiedSample(docs, rates).collect().map(_.getLong(0)).sorted
+    val s2 = ops.Corpus.stratifiedSample(docs, rates).collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "hash-based sample must be reproducible")
+    val byLang = ops.Corpus.stratifiedSample(docs, rates)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("de"), "rate 0 keeps nothing")
+    assert(byLang("zh") == total("zh"), "rate 1 keeps everything")
+    val enFrac = byLang("en").toDouble / total("en")
+    assert(enFrac > 0.2 && enFrac < 0.8, s"en fraction $enFrac far from 0.5")
+    // default rate 1.0: unlisted langs all kept
+    assert(byLang.getOrElse("fr", 0L) == total("fr"))
+  }
+
+  test("packSequences: per-shard boundary rule and full coverage") {
+    val rows = ops.Corpus.packSequences(docs, 512, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (docId, sh, packId, nTok) =>
+        assert(sh == docId % 8)
+        assert(packId == cum / 512, s"doc $docId: pack $packId != ${cum / 512}")
+        cum += nTok
+      }
+      // pack ids are nondecreasing in doc order
+      assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
+  test("domainMix: shares sum to 1 and token totals add up") {
+    val m = ops.Corpus.domainMix(docs).collect()
+    val shareSum = m.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"share sum $shareSum")
+    val tokTotal = m.map(_.getAs[Long]("n_tokens")).sum
+    val expected = docs.select(sum(size(ops.TextStats.tokens(col("text")))))
+      .first().getLong(0)
+    assert(tokTotal == expected)
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+}
