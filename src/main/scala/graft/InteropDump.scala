@@ -41,7 +41,24 @@ object InteropDump {
       "Пётр Волков и т. д. посетили музей.",
       "1. Первый пункт повестки.",
       "Яндекс запустил сервис e-mail рассылок.",
-      "Выручка достигла 5\u00a0млрд руб. за год.")
+      "Выручка достигла 5\u00a0млрд руб. за год.",
+      // round-3b probes: ranges, roman numerals, phones, refs, URLs,
+      // currency, ordinals, date-dots, sokr-before-capital boundaries
+      "В 1941—1945 гг. шла война.",
+      "Фильм снят в XIX в. по роману.",
+      "Звоните: +7 (495) 123-45-67.",
+      "Скорость — 60 км/ч на трассе.",
+      "Т.е. проект закрыт, т.к. нет денег.",
+      "Приказ № 7 подписан 1-го мая.",
+      "Подробнее на сайте example.com или по e-mail info@example.com.",
+      "Курс достиг 90,5₽ (или $1.02).",
+      "Рост составил 3—5% за квартал.",
+      "iPhone 15 Pro поступил в продажу.",
+      "Д. И. Менделеев открыл закон в 1869 г. Затем наука шагнула вперёд.",
+      "«Северный поток — 2» остановлен.",
+      "Гл. 3, разд. 2.1 — см. с. 45.",
+      "Он родился 31.12.1999 в 23:59.",
+      "Опрос: 2/3 жителей согласны (67%).")
     val parsed = sents.zipWithIndex.map { case (t, i) =>
       Pipeline.inferBatch(Seq(SentRow(s"d$i", 0, 0, 0, t.length, t)), pack).head
     }

@@ -303,7 +303,13 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                     bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    // materialize the pair set ONCE: connected components reads its edge
+    // input several times (size probe, per-round joins or driver collect),
+    // and each read would otherwise re-run the whole MinHash DAG. The pair
+    // set is a small fraction of the corpus, so an eager localCheckpoint
+    // is cheap at any scale.
     val pairs = minhashDupPairs(docs, n, numHashes, bands, threshold)
+      .select("doc_a", "doc_b").localCheckpoint()
     def pad(c: Column) = lpad(c.cast("string"), 15, "0")
     val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
     val nodes = edges.select(col("src").as("id"))
