@@ -43,6 +43,26 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("key"), col("n"))
 
+  /** Cross-batch exact dedup on a document stream: the FIRST doc with a
+    * given content hash passes, later copies are dropped — including
+    * copies arriving in later micro-batches, which a per-batch
+    * `dropDuplicates` would re-admit. Built on
+    * `dropDuplicatesWithinWatermark`, so the seen-hash state store is
+    * evicted once the event-time watermark passes a hash's horizon:
+    * state stays bounded by the dedup window, not the stream's lifetime —
+    * the property an unbounded 100 TB/day ingest feed needs. Duplicates
+    * separated by more than the watermark delay are treated as fresh
+    * (the standard streaming-dedup horizon trade-off; corpus-wide exact
+    * dedup remains the batch op [[graft.ops.Dedup.exact]]).
+    *
+    * Input must carry (text, ts); any other columns pass through.
+    */
+  def streamingDedup(docs: DataFrame, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session for a
     * key closes once the event-time watermark passes (last event + gap).
     * Uses EventTimeTimeout so state is evicted by watermark progress, not

@@ -349,6 +349,24 @@ class StreamSpec extends AnyFunSuite {
       assert(got.contains(("b", 2L, 2L, 1L)), s"session b[2,2]x1 missing: $got")
     } finally q.stop()
   }
+
+  test("streamingDedup drops cross-batch duplicates within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamOps.streamingDedup(
+      mem.toDF().toDF("doc_id", "text", "ts"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", ts(1)), (2L, "beta", ts(2)), (3L, "alpha", ts(3)))
+      q.processAllAvailable() // in-batch dup of "alpha" dropped
+      mem.addData((4L, "alpha", ts(10)), (5L, "gamma", ts(11)))
+      q.processAllAvailable() // CROSS-batch dup of "alpha" dropped by state
+      val got = spark.table("sdedup").select($"doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 5L), s"expected first-seen docs only: $got")
+    } finally q.stop()
+  }
 }
 
 /** The navec package's own artifact format (public natasha/navec repo):
