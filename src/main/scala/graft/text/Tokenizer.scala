@@ -200,6 +200,7 @@ object Tokenizer {
       // head: address/citation/title abbreviations
       "ул", "пер", "просп", "пр", "пл", "наб", "обл", "респ", "гор", "пос",
       "дер", "им", "акад", "проф", "доц", "канд", "св", "гл", "ст", "рис",
+      "с", "п",
       "табл", "илл", "разд", "изд", "ред", "сост", "тел", "факс", "англ",
       "рус", "лат", "греч", "нем", "фр", "ит", "исп", "др", "проч", "ср",
       "напр", "зав", "зам", "деп", "чл", "корр",
@@ -284,10 +285,24 @@ object Tokenizer {
       // letters immediately before the dot
       if (dot - ws == 1 && Character.isUpperCase(text.charAt(ws)))
         return true // initial: "А. С. Пушкин"
-      // pair sokr completion splits ("т. д. И"): the single letter must be
-      // preceded by "<letter>." to count as a completed pair — single
-      // letters are otherwise not in JoinSokrs, so fall through to the set
+      // pair sokr completion splits ("т. д. И", "т. п. В"): a single
+      // lowercase letter ending a PAIR (preceded by another single
+      // lowercase letter + dot) allows the boundary even when the letter
+      // itself is a standalone sokr ("п." пункт, "с." страница) — the
+      // pair reading wins, matching razdel's README goldens
       val w = text.substring(ws, dot).toLowerCase(java.util.Locale.ROOT)
+      if (dot - ws == 1 && JoinSokrs.contains(w)) {
+        var p = ws
+        while (p > ls && isSpace(text.charAt(p - 1))) p -= 1
+        if (p > ls && text.charAt(p - 1) == '.') {
+          val dot2 = p - 1
+          var w2 = dot2
+          while (w2 > ls && Character.isLetter(text.charAt(w2 - 1))) w2 -= 1
+          if (dot2 - w2 == 1 && Character.isLowerCase(text.charAt(w2)))
+            return false // completed pair sokr — sentence may end here
+        }
+        return true
+      }
       return JoinSokrs.contains(w)
     }
     // digits before the dot: list item "1. Пункт" only at line start

@@ -358,6 +358,46 @@ class TokenizerSpec extends AnyFunSuite {
       assert(in.substring(s.start, s.stop) == s.text)
   }
 
+  test("round-3b probe shapes: tokenize + sentenize goldens (razdel_rules lockstep)") {
+    // goldens generated from tools/razdel_rules.py (the interop shim) —
+    // keeping the Scala rules and the Python port in provable lockstep
+    def words(t: String) = Tokenizer.tokenize(t).map(_.text).toSeq
+    def sents(t: String) = Tokenizer.sentenize(t).map(_.text).toSeq
+    val tok: Seq[(String, Seq[String])] = Seq(
+      "В 1941—1945 гг. шла война." ->
+        Seq("В", "1941—1945", "гг", ".", "шла", "война", "."),
+      "Звоните: +7 (495) 123-45-67." ->
+        Seq("Звоните", ":", "+", "7", "(", "495", ")", "123-45-67", "."),
+      "Скорость — 60 км/ч на трассе." ->
+        Seq("Скорость", "—", "60", "км", "/", "ч", "на", "трассе", "."),
+      "Приказ № 7 подписан 1-го мая." ->
+        Seq("Приказ", "№", "7", "подписан", "1-го", "мая", "."),
+      "Курс достиг 90,5₽ (или $1.02)." ->
+        Seq("Курс", "достиг", "90,5", "₽", "(", "или", "$", "1.02", ")", "."),
+      "Рост составил 3—5% за квартал." ->
+        Seq("Рост", "составил", "3—5", "%", "за", "квартал", "."),
+      "iPhone 15 Pro поступил в продажу." ->
+        Seq("iPhone", "15", "Pro", "поступил", "в", "продажу", "."),
+      "Он родился 31.12.1999 в 23:59." ->
+        Seq("Он", "родился", "31.12.1999", "в", "23", ":", "59", "."),
+      "Опрос: 2/3 жителей согласны (67%)." ->
+        Seq("Опрос", ":", "2/3", "жителей", "согласны", "(", "67", "%", ")", "."),
+      "Гл. 3, разд. 2.1 — см. с. 45." ->
+        Seq("Гл", ".", "3", ",", "разд", ".", "2.1", "—", "см", ".", "с", ".", "45", "."))
+    for ((in, exp) <- tok) assert(words(in) == exp, s"tokenize: $in")
+    val sent: Seq[(String, Seq[String])] = Seq(
+      "Фильм снят в XIX в. по роману." -> Seq("Фильм снят в XIX в. по роману."),
+      "Т.е. проект закрыт, т.к. нет денег." ->
+        Seq("Т.е. проект закрыт, т.к. нет денег."),
+      "Д. И. Менделеев открыл закон в 1869 г. Затем наука шагнула вперёд." ->
+        Seq("Д. И. Менделеев открыл закон в 1869 г. Затем наука шагнула вперёд."),
+      // "с." (страница) and "п." (пункт) are sokrs: no boundary before 45
+      "Гл. 3, разд. 2.1 — см. с. 45." -> Seq("Гл. 3, разд. 2.1 — см. с. 45."),
+      "См. п. 4 устава. Далее текст." -> Seq("См. п. 4 устава.", "Далее текст."),
+      "«Северный поток — 2» остановлен." -> Seq("«Северный поток — 2» остановлен."))
+    for ((in, exp) <- sent) assert(sents(in) == exp, s"sentenize: $in")
+  }
+
   test("findTokens aligns words to offsets (token.py:20-26)") {
     val text = "а б а"
     val toks = Tokenizer.findTokens(text, Seq("а", "б", "а"))

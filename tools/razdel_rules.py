@@ -20,6 +20,7 @@ JOIN_SOKRS = set(
     "чел экз шт стр таб н э "
     "ул пер просп пр пл наб обл респ гор пос дер им акад проф доц канд св "
     "гл ст рис табл илл разд изд ред сост тел факс англ рус лат греч нем "
+    "с п "
     "фр ит исп др проч ср напр зав зам деп чл корр "
     "vol p pp no n fig eq et al etc e i cf ca".split())
 
@@ -131,7 +132,22 @@ def _abbrev_before_dot(text, ls, dot):
     if ws < dot:
         if dot - ws == 1 and text[ws].isupper():
             return True
-        return text[ws:dot].lower() in JOIN_SOKRS
+        w = text[ws:dot].lower()
+        if dot - ws == 1 and w in JOIN_SOKRS:
+            # completed pair sokr ("т. д.", "т. п.") may end a sentence
+            # even when the letter is a standalone sokr ("п.", "с.")
+            p = ws
+            while p > ls and text[p - 1].isspace():
+                p -= 1
+            if p > ls and text[p - 1] == ".":
+                dot2 = p - 1
+                w2 = dot2
+                while w2 > ls and text[w2 - 1].isalpha():
+                    w2 -= 1
+                if dot2 - w2 == 1 and text[w2].islower():
+                    return False
+            return True
+        return w in JOIN_SOKRS
     ds = dot
     while ds > ls and text[ds - 1].isdecimal():
         ds -= 1
