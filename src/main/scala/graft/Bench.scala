@@ -98,7 +98,7 @@ object Bench {
   private def measureRef(s: SparkSession, nDocs: Long): (Long, Double, Double) = {
     refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
     val f = fixedCost(refPipeline(s, _))
-    val (n, t) = (1 to 2).map(_ => refPipeline(s, nDocs)).minBy(_._2)
+    val (n, t) = refPipeline(s, nDocs) // 1 rep; min taken ACROSS sessions
     (n, t, f)
   }
 
@@ -172,11 +172,13 @@ object Bench {
     // size its legs so each stays multi-second without dominating the run
     val refDocs = math.max(40000L, graft.corpus.RuCorpus.docCount(sfDir) * 4 / 5)
     def legAt(totalCores: Int, toyDocs: Long, rDocs: Long): Leg = {
-      // 2 reps x interleaved sessions (budget-bound): fresh-executor JIT
-      // makes a session's first run 1.3-1.9x its last and host steal
-      // swings adjacent runs ±50%, so the min over draws is the
-      // estimator; the per-session spread is reported alongside
-      val reps = 2
+      // 1 rep x MORE interleaved sessions (budget-bound): host-steal
+      // epochs last minutes — longer than back-to-back reps — so widening
+      // the min-reduction across time-separated sessions beats repeating
+      // inside one window; the big per-session warmup (scaleDocs/12)
+      // keeps each single rep steady-state. Per-session spread is
+      // reported alongside.
+      val reps = 1
       // exact core budget even when totalCores < coresPerWorker
       val cpw = math.min(coresPerWorker, totalCores)
       try {
@@ -201,7 +203,21 @@ object Bench {
     // is the min across sessions, and the per-session spread is reported
     // so the noise band is visible in the artifact itself (hypervisor
     // steal epochs last minutes — see BASELINE.md)
-    val sessions = (1 to 2).map(_ => (leg(cpusLow), leg(cpus)))
+    // The legs are BRACKETED by hardware-ceiling probes (HwCeiling):
+    // per-thread register-FMA throughput at the two leg core counts,
+    // sampled immediately before and after. Even zero-memory compute does
+    // not scale 4x on this box (all-core frequency + hypervisor steal +
+    // shared DRAM) — losses a real N->4N EXECUTOR scale-out does not
+    // inherit, since each node brings its own cores and memory bus. Leg
+    // efficiency is reported raw AND divided by the concurrent ceiling.
+    val hwPre = HwCeiling.sample(cpusLow, cpus)
+    val sessions = (1 to 3).map(_ => (leg(cpusLow), leg(cpus)))
+    val hwPost = HwCeiling.sample(cpusLow, cpus)
+    // conservative: normalize by the HIGHER of the two bracket ceilings;
+    // toy pipeline runs scalar-dominated code (sparse-tap conv), ref-dims
+    // runs under the AVX-512 frequency license -> per-workload ceilings
+    val hwEff = math.max(hwPre.eff, hwPost.eff)
+    val hwSimdEff = math.max(hwPre.simdEff, hwPost.simdEff)
     val los = sessions.map(_._1)
     val his = sessions.map(_._2)
     val lo = los.minBy(_.sec)
@@ -226,7 +242,13 @@ object Bench {
         f""""fixed_sec_low":${lo.fixed}%.2f,"fixed_sec_high":${hi.fixed}%.2f,""" +
         f""""triples_low":${lo.triples},"sec_low":${lo.sec}%.2f,"triples_per_sec_low":${lo.thrRaw}%.1f,""" +
         f""""triples_high":${hi.triples},"sec_high":${hi.sec}%.2f,"triples_per_sec_high":$thrHigh%.1f,""" +
-        f""""efficiency_raw":$efficiencyRaw%.3f,"efficiency":$efficiency%.3f}"""
+        f""""efficiency_raw":$efficiencyRaw%.3f,"efficiency":$efficiency%.3f,""" +
+        f""""hw_flops_eff":$hwEff%.3f,"hw_simd_eff":$hwSimdEff%.3f,""" +
+        f""""hw_gflops_per_thread_pre":[${hwPre.perThreadLow}%.2f,${hwPre.perThreadHigh}%.2f],""" +
+        f""""hw_gflops_per_thread_post":[${hwPost.perThreadLow}%.2f,${hwPost.perThreadHigh}%.2f],""" +
+        f""""hw_simd_gflops_per_thread_pre":[${hwPre.simdLow}%.1f,${hwPre.simdHigh}%.1f],""" +
+        f""""hw_simd_gflops_per_thread_post":[${hwPost.simdLow}%.1f,${hwPost.simdHigh}%.1f],""" +
+        f""""efficiency_vs_hw":${efficiencyRaw / hwEff}%.3f}"""
     val refDims =
       f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
         f""""sents":${refHi.refSents},""" +
@@ -234,7 +256,8 @@ object Bench {
         f""""fixed_sec_low":${refLo.refFixed}%.2f,"fixed_sec_high":${refHi.refFixed}%.2f,""" +
         f""""sents_per_sec_low":${refLo.refThrRaw}%.1f,""" +
         f""""sents_per_sec_high":${refHi.refThrRaw}%.1f,""" +
-        f""""efficiency_raw":$refEffRaw%.3f,"efficiency":$refEff%.3f}"""
+        f""""efficiency_raw":$refEffRaw%.3f,"efficiency":$refEff%.3f,""" +
+        f""""efficiency_vs_hw":${refEffRaw / hwSimdEff}%.3f}"""
     writeSelf(s"""{"partial":"after_main_legs","scaling":$scaling,"ref_dims":$refDims}""")
 
     // --- secondary scaling pair at cpus/8 -> cpus/2 (4 -> 16 on the
@@ -251,6 +274,7 @@ object Bench {
     val midSessions =
       (1 to 1).map(_ => (legAt(midLowCores, midDocs, midRefDocs),
         legAt(midHighCores, midDocs, midRefDocs)))
+    val hwMid = HwCeiling.sample(midLowCores, midHighCores)
     val midLos = midSessions.map(_._1); val midHis = midSessions.map(_._2)
     val midLo = midLos.minBy(_.sec); val midHi = midHis.minBy(_.sec)
     val midRatio = midHighCores.toDouble / midLowCores // ideal speedup
@@ -274,6 +298,9 @@ object Bench {
         f""""ref_sents_per_sec_low":${midRefLo.refThrRaw}%.1f,""" +
         f""""ref_sents_per_sec_high":${midRefHi.refThrRaw}%.1f,""" +
         f""""ref_efficiency_raw":$midRefEffRaw%.3f,"ref_efficiency":$midRefEff%.3f,""" +
+        f""""hw_flops_eff":${hwMid.eff}%.3f,"hw_simd_eff":${hwMid.simdEff}%.3f,""" +
+        f""""efficiency_vs_hw":${midEffRaw / hwMid.eff}%.3f,""" +
+        f""""ref_efficiency_vs_hw":${midRefEffRaw / hwMid.simdEff}%.3f,""" +
         f""""note":"headroom pair: isolates code scaling from full-box co-tenant contention; efficiency uses (t - measured per-job fixed cost), the 10^12-doc-relevant number"}"""
     writeSelf(s"""{"partial":"after_mid_legs","scaling":$scaling,"scaling_mid":$scalingMid,"ref_dims":$refDims}""")
 

@@ -1,0 +1,110 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Hardware-ceiling probe: per-thread register-only FMA throughput at a
+  * given thread count. No memory traffic, no allocation — any per-thread
+  * drop when threads increase is the BOX (all-core frequency scaling +
+  * hypervisor steal + shared-core contention), not the workload.
+  *
+  * Used by Bench to bracket its scaling legs in time: the recorded leg
+  * efficiency is then reported raw AND normalized by the pure-compute
+  * scaling the box offered in the same window (`efficiency_vs_hw`). On a
+  * real N -> 4N EXECUTOR scale-out each node brings its own cores, caches
+  * and memory bus, so the box-level ceiling does not transfer — the
+  * normalized figure is the cluster-faithful estimate, the raw figure the
+  * in-sandbox observation (both are kept).
+  */
+object HwCeiling {
+
+  private val sink = new AtomicLong
+
+  /** 16 flops per iteration, all in registers */
+  private def flopKernel(iters: Long): Double = {
+    var x = 1.0; var y = 1.1; var z = 1.2; var w = 1.3
+    var i = 0L
+    while (i < iters) {
+      x = x * 1.000001 + 0.5; y = y * 0.999999 + 0.25
+      z = z * 1.0000001 + 0.125; w = w * 0.9999999 + 0.0625
+      x = x * 0.999999 - 0.5; y = y * 1.000001 - 0.25
+      z = z * 0.9999999 - 0.125; w = w * 1.0000001 - 0.0625
+      i += 1
+    }
+    x + y + z + w
+  }
+
+  private def onThreads(n: Int)(work: () => Unit): Double = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(n)
+    for (_ <- 0 until n) pool.execute { () =>
+      start.await(); work(); done.countDown()
+    }
+    val t0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
+    dt
+  }
+
+  /** best-of-3 ~0.6 s samples -> per-thread GFLOPS at `nt` threads */
+  def gflopsPerThread(nt: Int): Double = {
+    val iters = 150000000L
+    sink.addAndGet(flopKernel(iters / 8).toLong) // JIT
+    val best = (1 to 3).map(_ =>
+      onThreads(nt)(() => sink.addAndGet(flopKernel(iters).toLong))).min
+    iters * 16.0 / best / 1e9
+  }
+
+  /** 512-bit SIMD mul/add kernel, registers only — triggers the same
+    * AVX-512 all-core frequency license as the inference GEMM, which the
+    * scalar-double kernel above does not. 8 vectors x 2 flops x lanes
+    * per iteration.
+    */
+  private def simdKernel(iters: Long): Double = {
+    import jdk.incubator.vector.FloatVector
+    val sp = FloatVector.SPECIES_PREFERRED
+    var a0 = FloatVector.broadcast(sp, 1.000001f)
+    var a1 = FloatVector.broadcast(sp, 0.999999f)
+    var a2 = FloatVector.broadcast(sp, 1.0000001f)
+    var a3 = FloatVector.broadcast(sp, 0.9999999f)
+    val m0 = FloatVector.broadcast(sp, 0.9999f)
+    val m1 = FloatVector.broadcast(sp, 1.0001f)
+    var i = 0L
+    while (i < iters) {
+      a0 = a0.mul(m0).add(a1); a1 = a1.mul(m1).add(a2)
+      a2 = a2.mul(m0).add(a3); a3 = a3.mul(m1).add(a0)
+      i += 1
+    }
+    a0.add(a1).add(a2).add(a3).reduceLanes(jdk.incubator.vector.VectorOperators.ADD)
+  }
+
+  /** per-thread SIMD GFLOPS at `nt` threads (best-of-3); 0 if the Vector
+    * API module is absent */
+  def simdGflopsPerThread(nt: Int): Double = {
+    val lanes =
+      try jdk.incubator.vector.FloatVector.SPECIES_PREFERRED.length()
+      catch { case _: Throwable => return 0.0 }
+    val iters = 40000000L
+    sink.addAndGet(simdKernel(iters / 8).toLong)
+    val best = (1 to 3).map(_ =>
+      onThreads(nt)(() => sink.addAndGet(simdKernel(iters).toLong))).min
+    iters * 8.0 * lanes / best / 1e9
+  }
+
+  final case class Sample(perThreadLow: Double, perThreadHigh: Double,
+                          simdLow: Double, simdHigh: Double) {
+    /** scalar-compute scaling efficiency the box offered low -> high */
+    def eff: Double = perThreadHigh / perThreadLow
+    /** 512-bit-SIMD scaling efficiency (the GEMM workload's frequency
+      * curve); falls back to scalar if the Vector module is absent */
+    def simdEff: Double = if (simdLow > 0) simdHigh / simdLow else eff
+  }
+
+  /** one bracketing sample at the two leg thread-counts (~6 s) */
+  def sample(low: Int, high: Int): Sample =
+    Sample(gflopsPerThread(low), gflopsPerThread(high),
+      simdGflopsPerThread(low), simdGflopsPerThread(high))
+}

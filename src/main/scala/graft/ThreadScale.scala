@@ -1,0 +1,185 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.corpus.RuCorpus
+import graft.kernel.Workspace
+import graft.nlp.{Pipeline, SentRow}
+import graft.pack.SynthPack
+import graft.text.Tokenizer
+
+/** Plain-thread scaling probe for the executor-side compute — NO Spark.
+  *
+  * Runs the exact per-partition work of the KG pipeline (doc gen ->
+  * sentenize -> length-sorted batched inference -> dep-pattern extract)
+  * over disjoint doc ranges on a fixed thread pool, at several thread
+  * counts, on the same total input (strong scaling).
+  *
+  * Purpose: separate the three layers of the measured local-cluster
+  * scaling efficiency —
+  *   1. hardware ceiling (register-FMA + DRAM-stream kernels below:
+  *      even zero-memory compute does not scale 4x on a shared
+  *      hypervisor box),
+  *   2. compute-kernel scaling (this probe's pipeline legs: cache/
+  *      allocation behaviour of the real workload, still no Spark), and
+  *   3. Spark-layer overhead (bench local-cluster legs vs this probe).
+  * On a real 4N-executor cluster each node brings its own memory bus and
+  * L3, so layer-1 losses do not transfer; this probe bounds what DOES
+  * transfer (layers 2-3).
+  *
+  * args = nDocs [ref] [threadCounts,comma,separated]
+  */
+object ThreadScale {
+
+  /** per-thread streaming-sum kernel over a private >L3 array */
+  private def sumKernel(a: Array[Float], reps: Int): Double = {
+    var s = 0.0
+    var r = 0
+    while (r < reps) {
+      var t0 = 0.0; var t1 = 0.0; var t2 = 0.0; var t3 = 0.0
+      var i = 0
+      while (i + 3 < a.length) {
+        t0 += a(i); t1 += a(i + 1); t2 += a(i + 2); t3 += a(i + 3)
+        i += 4
+      }
+      s += t0 + t1 + t2 + t3
+      r += 1
+    }
+    s
+  }
+
+  private def onThreads(n: Int)(work: Int => Unit): Double = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(n)
+    for (t <- 0 until n) pool.execute { () =>
+      start.await()
+      work(t)
+      done.countDown()
+    }
+    val t0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
+    dt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
+    val ref = args.contains("ref")
+    val threadCounts = args.find(_.contains(","))
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2, 8, 32))
+    val pack = if (ref) SynthPack.buildRandom() else SynthPack.build()
+    val sink = new AtomicLong
+
+    // chunk work finer than the pool so doc-length variance load-balances,
+    // mirroring Spark's tasks-per-core granularity (8x)
+    def pipelineLeg(threads: Int): (Long, Double) = {
+      val chunks = threads * 8
+      val per = math.max(1L, nDocs / chunks)
+      val next = new AtomicLong(0L)
+      val triples = new AtomicLong(0L)
+      val dt = onThreads(threads) { _ =>
+        val ws = new Workspace
+        var acc = 0L
+        var c = next.getAndIncrement()
+        while (c < chunks) {
+          val lo = c * per
+          val hi = if (c == chunks - 1) nDocs else math.min(nDocs, lo + per)
+          val sents = new scala.collection.mutable.ArrayBuffer[SentRow](4096)
+          var id = lo
+          while (id < hi) {
+            val spans = RuCorpus.docSpans(id)
+            var o = 0
+            while (o < spans.length) {
+              val s = spans(o)
+              if (s.kind == "text" && s.text != null) {
+                val ss = Tokenizer.sentenize(s.text)
+                var i = 0
+                while (i < ss.length) {
+                  sents += SentRow(s"d$id", o, i, ss(i).start, ss(i).stop, ss(i).text)
+                  i += 1
+                }
+              }
+              o += 1
+            }
+            id += 1
+          }
+          val arr = sents.toArray
+          java.util.Arrays.sort(arr,
+            java.util.Comparator.comparingInt((r: SentRow) => r.text.length))
+          var off = 0
+          while (off < arr.length) {
+            val end = math.min(off + 64, arr.length)
+            val parsed = Pipeline.inferBatch(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                java.util.Arrays.copyOfRange(arr, off, end)), pack, ws)
+            if (ref) acc += parsed.length
+            else {
+              val it = parsed.iterator
+              while (it.hasNext) acc += graft.kg.Kg.extract(it.next()).length
+            }
+            off = end
+          }
+          c = next.getAndIncrement()
+        }
+        triples.addAndGet(acc)
+      }
+      (triples.get(), dt)
+    }
+
+    // warmup: JIT the whole chain at full parallelism
+    pipelineLeg(threadCounts.max)
+
+    println(f"pipeline strong-scaling, docs=$nDocs ref=$ref")
+    val base = new scala.collection.mutable.HashMap[Int, Double]
+    for (nt <- threadCounts) {
+      val (n, dt) = Seq(pipelineLeg(nt), pipelineLeg(nt)).minBy(_._2)
+      val thr = n / dt
+      base(nt) = thr
+      val effStr = threadCounts.filter(_ < nt).map { lo =>
+        f"eff_vs_$lo=${thr / (base(lo) * nt / lo)}%.3f"
+      }.mkString(" ")
+      println(f"pipe  nt=$nt%2d sec=$dt%7.2f units=$n thr=$thr%12.0f $effStr")
+    }
+
+    // hardware ceilings at the same thread counts
+    val fbase = new scala.collection.mutable.HashMap[Int, Double]
+    for (nt <- threadCounts) {
+      val perThread = HwCeiling.gflopsPerThread(nt)
+      fbase(nt) = perThread
+      val effStr = threadCounts.filter(_ < nt)
+        .map(lo => f"eff_vs_$lo=${perThread / fbase(lo)}%.3f").mkString(" ")
+      println(f"flops nt=$nt%2d gflops_per_thread=$perThread%.2f $effStr")
+    }
+    // 512-bit SIMD ceiling: triggers the AVX-512 all-core frequency
+    // license the scalar kernel does not (the GEMM runs under THIS curve)
+    val sbase = new scala.collection.mutable.HashMap[Int, Double]
+    for (nt <- threadCounts) {
+      val perThread = HwCeiling.simdGflopsPerThread(nt)
+      if (perThread > 0) {
+        sbase(nt) = perThread
+        val effStr = threadCounts.filter(_ < nt)
+          .map(lo => f"eff_vs_$lo=${perThread / sbase(lo)}%.3f").mkString(" ")
+        println(f"simd  nt=$nt%2d gflops_per_thread=$perThread%.1f $effStr")
+      }
+    }
+    val mb = 256
+    val bbase = new scala.collection.mutable.HashMap[Int, Double]
+    for (nt <- threadCounts) {
+      val arrs = Array.fill(nt)(new Array[Float](mb * 1024 * 1024 / 4))
+      val dt = (1 to 3).map { _ =>
+        val idx = new AtomicLong
+        onThreads(nt)(_ =>
+          sink.addAndGet(sumKernel(arrs((idx.getAndIncrement() % nt).toInt), 4).toLong))
+      }.min
+      val perThread = mb * 4.0 / dt / 1024.0
+      bbase(nt) = perThread
+      val effStr = threadCounts.filter(_ < nt)
+        .map(lo => f"eff_vs_$lo=${perThread / bbase(lo)}%.3f").mkString(" ")
+      println(f"bw    nt=$nt%2d sec=$dt%7.2f GBps_per_thread=$perThread%.2f $effStr")
+    }
+  }
+}
