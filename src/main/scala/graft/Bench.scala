@@ -152,7 +152,7 @@ object Bench {
     // envelope; sizes below target ~450 s total at sf0.1 on 32 cpus.
     // Shorter legs carry a larger fixed-cost share, which the measured
     // per-job fixed-cost probe corrects for (see fixedCost).
-    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 50
+    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 36
 
     // --- N executors, then 4N executors (each leg its own session)
     val coresPerWorker = 4
@@ -170,8 +170,12 @@ object Bench {
     }
     // reference-dims inference is ~2 orders of magnitude more FLOPs/token;
     // size its legs so each stays multi-second without dominating the run
-    val refDocs = math.max(40000L, graft.corpus.RuCorpus.docCount(sfDir) * 4 / 5)
+    val refDocs = math.max(40000L, graft.corpus.RuCorpus.docCount(sfDir) * 3 / 5)
+    val wall0 = System.nanoTime()
+    def mark(what: String): Unit =
+      System.err.println(f"BENCHMARK-PHASE ${(System.nanoTime() - wall0) / 1e9}%.0fs $what")
     def legAt(totalCores: Int, toyDocs: Long, rDocs: Long): Leg = {
+      mark(s"leg start cores=$totalCores")
       // 1 rep x MORE interleaved sessions (budget-bound): host-steal
       // epochs last minutes — longer than back-to-back reps — so widening
       // the min-reduction across time-separated sessions beats repeating
@@ -213,6 +217,7 @@ object Bench {
     val hwPre = HwCeiling.sample(cpusLow, cpus)
     val sessions = (1 to 3).map(_ => (leg(cpusLow), leg(cpus)))
     val hwPost = HwCeiling.sample(cpusLow, cpus)
+    mark("main legs + hw brackets done")
     // conservative: normalize by the HIGHER of the two bracket ceilings;
     // toy pipeline runs scalar-dominated code (sparse-tap conv), ref-dims
     // runs under the AVX-512 frequency license -> per-workload ceilings
@@ -248,6 +253,9 @@ object Bench {
         f""""hw_gflops_per_thread_post":[${hwPost.perThreadLow}%.2f,${hwPost.perThreadHigh}%.2f],""" +
         f""""hw_simd_gflops_per_thread_pre":[${hwPre.simdLow}%.1f,${hwPre.simdHigh}%.1f],""" +
         f""""hw_simd_gflops_per_thread_post":[${hwPost.simdLow}%.1f,${hwPost.simdHigh}%.1f],""" +
+        f""""hw_bw_eff":${math.max(hwPre.bwEff, hwPost.bwEff)}%.3f,""" +
+        f""""hw_bw_gbps_per_thread_pre":[${hwPre.bwLow}%.2f,${hwPre.bwHigh}%.2f],""" +
+        f""""hw_bw_gbps_per_thread_post":[${hwPost.bwLow}%.2f,${hwPost.bwHigh}%.2f],""" +
         f""""efficiency_vs_hw":${efficiencyRaw / hwEff}%.3f}"""
     val refDims =
       f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
@@ -275,6 +283,7 @@ object Bench {
       (1 to 1).map(_ => (legAt(midLowCores, midDocs, midRefDocs),
         legAt(midHighCores, midDocs, midRefDocs)))
     val hwMid = HwCeiling.sample(midLowCores, midHighCores)
+    mark("mid legs done")
     val midLos = midSessions.map(_._1); val midHis = midSessions.map(_._2)
     val midLo = midLos.minBy(_.sec); val midHi = midHis.minBy(_.sec)
     val midRatio = midHighCores.toDouble / midLowCores // ideal speedup
@@ -307,6 +316,7 @@ object Bench {
     // --- per-query catalog timings on plain local[cpus]; best-of-2 (the
     // host has hypervisor-level steal spikes that single-shot timings hit)
     val spark = localSession(cpus)
+    mark("catalog start")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -322,6 +332,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       f"""{"metric":"triples_per_sec","value":$thrHigh%.1f,"unit":"triples/sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_mid":$scalingMid,"ref_dims":$refDims,"total_query_sec":${results.map(_._2).sum}%.1f}"""
+    mark("catalog done")
     println(json)
     writeSelf(json)
     spark.stop()

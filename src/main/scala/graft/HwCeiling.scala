@@ -94,17 +94,73 @@ object HwCeiling {
     iters * 8.0 * lanes / best / 1e9
   }
 
+  // one shared read-only streaming array, ~512 MB: far beyond L3, so
+  // stripe re-reads come from DRAM; allocated lazily, reused across samples
+  private lazy val bwArr: Array[Float] = {
+    val a = new Array[Float](128 * 1024 * 1024)
+    var i = 0
+    while (i < a.length) { a(i) = (i & 1023) * 0.001f; i += 32 } // pre-touch
+    a
+  }
+
+  private def bwSumStripe(lo: Int, hi: Int): Double = {
+    var t0 = 0.0; var t1 = 0.0; var t2 = 0.0; var t3 = 0.0
+    var i = lo
+    while (i + 3 < hi) {
+      t0 += bwArr(i); t1 += bwArr(i + 1); t2 += bwArr(i + 2); t3 += bwArr(i + 3)
+      i += 4
+    }
+    t0 + t1 + t2 + t3
+  }
+
+  /** per-thread DRAM read bandwidth (GB/s) at `nt` threads: each thread
+    * streams a disjoint stripe of the shared array, `nt` passes, so bytes
+    * per thread are constant across thread counts (strong-scaling shape).
+    */
+  def bwGBpsPerThread(nt: Int): Double = {
+    val stripe = bwArr.length / nt
+    sink.addAndGet(bwSumStripe(0, math.min(bwArr.length, 1 << 20)).toLong) // JIT
+    val best = (1 to 3).map { _ =>
+      onThreads2(nt) { t =>
+        var r = 0
+        var s = 0.0
+        while (r < nt) { s += bwSumStripe(t * stripe, (t + 1) * stripe); r += 1 }
+        sink.addAndGet(s.toLong)
+      }
+    }.min
+    nt.toLong * stripe * 4.0 / best / 1e9
+  }
+
+  private def onThreads2(n: Int)(work: Int => Unit): Double = {
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(n)
+    for (t <- 0 until n) pool.execute { () =>
+      start.await(); work(t); done.countDown()
+    }
+    val t0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
+    dt
+  }
+
   final case class Sample(perThreadLow: Double, perThreadHigh: Double,
-                          simdLow: Double, simdHigh: Double) {
+                          simdLow: Double, simdHigh: Double,
+                          bwLow: Double, bwHigh: Double) {
     /** scalar-compute scaling efficiency the box offered low -> high */
     def eff: Double = perThreadHigh / perThreadLow
     /** 512-bit-SIMD scaling efficiency (the GEMM workload's frequency
       * curve); falls back to scalar if the Vector module is absent */
     def simdEff: Double = if (simdLow > 0) simdHigh / simdLow else eff
+    /** DRAM-stream scaling efficiency (the shared-memory-bus ceiling) */
+    def bwEff: Double = if (bwLow > 0) bwHigh / bwLow else eff
   }
 
-  /** one bracketing sample at the two leg thread-counts (~6 s) */
+  /** one bracketing sample at the two leg thread-counts (~8 s) */
   def sample(low: Int, high: Int): Sample =
     Sample(gflopsPerThread(low), gflopsPerThread(high),
-      simdGflopsPerThread(low), simdGflopsPerThread(high))
+      simdGflopsPerThread(low), simdGflopsPerThread(high),
+      bwGBpsPerThread(low), bwGBpsPerThread(high))
 }

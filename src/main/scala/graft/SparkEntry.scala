@@ -51,6 +51,20 @@ object SparkEntry {
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
     "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
+    "q_pii_scrub" -> ((s, d) => {
+      // the synthetic corpus carries no PII — plant a deterministic
+      // contact line from doc_id (identical expression in the oracle SQL)
+      // so every redaction class is actually exercised and hash-checked
+      val id = col("doc_id").cast("string")
+      val id2 = lpad((col("doc_id") % 100).cast("string"), 2, "0")
+      val aug = concat(col("text"),
+        lit(" Контакт: user"), id, lit("@mail.example.com, тел. +7 (9"),
+        id2, lit(") 123-45-"), id2, lit(", сайт http://example.com/p/"), id,
+        lit(" (ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".1)"))
+      TextStats.piiScrub(tbl(s, d, "documents").select(col("doc_id"), aug.as("text")))
+    }),
+    "q_ngram_counts" -> ((s, d) =>
+      TextStats.ngramCounts(tbl(s, d, "documents"), 2, 5)),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -364,6 +378,29 @@ object SparkEntry {
           round(coalesce(list_max([len(list_filter(bg, x -> x = g)) FOR g IN bg]), 0)
                 / greatest(len(tk) - 1, 1), 6) AS top_bigram_ratio
         FROM b""",
+      "q_pii_scrub" -> """
+        WITH a AS (SELECT doc_id,
+          text || ' Контакт: user' || doc_id || '@mail.example.com, тел. +7 (9' ||
+          lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ') 123-45-' ||
+          lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+          ', сайт http://example.com/p/' || doc_id ||
+          ' (ip 10.0.' || (doc_id % 256) || '.1)' AS text FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+          len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+          len(regexp_extract_all(text, '\+\d[\d\-() ]{8,}\d')) AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://[^\s]+', '<URL>', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+\d[\d\-() ]{8,}\d', '<PHONE>', 'g') AS clean
+        FROM a""",
+      "q_ngram_counts" -> s"""
+        SELECT ngram, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+          FROM (SELECT ${toks("lower(text)")} AS w FROM documents))
+        GROUP BY ngram HAVING count(*) >= 5""",
       "q_decontaminate" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),

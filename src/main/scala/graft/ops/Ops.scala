@@ -82,6 +82,60 @@ object TextStats {
       round(topBg / greatest(n - 1, lit(1)).cast("double"), 6)
         .as("top_bigram_ratio"))
   }
+
+  // PII patterns, chosen to mean the same thing in Java regex (Spark) and
+  // RE2 (DuckDB oracle): no backrefs, no lookaround. Replacement order is
+  // fixed (URL first, so credentials inside URLs collapse into <URL>).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val IpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhoneRe = "\\+\\d[\\d\\-() ]{8,}\\d"
+
+  /** PII scrubbing for training corpora: redact emails / URLs / IPv4s /
+    * international-format phone numbers and count each class. Pure
+    * row-local projection — whole-stage codegen, no shuffle, no UDF; the
+    * counts are computed on the ORIGINAL text (replacement order cannot
+    * hide a class), the redaction chain is deterministic.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(UrlRe).as("n_urls"),
+      n(IpRe).as("n_ips"),
+      n(PhoneRe).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean"))
+  }
+
+  /** Corpus-level n-gram counts (n >= 1), the classic LM-data statistic.
+    * Row-local n-gram build (codegen) -> explode -> two-phase hash
+    * aggregate: partial map-side combine collapses hot n-grams inside
+    * each task before the single shuffle on the n-gram key, so Zipfian
+    * skew costs no straggler (same shape as a salted wordcount but the
+    * partial agg already does the salting's job for count-like merges).
+    */
+  def ngramCounts(docs: DataFrame, n: Int = 2, minCount: Long = 1): DataFrame = {
+    require(n >= 1, s"ngramCounts: n must be >= 1, got $n")
+    val t = tokens(lower(col("text")))
+    val grams =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,

@@ -78,4 +78,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(tokTotal == expected)
     assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
+
+  test("piiScrub: redacts every class, counts on original text") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "пишите на ivan.petrov+news@mail.example.ru или звоните +7 (921) 123-45-67"),
+      (2L, "см. https://example.com/a?b=c и сервер 192.168.10.1 (порт 8080)"),
+      (3L, "обычный текст без контактов, цена 100 руб."),
+      (4L, "два адреса: a@b.io b@c.org, два ip 10.0.0.1 10.0.0.2")
+    ).toDF("doc_id", "text")
+    val out = ops.TextStats.piiScrub(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(4) == 1) // email+phone
+    assert(out(1L).getString(5) ==
+      "пишите на <EMAIL> или звоните <PHONE>")
+    assert(out(2L).getLong(2) == 1 && out(2L).getLong(3) == 1) // url+ip
+    assert(out(2L).getString(5) == "см. <URL> и сервер <IP> (порт 8080)")
+    assert(out(3L).getString(5) == "обычный текст без контактов, цена 100 руб.")
+    assert(Seq(1, 2, 3, 4).map(i => out(3L).getLong(i)).sum == 0)
+    assert(out(4L).getLong(1) == 2 && out(4L).getLong(3) == 2)
+    assert(out(4L).getString(5) == "два адреса: <EMAIL> <EMAIL>, два ip <IP> <IP>")
+  }
+
+  test("ngramCounts: bigram counts equal a hand count; unigram path") {
+    import spark.implicits._
+    val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val bg = ops.TextStats.ngramCounts(in, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bg == Map("a b" -> 3, "b a" -> 1, "b c" -> 1, "b x" -> 1))
+    val ug = ops.TextStats.ngramCounts(in, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ug == Map("a" -> 3, "b" -> 3, "c" -> 1, "x" -> 1))
+    // minCount filter
+    val f = ops.TextStats.ngramCounts(in, 2, 2).collect()
+    assert(f.map(_.getString(0)).toSeq == Seq("a b"))
+    // one-word docs contribute nothing at n=2
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(ops.TextStats.ngramCounts(one, 2).count() == 0)
+  }
 }
