@@ -292,11 +292,15 @@ object OracleSql {
     * inlined, representative = min entity per alias, canonical = min id of
     * the alias-edge connected component (recursive CTE label propagation).
     */
-  def qTriplesCanonical: String = {
+  def qTriplesCanonical: String =
+    s"WITH RECURSIVE $triplesCanonicalCtes SELECT * FROM ktriples"
+
+  /** CTE chain (for a `WITH RECURSIVE` prefix) ending in `ktriples` =
+    * the canonical triple table, reusable by the KG-analytics oracles. */
+  private def triplesCanonicalCtes: String = {
     val vals = RuCorpus.aliasDict
       .map(r => s"('${r.alias}', '${r.entityId}')").mkString(", ")
-    s"""
-    WITH RECURSIVE $corpusCte,
+    s"""$corpusCte,
     dict(alias, entity_id) AS (SELECT * FROM (VALUES $vals) t(alias, entity_id)),
     rep AS (SELECT alias, min(entity_id) AS entity_id FROM dict GROUP BY 1),
     nodes AS (SELECT DISTINCT entity_id FROM dict),
@@ -315,12 +319,93 @@ object OracleSql {
              objType
       FROM golden
       LEFT JOIN rep rs ON rs.alias = lower(subj)
-      LEFT JOIN rep ro ON ro.alias = lower(obj))
-    SELECT docId, spanOrder, sentIdx,
-           coalesce(cs.comp, subjId) AS subj_id, subjType AS subj_type, pred,
-           coalesce(co.comp, objId) AS obj_id, objType AS obj_type
-    FROM linked
-    LEFT JOIN cc cs ON cs.entity_id = subjId
-    LEFT JOIN cc co ON co.entity_id = objId"""
+      LEFT JOIN rep ro ON ro.alias = lower(obj)),
+    ktriples AS (
+      SELECT docId, spanOrder, sentIdx,
+             coalesce(cs.comp, subjId) AS subj_id, subjType AS subj_type, pred,
+             coalesce(co.comp, objId) AS obj_id, objType AS obj_type
+      FROM linked
+      LEFT JOIN cc cs ON cs.entity_id = subjId
+      LEFT JOIN cc co ON co.entity_id = objId)"""
   }
+
+  // ---- KG analytics over ktriples (graft.kg.Analytics oracles) -------
+
+  def qKgDegrees: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    o AS (SELECT subj_id AS entity_id, count(*) AS out_mentions,
+                 count(DISTINCT obj_id) AS out_neighbors
+          FROM ktriples GROUP BY 1),
+    i AS (SELECT obj_id AS entity_id, count(*) AS in_mentions,
+                 count(DISTINCT subj_id) AS in_neighbors
+          FROM ktriples GROUP BY 1)
+    SELECT entity_id,
+           coalesce(out_mentions, 0) AS out_mentions,
+           coalesce(out_neighbors, 0) AS out_neighbors,
+           coalesce(in_mentions, 0) AS in_mentions,
+           coalesce(in_neighbors, 0) AS in_neighbors,
+           coalesce(out_mentions, 0) + coalesce(in_mentions, 0) AS total_mentions
+    FROM o FULL OUTER JOIN i USING (entity_id)"""
+
+  /** Fixed-point integer PageRank, iterations unrolled as chained CTEs
+    * (portable: recursive aggregation over a recursive reference is not).
+    * Must mirror Analytics.pageRank's exact contract: micro-unit ranks,
+    * floor division, damping 150000 + 850/1000. */
+  def qKgPagerank(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.entity_id,
+           CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS "rank"
+         FROM knodes n LEFT JOIN (
+           SELECT e.dst AS entity_id, sum(p."rank" // d.odeg) AS s
+           FROM kedges e JOIN kdeg d ON d.src = e.src
+           JOIN pr${i - 1} p ON p.entity_id = e.src GROUP BY 1) c USING (entity_id))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kedges AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
+               WHERE subj_id <> obj_id),
+    kdeg AS (SELECT src, count(*) AS odeg FROM kedges GROUP BY 1),
+    -- NB: the union is nested in a derived table on purpose — DuckDB 1.0
+    -- gives recursive-union (no dedup) semantics to ANY top-level UNION
+    -- in a CTE under WITH RECURSIVE, even without a self-reference.
+    knodes AS (SELECT DISTINCT entity_id FROM
+               (SELECT src AS entity_id FROM kedges
+                UNION ALL SELECT dst FROM kedges) un),
+    pr0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS "rank" FROM knodes),
+    $steps
+    SELECT entity_id, "rank" FROM pr$iters"""
+  }
+
+  def qKgComentions(minDocs: Long): String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kment AS (SELECT DISTINCT docId, e FROM
+              (SELECT docId, subj_id AS e FROM ktriples
+               UNION ALL SELECT docId, obj_id AS e FROM ktriples) un)
+    SELECT a.e AS e1, b.e AS e2, count(*) AS n_docs
+    FROM kment a JOIN kment b ON a.docId = b.docId AND a.e < b.e
+    GROUP BY 1, 2 HAVING count(*) >= $minDocs"""
+
+  /** Undirected matches Analytics.twoHopPaths(undirected = true): the
+    * edge set is symmetrized before the hop join. */
+  def qKgTwoHop(undirected: Boolean): String = {
+    val edge =
+      if (undirected) """SELECT DISTINCT subj_id, pred, obj_id FROM
+        (SELECT subj_id, pred, obj_id FROM ktriples
+         UNION ALL SELECT obj_id AS subj_id, pred, subj_id AS obj_id FROM ktriples) un"""
+      else "SELECT DISTINCT subj_id, pred, obj_id FROM ktriples"
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kedge AS ($edge)
+    SELECT x.subj_id AS src, y.obj_id AS dst, count(*) AS n_paths
+    FROM kedge x JOIN kedge y ON x.obj_id = y.subj_id
+    WHERE x.subj_id <> y.obj_id GROUP BY 1, 2"""
+  }
+
+  def qKgPredStats: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes
+    SELECT pred, count(*) AS n_triples,
+           count(DISTINCT subj_id) AS n_subjects,
+           count(DISTINCT obj_id) AS n_objects,
+           count(DISTINCT docId) AS n_docs
+    FROM ktriples GROUP BY 1"""
 }

@@ -234,6 +234,21 @@ object SparkEntry {
       Kg.linkCanonicalize(s, Kg.triples(parsed(s, d)))),
     "q_entities" -> ((s, d) => Kg.canonicalMap(s)
       .select(col("id").as("entity_id"), col("component").as("canonical_id"))),
+    // ---- KG analytics over the built graph (kg/Analytics) ----
+    "q_kg_degrees" -> ((s, d) =>
+      kg.Analytics.degrees(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))))),
+    "q_kg_pagerank" -> ((s, d) =>
+      kg.Analytics.pageRank(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), iters = 10)),
+    "q_kg_comentions" -> ((s, d) =>
+      kg.Analytics.coMentions(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), minDocs = 2)),
+    "q_kg_twohop" -> ((s, d) =>
+      // undirected: this grammar's objects never re-occur as subjects, so
+      // the directed hop chain is empty by construction; the symmetrized
+      // graph exercises the same skew-prone hop join with real output
+      kg.Analytics.twoHopPaths(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))),
+        undirected = true)),
+    "q_kg_pred_stats" -> ((s, d) =>
+      kg.Analytics.predicateStats(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))))),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -610,6 +625,11 @@ object SparkEntry {
       "q_media_features" -> OracleSql.qMediaFeatures,
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
+      "q_kg_degrees" -> OracleSql.qKgDegrees,
+      "q_kg_pagerank" -> OracleSql.qKgPagerank(10),
+      "q_kg_comentions" -> OracleSql.qKgComentions(2),
+      "q_kg_twohop" -> OracleSql.qKgTwoHop(undirected = true),
+      "q_kg_pred_stats" -> OracleSql.qKgPredStats,
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

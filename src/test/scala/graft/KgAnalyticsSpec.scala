@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** kg/Analytics invariants on a hand graph; exact values for the
+  * fixed-point PageRank contract (the driver oracle re-checks at sf0.01
+  * against DuckDB's independent evaluation of the same contract).
+  */
+class KgAnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  // d1: A->B, A->C; d2: B->C (parallel preds p/q), C->A; self-loop C->C
+  private def triples = {
+    import spark.implicits._
+    Seq(
+      ("d1", 0, 0, "A", "PER", "p", "B", "ORG"),
+      ("d1", 1, 0, "A", "PER", "p", "C", "ORG"),
+      ("d2", 0, 0, "B", "ORG", "p", "C", "ORG"),
+      ("d2", 0, 1, "B", "ORG", "q", "C", "ORG"),
+      ("d2", 1, 0, "C", "ORG", "p", "A", "PER"),
+      ("d2", 2, 0, "C", "ORG", "p", "C", "ORG")
+    ).toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+  }
+
+  test("degrees: hand-counted profile, zero-filled missing side") {
+    val m = kg.Analytics.degrees(triples).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A: out 2 triples to {B,C}; in 1 from {C}
+    assert(m("A") == ((2L, 2L, 1L, 1L, 3L)))
+    // B: out 2 (p,q to C); in 1 from A
+    assert(m("B") == ((2L, 1L, 1L, 1L, 3L)))
+    // C: out 2 (to A and self); in 4 ({A,B,C} sides: A->C, B->C p, B->C q, C->C)
+    assert(m("C") == ((2L, 2L, 4L, 3L, 6L)))
+  }
+
+  test("pageRank: exact fixed-point values after 1 and 2 iterations") {
+    // distinct non-self edges: A->B, A->C, B->C, C->A; odeg A=2, B=1, C=1
+    // iter1: contrib(A)=500000 to B,C; contrib(B)=1000000 to C; contrib(C)=1000000 to A
+    //   A: 150000 + 850*1000000//1000 = 1000000
+    //   B: 150000 + 850*500000//1000  = 575000
+    //   C: 150000 + 850*1500000//1000 = 1425000
+    val r1 = kg.Analytics.pageRank(triples, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("A" -> 1000000L, "B" -> 575000L, "C" -> 1425000L))
+    // iter2: contrib(A)=500000, contrib(B)=575000, contrib(C)=1425000
+    //   A: 150000 + 850*1425000//1000 = 150000 + 1211250 = 1361250
+    //   B: 150000 + 850*500000//1000  = 575000
+    //   C: 150000 + (850*(500000+575000))//1000 = 150000 + 913750 = 1063750
+    val r2 = kg.Analytics.pageRank(triples, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("A" -> 1361250L, "B" -> 575000L, "C" -> 1063750L))
+  }
+
+  test("pageRank: partitioning-invariant (1 vs 8 shuffle partitions)") {
+    val a = kg.Analytics.pageRank(triples.coalesce(1), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSortedSet
+    val b = kg.Analytics.pageRank(triples.repartition(8), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSortedSet
+    assert(a == b)
+  }
+
+  implicit private class Sorted(xs: Array[(String, Long)]) {
+    def toSortedSet: Seq[(String, Long)] = xs.toSeq.sorted
+  }
+
+  test("coMentions: doc-distinct pairs, ordered, thresholded") {
+    val m = kg.Analytics.coMentions(triples, minDocs = 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // d1 mentions {A,B,C}; d2 mentions {A,B,C} (C->A brings A) => each pair in 2 docs
+    assert(m == Map(("A", "B") -> 2L, ("A", "C") -> 2L, ("B", "C") -> 2L))
+    assert(kg.Analytics.coMentions(triples, minDocs = 3).count() == 0)
+  }
+
+  test("twoHopPaths: path counts over the distinct predicate multigraph") {
+    val m = kg.Analytics.twoHopPaths(triples).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // distinct (s,p,o): A-p->B, A-p->C, B-p->C, B-q->C, C-p->A, C-p->C.
+    // (A,C): A->B->{p,q}->C (2) + A->C->C self-loop (1) = 3
+    // (B,A): B-{p,q}->C->A = 2;  (B,C): B-{p,q}->C->C = 2
+    // (C,B): C->A->B = 1;        (C,A): C->C->A = 1
+    // excluded by src!=dst: A->C->A, C->A->C, C->C->C
+    assert(m == Map(
+      ("A", "C") -> 3L, ("B", "A") -> 2L, ("B", "C") -> 2L,
+      ("C", "A") -> 1L, ("C", "B") -> 1L))
+  }
+
+  test("twoHopPaths undirected: matches a brute-force over symmetrized edges") {
+    val fwd = Set(("A", "p", "B"), ("A", "p", "C"), ("B", "p", "C"),
+      ("B", "q", "C"), ("C", "p", "A"), ("C", "p", "C"))
+    val edges = fwd ++ fwd.map { case (s, p, o) => (o, p, s) }
+    val expected = (for {
+      (s1, p1, o1) <- edges.toSeq; (s2, p2, o2) <- edges.toSeq
+      if o1 == s2 && s1 != o2
+    } yield (s1, o2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val m = kg.Analytics.twoHopPaths(triples, undirected = true).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m == expected)
+  }
+
+  test("predicateStats: counts per predicate") {
+    val m = kg.Analytics.predicateStats(triples).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("p") == ((5L, 3L, 3L, 2L)))
+    assert(m("q") == ((1L, 1L, 1L, 1L)))
+  }
+}
