@@ -50,6 +50,8 @@ object SparkEntry {
 
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.dupNgramSpans(tbl(s, d, "documents"), k = 20, minDocs = 2)),
     "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => {
       // the synthetic corpus carries no PII — plant a deterministic
@@ -411,6 +413,29 @@ object SparkEntry {
             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
             '\+\d[\d\-() ]{8,}\d', '<PHONE>', 'g') AS clean
         FROM a""",
+      "q_dup_spans" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS w FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                md5(array_to_string(w[i:i+19], ' ')) AS gram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+                    FROM t WHERE len(w) >= 20)),
+        d AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT doc_id, CAST(pos AS BIGINT) AS s,
+                     CAST(pos + 19 AS BIGINT) AS e FROM g JOIN d USING (gram)),
+        f AS (SELECT doc_id, s, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS ni FROM h),
+        isl AS (SELECT doc_id, s, e,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM f)
+        SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island""",
       "q_ngram_counts" -> s"""
         SELECT ngram, count(*) AS n FROM (
           SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram

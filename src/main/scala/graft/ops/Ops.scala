@@ -150,6 +150,52 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact duplicate-substring detection (the suffix-array dedup of
+    * Lee et al. 2021, re-expressed shuffle-friendly): every k-token
+    * window is fingerprinted row-locally (codegen), windows whose
+    * fingerprint occurs in >= minDocs DISTINCT documents are "duplicated
+    * text", and per document the overlapping hit windows are merged into
+    * maximal spans (gaps-and-islands over a window function). Output:
+    * one row per maximal duplicated span (doc_id, start_tok, end_tok,
+    * n_grams).
+    *
+    * Scale shape: fingerprint build is a pure projection; the only wide
+    * ops are one hash aggregate on the fingerprint (two-phase; hot
+    * boilerplate grams collapse map-side), one equi-join of hits back to
+    * the dup-gram set, and one per-doc window sort whose partition is a
+    * single document's hits — never the corpus. No suffix array, no
+    * global sort, nothing driver-side.
+    */
+  def dupNgramSpans(docs: DataFrame, k: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"dupNgramSpans: k must be >= 2, got $k")
+    val toks = TextStats.tokens(lower(col("text")))
+    val grams = docs.select(col("doc_id"),
+      posexplode(when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+        .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))))
+      .toDF("doc_id", "pos", "gram")
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select("gram")
+    val hits = grams.join(dupGrams, "gram")
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        (col("pos") + k - 1).cast("long").as("end"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val flagged = hits.withColumn("prev_max_end",
+      max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max_end").isNull || col("start") > col("prev_max_end"),
+          1L).otherwise(0L))
+    flagged
+      .withColumn("island",
+        sum(col("ni")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("start").as("start_tok"), max("end").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+  }
+
   // Persisted shingle tables, bounded: repeated dedup calls in one session
   // would otherwise accumulate cached data until memory/disk pressure. The
   // two most recent stay live (a returned-but-unmaterialized DataFrame still

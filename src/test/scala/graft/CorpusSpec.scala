@@ -100,6 +100,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getString(5) == "два адреса: <EMAIL> <EMAIL>, два ip <IP> <IP>")
   }
 
+  test("dupNgramSpans: overlapping hits merge, within-doc repeats excluded") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b c d e f"),          // shares "a b c d" with doc 2
+      (2L, "x x a b c d y"),
+      (3L, "p q r p q r p q r"),    // repeats only WITHIN one doc -> no rows
+      (4L, "m n o k1 u v w"),       // two separated shared runs with doc 5
+      (5L, "m n o k2 u v w")
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.dupNgramSpans(in, k = 3, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0L, 3L, 2L), (2L, 2L, 5L, 2L),
+      (4L, 0L, 2L, 1L), (4L, 4L, 6L, 1L),
+      (5L, 0L, 2L, 1L), (5L, 4L, 6L, 1L)))
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
