@@ -24,20 +24,25 @@ import org.apache.spark.storage.StorageLevel
 object Analytics {
 
   /** Per-entity degree profile: triple mentions and distinct neighbors
-    * on each side. Two hash aggregates + one full-outer equi-join on the
-    * entity id; map-side partial aggregation absorbs hot entities.
+    * on each side. ONE scan of the triple table (each triple explodes to
+    * its two sides), one two-phase hash aggregate with conditional
+    * distinct counts — no join, and the source pipeline/scan runs once.
     */
-  def degrees(triples: DataFrame): DataFrame = {
-    val out = triples.groupBy(col("subj_id").as("entity_id"))
-      .agg(count(lit(1)).as("out_mentions"),
-        countDistinct(col("obj_id")).as("out_neighbors"))
-    val in = triples.groupBy(col("obj_id").as("entity_id"))
-      .agg(count(lit(1)).as("in_mentions"),
-        countDistinct(col("subj_id")).as("in_neighbors"))
-    out.join(in, Seq("entity_id"), "full_outer")
-      .na.fill(0L, Seq("out_mentions", "out_neighbors", "in_mentions", "in_neighbors"))
-      .withColumn("total_mentions", col("out_mentions") + col("in_mentions"))
-  }
+  def degrees(triples: DataFrame): DataFrame =
+    triples
+      .select(explode(array(
+        struct(col("subj_id").as("entity_id"), col("obj_id").as("other"),
+          lit(true).as("out")),
+        struct(col("obj_id").as("entity_id"), col("subj_id").as("other"),
+          lit(false).as("out")))).as("m"))
+      .select(col("m.entity_id"), col("m.other"), col("m.out"))
+      .groupBy("entity_id")
+      .agg(
+        count(when(col("out"), 1)).as("out_mentions"),
+        countDistinct(when(col("out"), col("other"))).as("out_neighbors"),
+        count(when(!col("out"), 1)).as("in_mentions"),
+        countDistinct(when(!col("out"), col("other"))).as("in_neighbors"),
+        count(lit(1)).as("total_mentions"))
 
   /** Entity salience: damped PageRank over the distinct directed
     * subj->obj edge set (self-loops dropped), `iters` fixed iterations.
@@ -55,17 +60,48 @@ object Analytics {
     * iterations; rank lineage is truncated every iteration so the plan
     * stays O(1) deep instead of O(iters).
     */
-  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame = {
+  def pageRank(triples: DataFrame, iters: Int = 10,
+               maxLocalEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    // edges persisted ONCE: the source (often a live extraction pipeline)
+    // is scanned a single time; withDeg/nodes re-derive from the cache.
     val edges = triples
       .select(col("subj_id").as("src"), col("obj_id").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-adaptive, same policy as ConnectedComponents: a distinct edge
+    // set that fits the driver iterates locally — at that size the
+    // distributed supersteps are pure job-scheduling overhead — while
+    // bigger graphs take the Pregel-style loop below. Both paths compute
+    // the SAME integer fixed point, so outputs are bit-identical
+    // (asserted in KgAnalyticsSpec).
+    if (edges.count() <= maxLocalEdges) {
+      val spark = triples.sparkSession
+      val local = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      edges.unpersist(blocking = false)
+      val odeg = local.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      val nodeIds = (local.map(_._1) ++ local.map(_._2)).distinct
+      var rank = nodeIds.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val sums = new scala.collection.mutable.HashMap[String, Long]()
+        local.foreach { case (s, d) =>
+          sums.update(d, sums.getOrElse(d, 0L) + rank(s) / odeg(s))
+        }
+        rank = nodeIds.map(n =>
+          n -> (150000L + 850L * sums.getOrElse(n, 0L) / 1000L)).toMap
+      }
+      import spark.implicits._
+      return spark.createDataset(nodeIds.toSeq.map(n => (n, rank(n))))
+        .toDF("entity_id", "rank")
+    }
+    // both persisted: every superstep probes them, and without the cache
+    // each of the `iters` jobs would rebuild the degree join / node set
     val withDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("entity_id"))
-      .union(edges.select(col("dst").as("entity_id")))
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("entity_id"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(1000000L))
@@ -75,15 +111,17 @@ object Analytics {
         .select(col("dst").as("entity_id"),
           expr("rank div odeg").as("contrib"))
         .groupBy("entity_id").agg(sum(col("contrib")).as("c"))
+      // eager: each iteration materializes (Pregel-style superstep), so
+      // the final plan is O(1) deep and edges can be unpersisted on exit
       ranks = nodes.join(contribs, Seq("entity_id"), "left")
         .select(col("entity_id"),
           expr("150000L + (850L * coalesce(c, 0L)) div 1000L").as("rank"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
-    val result = ranks
+    edges.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    result
+    ranks
   }
 
   /** Co-mention mining: entity pairs appearing in the SAME document (on
@@ -93,9 +131,13 @@ object Analytics {
     * entity list — never over the raw triple multiplicity.
     */
   def coMentions(triples: DataFrame, minDocs: Long = 1): DataFrame = {
-    val mentions = triples.select(col("docId"), col("subj_id").as("e"))
-      .union(triples.select(col("docId"), col("obj_id").as("e")))
+    // one scan (explode both sides), distinct, persisted for the
+    // self-join — without the cache the self-join would recompute the
+    // upstream pipeline once per join side
+    val mentions = triples
+      .select(col("docId"), explode(array(col("subj_id"), col("obj_id"))).as("e"))
       .distinct()
+      .localCheckpoint()
     mentions.as("a")
       .join(mentions.as("b"),
         col("a.docId") === col("b.docId") && col("a.e") < col("b.e"))
@@ -112,11 +154,17 @@ object Analytics {
     * aggregate is two-phase.
     */
   def twoHopPaths(triples: DataFrame, undirected: Boolean = false): DataFrame = {
-    val fwd = triples.select(col("subj_id"), col("pred"), col("obj_id"))
+    // symmetrize with a row-local explode (one source scan), distinct,
+    // then persist so the hop self-join reads the cache, not the pipeline
     val e = (if (undirected)
-      fwd.union(triples.select(col("obj_id").as("subj_id"), col("pred"),
-        col("subj_id").as("obj_id")))
-    else fwd).distinct()
+      triples.select(explode(array(
+        struct(col("subj_id"), col("pred"), col("obj_id")),
+        struct(col("obj_id").as("subj_id"), col("pred"),
+          col("subj_id").as("obj_id")))).as("m"))
+        .select(col("m.subj_id"), col("m.pred"), col("m.obj_id"))
+    else triples.select(col("subj_id"), col("pred"), col("obj_id")))
+      .distinct()
+      .localCheckpoint()
     e.as("x")
       .join(e.as("y"), col("x.obj_id") === col("y.subj_id"))
       .where(col("x.subj_id") =!= col("y.obj_id"))

@@ -62,6 +62,14 @@ class KgAnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pageRank: driver-local and distributed paths are bit-identical") {
+    val local = kg.Analytics.pageRank(triples, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSortedSet
+    val dist = kg.Analytics.pageRank(triples, iters = 4, maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSortedSet
+    assert(local == dist)
+  }
+
   implicit private class Sorted(xs: Array[(String, Long)]) {
     def toSortedSet: Seq[(String, Long)] = xs.toSeq.sorted
   }
