@@ -408,4 +408,49 @@ object OracleSql {
            count(DISTINCT obj_id) AS n_objects,
            count(DISTINCT docId) AS n_docs
     FROM ktriples GROUP BY 1"""
+
+  /** Synchronous label propagation, rounds unrolled as chained CTEs.
+    * Mirrors Analytics.labelProp's contract exactly: symmetrized distinct
+    * edges, neighbor-majority vote, min-label tie-break. */
+  def qKgCommunities(iters: Int): String = {
+    // every v_i is referenced twice (m_i and l_i): without MATERIALIZED
+    // DuckDB inlines the chain and re-evaluates the whole corpus
+    // reconstruction 2^iters times
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT e.dst AS entity_id, p.label, count(*) AS c
+           FROM lpedges e JOIN l${i - 1} p ON p.entity_id = e.src GROUP BY 1, 2),
+    m$i AS (SELECT entity_id, max(c) AS mx FROM v$i GROUP BY 1),
+    l$i AS (SELECT v.entity_id, min(v.label) AS label
+           FROM v$i v JOIN m$i m ON m.entity_id = v.entity_id AND v.c = m.mx
+           GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    lpedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+                (SELECT subj_id AS src, obj_id AS dst FROM ktriples
+                 UNION ALL SELECT obj_id, subj_id FROM ktriples) un
+                WHERE src <> dst),
+    l0 AS (SELECT DISTINCT src AS entity_id, src AS label FROM lpedges),
+    $steps
+    SELECT entity_id, label AS community FROM l$iters"""
+  }
+
+  /** Per-entity triangle counts over the minDocs=1 co-mention graph —
+    * id-ordered wedge enumeration (a<b<c); same triangle set as the
+    * engine's degree-ordered orientation. */
+  def qKgTriangles: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kment AS MATERIALIZED (SELECT DISTINCT docId, e FROM
+              (SELECT docId, subj_id AS e FROM ktriples
+               UNION ALL SELECT docId, obj_id AS e FROM ktriples) un),
+    kpairs AS MATERIALIZED (SELECT DISTINCT a.e AS e1, b.e AS e2
+               FROM kment a JOIN kment b ON a.docId = b.docId AND a.e < b.e),
+    tri AS (SELECT x.e1 AS p, x.e2 AS q, y.e2 AS r
+            FROM kpairs x JOIN kpairs y ON y.e1 = x.e2
+            JOIN kpairs z ON z.e1 = x.e1 AND z.e2 = y.e2)
+    SELECT entity_id, count(*) AS n_triangles FROM
+      (SELECT p AS entity_id FROM tri
+       UNION ALL SELECT q FROM tri
+       UNION ALL SELECT r FROM tri) u
+    GROUP BY 1"""
 }

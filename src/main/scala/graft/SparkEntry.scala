@@ -143,6 +143,26 @@ object SparkEntry {
           count(when(col("word_id").isNull, 1)).as("n_unk"))
     }),
 
+    "q_asof_join" -> ((s, d) => { // backward as-of join (DuckDB ASOF semantics)
+      val ev = tbl(s, d, "events")
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 6).as("value"))
+      // right unique per (user, ts): deterministic survivor = max event_id
+      val right = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("r_value"))
+      ops.AsOf.asofJoin(left, right, "user_id", "ts", Seq("r_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("matched_ts"), round(col("matched_r_value"), 6).as("matched_value"))
+    }),
+    "q_bm25" -> ((s, d) => { // inverted-index BM25 relevance search
+      import s.implicits._
+      val queries = BmQueries.toDF("query_id", "term")
+      ops.Search.bm25TopK(tbl(s, d, "documents"), queries, k = 5)
+    }),
+    "q_length_stats" -> ((s, d) => ops.TextStats.lengthStats(tbl(s, d, "documents"))),
+
     "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
       ops.Skew.saltedCount(
         tbl(s, d, "documents")
@@ -251,6 +271,14 @@ object SparkEntry {
         undirected = true)),
     "q_kg_pred_stats" -> ((s, d) =>
       kg.Analytics.predicateStats(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))))),
+    "q_kg_communities" -> ((s, d) =>
+      kg.Analytics.labelProp(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), iters = 5)),
+    "q_kg_triangles" -> ((s, d) =>
+      // triangle counts over the co-mention graph (the triple DAG itself
+      // is near-bipartite by construction; co-mentions close triangles)
+      kg.Analytics.triangles(
+        kg.Analytics.coMentions(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), minDocs = 1)
+          .select(col("e1"), col("e2")))),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -305,6 +333,13 @@ object SparkEntry {
   /** mixture rates for the checked stratified-sample query (ppm-exact) */
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.25, "zh" -> 0.8, "fr" -> 1.0, "es" -> 0.125)
+
+  /** (query_id, term) rows for the checked BM25 query — terms from the
+    * synthetic corpus vocabulary */
+  private val BmQueries = Seq(
+    ("q1", "hash"), ("q1", "join"), ("q1", "table"),
+    ("q2", "window"), ("q2", "agg"), ("q2", "stream"),
+    ("q3", "vector"), ("q3", "scan"), ("q3", "filter"))
 
   /** hyperplane-LSH bucket expression over a DOUBLE[] column `emb`,
     * inlining the exact seeded planes; explicit left-assoc +-chains
@@ -615,6 +650,53 @@ object SparkEntry {
         SELECT word, count(*) AS n
         FROM (SELECT unnest(${toks("lower(text)")}) AS word FROM documents)
         GROUP BY 1""",
+      // DuckDB's native ASOF JOIN is the independent implementation here —
+      // the engine's union+window rewrite must reproduce it exactly
+      "q_asof_join" -> """
+        WITH l AS (SELECT event_id, user_id, ts, round(value, 6) AS value
+                   FROM events WHERE event_type = 'purchase'),
+        r0 AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'),
+        r AS (SELECT user_id, ts, max_by(value, event_id) AS r_value
+              FROM r0 GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.ts AS matched_ts, round(r.r_value, 6) AS matched_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+      "q_bm25" -> {
+        // constants interpolated from the SAME Scala doubles the engine
+        // uses (shortest-round-trip repr), so both engines evaluate the
+        // identical IEEE expression; only ln() is libm-dependent, and the
+        // round-6 absorbs its <=1-ulp spread
+        val (k1, b) = (1.2, 0.75)
+        val qvals = BmQueries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+        s"""
+        WITH q(query_id, term) AS (VALUES $qvals),
+        tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(${toks("lower(text)")}) AS tok FROM documents)
+               GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        sc AS (SELECT q.query_id, tf.doc_id,
+                 sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                     * (tf.tf * ${k1 + 1.0})
+                     / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))) AS score
+               FROM tf JOIN q ON q.term = tf.term
+               JOIN dfr ON dfr.term = tf.term
+               JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+               GROUP BY 1, 2)
+        SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+        WHERE rank <= 5"""
+      },
+      "q_length_stats" -> s"""
+        WITH t AS (SELECT lang, len(${toks("text")}) AS n FROM documents)
+        SELECT lang, count(*) AS n_docs, cast(sum(n) AS BIGINT) AS n_tokens,
+               min(n) AS min_tokens, max(n) AS max_tokens,
+               round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+               round(quantile_cont(n, 0.9), 6) AS p90_tokens
+        FROM t GROUP BY 1""",
       "q_json_roundtrip" ->
         "SELECT event_id, event_type, round(value, 6) AS value FROM events",
       "q_pipeline_tokens" -> s"""
@@ -655,6 +737,8 @@ object SparkEntry {
       "q_kg_comentions" -> OracleSql.qKgComentions(2),
       "q_kg_twohop" -> OracleSql.qKgTwoHop(undirected = true),
       "q_kg_pred_stats" -> OracleSql.qKgPredStats,
+      "q_kg_communities" -> OracleSql.qKgCommunities(5),
+      "q_kg_triangles" -> OracleSql.qKgTriangles,
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

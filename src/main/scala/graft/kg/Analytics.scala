@@ -182,4 +182,111 @@ object Analytics {
         countDistinct(col("subj_id")).as("n_subjects"),
         countDistinct(col("obj_id")).as("n_objects"),
         countDistinct(col("docId")).as("n_docs"))
+
+  /** Community detection by synchronous label propagation over the
+    * symmetrized distinct entity graph, `iters` fixed rounds.
+    *
+    * Deterministic contract (what the oracle reproduces): every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its NEIGHBORS, ties broken by smallest
+    * label. Synchronous updates + total tie order make the result a pure
+    * function of the edge set — no randomized visit order, so two
+    * engines (or two cluster sizes) agree bit-for-bit. Fixed `iters`
+    * rather than convergence detection: sync LPA can 2-cycle on
+    * bipartite-ish regions, so a fixpoint test may never fire.
+    *
+    * Physical shape per round: one equi-join labels><edges + two hash
+    * aggregates (vote count, then arg-max with min-label tie-break) —
+    * all AQE-splittable on hot entities. Same size-adaptive driver-local
+    * fast path as pageRank (bit-identical, asserted in spec).
+    */
+  def labelProp(triples: DataFrame, iters: Int = 5,
+                maxLocalEdges: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"labelProp: iters must be >= 1, got $iters")
+    val edges = triples
+      .select(explode(array(
+        struct(col("subj_id").as("src"), col("obj_id").as("dst")),
+        struct(col("obj_id").as("src"), col("subj_id").as("dst")))).as("m"))
+      .select(col("m.src"), col("m.dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= maxLocalEdges) {
+      val spark = triples.sparkSession
+      val local = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      edges.unpersist(blocking = false)
+      val in = local.groupBy(_._2)                      // dst -> incoming srcs
+      val nodeIds = local.map(_._1).distinct
+      var label = nodeIds.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        label = nodeIds.map { n =>
+          val votes = in(n).map(e => label(e._1))
+            .groupBy(identity).map { case (l, vs) => (l, vs.length) }
+          val mx = votes.values.max
+          n -> votes.collect { case (l, c) if c == mx => l }.min
+        }.toMap
+      }
+      import spark.implicits._
+      return spark.createDataset(nodeIds.toSeq.map(n => (n, label(n))))
+        .toDF("entity_id", "community")
+    }
+    val nodes = edges.select(col("src").as("entity_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("entity_id"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("entity_id", "src"), "src")
+        .groupBy(col("dst").as("entity_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val mx = votes.groupBy("entity_id").agg(max(col("c")).as("mx"))
+      labels = votes.join(mx, "entity_id")
+        .where(col("c") === col("mx"))
+        .groupBy("entity_id").agg(min(col("label")).as("label"))
+        .localCheckpoint() // superstep: O(1)-deep plan, edges reused
+    }
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels.select(col("entity_id"), col("label").as("community"))
+  }
+
+  /** Per-entity triangle counts over an undirected pair table
+    * (e1 < e2, distinct) — e.g. the co-mention graph. Classic
+    * degree-ordered orientation: every edge points from its
+    * lower-(degree, id) endpoint to the higher one, wedges are built
+    * only at the lowest vertex of each triangle, and the closing edge is
+    * probed with an equi-join. Orientation bounds wedge fan-out by
+    * O(arboricity) instead of O(max-degree) — the hot-entity star that
+    * would explode a naive wedge join generates NO wedges at its center
+    * because all its edges point outward. Output is orientation-free
+    * (the triangle set), so an id-ordered oracle reproduces it exactly.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("e1").as("u"), col("e2").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id); carry the head's degree for the wedge order
+    val o = e
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"),
+        // the head is by construction the greater endpoint in (deg, id)
+        // order, so its degree is simply the max of the two
+        greatest(col("du"), col("dv")).as("db"))
+      .localCheckpoint() // three consumers below; cut the lineage once
+    val tri = o.as("x")
+      .join(o.as("y"), col("x.a") === col("y.a") &&
+        (col("x.db") < col("y.db") ||
+          (col("x.db") === col("y.db") && col("x.b") < col("y.b"))))
+      .join(o.as("z"),
+        col("z.a") === col("x.b") && col("z.b") === col("y.b"))
+      .select(col("x.a").as("p"), col("x.b").as("q"), col("y.b").as("r"))
+    tri.select(explode(array(col("p"), col("q"), col("r"))).as("entity_id"))
+      .groupBy("entity_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

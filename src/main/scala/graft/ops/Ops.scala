@@ -136,6 +136,22 @@ object TextStats {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
   }
+
+  /** Per-language token-length distribution: count/sum/min/max plus
+    * EXACT interpolated p50/p90 (`percentile`, R-7 / quantile_cont
+    * semantics — deterministic, engine-independent, unlike the t-digest
+    * approx whose merge order varies). At 100 TB swap the two exact
+    * percentiles for `approx_percentile` — same query shape, the sort
+    * inside each language group is what the exactness buys at small
+    * scale and what the sketch replaces at large.
+    */
+  def lengthStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90_tokens"))
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,

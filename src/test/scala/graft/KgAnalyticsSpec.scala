@@ -114,4 +114,66 @@ class KgAnalyticsSpec extends AnyFunSuite {
     assert(m("p") == ((5L, 3L, 3L, 2L)))
     assert(m("q") == ((1L, 1L, 1L, 1L)))
   }
+
+  // triangle A-B-C plus pendant D-E: hand-traced synchronous LPA
+  private def lpaTriples = {
+    import spark.implicits._
+    Seq(("dx", "A", "p", "B"), ("dx", "B", "p", "C"), ("dx", "A", "p", "C"),
+      ("dx", "D", "p", "E"))
+      .toDF("docId", "subj_id", "pred", "obj_id")
+  }
+
+  test("labelProp: hand-traced rounds, components never merge") {
+    // r1: A<-min(B,C)=B, B<-min(A,C)=A, C<-min(A,B)=A; D<-E, E<-D
+    val r1 = kg.Analytics.labelProp(lpaTriples, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("A" -> "B", "B" -> "A", "C" -> "A", "D" -> "E", "E" -> "D"))
+    // r2: A sees {A,A}->A; B sees {B,A}->tie max1 min=A; C sees {B,A}->A;
+    //     D/E swap back
+    val r2 = kg.Analytics.labelProp(lpaTriples, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r2 == Map("A" -> "A", "B" -> "A", "C" -> "A", "D" -> "D", "E" -> "E"))
+  }
+
+  test("labelProp: driver-local and distributed paths are bit-identical") {
+    val local = kg.Analytics.labelProp(lpaTriples, iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val dist = kg.Analytics.labelProp(lpaTriples, iters = 3, maxLocalEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(local == dist)
+  }
+
+  test("triangles: one triangle + pendant edge; K4 has 4, each vertex in 3") {
+    import spark.implicits._
+    val g1 = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")).toDF("e1", "e2")
+    val m1 = kg.Analytics.triangles(g1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+    val k4 = Seq(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"),
+      ("C", "D")).toDF("e1", "e2")
+    val m4 = kg.Analytics.triangles(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m4 == Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L))
+  }
+
+  test("triangles: randomized equivalence vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val nodes = (0 until 20).map(i => f"n$i%02d")
+    val pairs = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))).toList
+    val got = kg.Analytics.triangles(pairs.toDF("e1", "e2")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val es = pairs.toSet
+    def conn(a: String, b: String) =
+      es(if (a < b) (a, b) else (b, a))
+    val expected = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; l <- (j + 1) until nodes.length
+      if conn(nodes(i), nodes(j)) && conn(nodes(j), nodes(l)) && conn(nodes(i), nodes(l))
+    } yield Seq(nodes(i), nodes(j), nodes(l))).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+  }
 }
