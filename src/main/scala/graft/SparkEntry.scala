@@ -156,6 +156,9 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("matched_ts"), round(col("matched_r_value"), 6).as("matched_value"))
     }),
+    "q_sessionize" -> ((s, d) => // batch gaps-and-islands sessionization
+      ops.Sessions.sessionize(tbl(s, d, "events"),
+        "user_id", "ts", "event_id", "value", gapSec = 43200L)),
     "q_bm25" -> ((s, d) => { // inverted-index BM25 relevance search
       import s.implicits._
       val queries = BmQueries.toDF("query_id", "term")
@@ -661,6 +664,22 @@ object SparkEntry {
         SELECT l.event_id, l.user_id, l.ts, l.value,
                r.ts AS matched_ts, round(r.r_value, 6) AS matched_value
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+      "q_sessionize" -> """
+        WITH o AS (SELECT user_id, ts, value, event_id,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+                   FROM events),
+        f AS (SELECT *, CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - prev > 43200000000 THEN 1
+                        ELSE 0 END AS nw FROM o),
+        s AS (SELECT *, cast(sum(nw) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_idx FROM f)
+        SELECT user_id, session_idx, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY 1, 2""",
       "q_bm25" -> {
         // constants interpolated from the SAME Scala doubles the engine
         // uses (shortest-round-trip repr), so both engines evaluate the
