@@ -34,11 +34,14 @@ object Sessions {
                  gapSec: Long): DataFrame = {
     val order = Window.partitionBy(key).orderBy(col(ts).asc, col(tiebreak).asc)
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NTZ-safe: parquet timestamps load as TIMESTAMP_NTZ in Spark 4;
+    // unix_micros needs TIMESTAMP (cast is exact under the UTC session tz)
+    val micros = unix_micros(col(ts).cast("timestamp"))
     events
-      .withColumn("__prev", lag(unix_micros(col(ts)), 1).over(order))
+      .withColumn("__prev", lag(micros, 1).over(order))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          unix_micros(col(ts)) - col("__prev") > gapSec * 1000000L, 1L)
+          micros - col("__prev") > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("__new")).over(running))
       .groupBy(col(key), col("session_idx"))
