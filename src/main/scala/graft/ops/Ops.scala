@@ -185,12 +185,16 @@ object Dedup {
   def dupNgramSpans(docs: DataFrame, k: Int = 20, minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"dupNgramSpans: k must be >= 2, got $k")
     val toks = TextStats.tokens(lower(col("text")))
-    val grams = docs.select(col("doc_id"),
+    // fingerprint = xxhash64 (8-byte key, ~4x less shuffle than an md5 hex
+    // string; a collision merely merges two windows into one dup class);
+    // the gram table feeds both the dup-set aggregate and the join probe,
+    // so materialize it once instead of re-tokenizing the corpus twice
+    val grams = persistShingles(docs.select(col("doc_id"),
       posexplode(when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-        .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))))
-      .toDF("doc_id", "pos", "gram")
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+        .otherwise(array(Seq.empty[Column]: _*).cast("array<bigint>"))))
+      .toDF("doc_id", "pos", "gram"))
     val dupGrams = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs).select("gram")
@@ -233,12 +237,27 @@ object Dedup {
     while (old != null) { old.unpersist(blocking = false); old = liveShingles.poll() }
   }
 
-  /** Distinct (doc, shingle) pairs of n-token shingles. */
+  /** Distinct (doc, shingle) pairs of n-token shingles (shingle = the
+    * joined token text — required where the downstream hash must be
+    * oracle-reproducible, i.e. the MinHash md5 base hash). */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
     t.select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
           i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** Distinct (doc, shingle) with the shingle reduced to its xxhash64 —
+    * for equality-only consumers (decontamination, Jaccard blocking) the
+    * text is dead weight: an 8-byte long cuts the distinct + self-join
+    * shuffle ~5x vs UTF-8 shingle strings. A 2^-64-per-pair collision can
+    * only merge two shingles (nudges one intersection count by 1). */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
+    t.select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("shingle"))
       .distinct()
   }
 
@@ -251,8 +270,8 @@ object Dedup {
     * (doc_id, n_hits) for thresholding by the caller.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
-    val d = shingles(docs, n)
-    val b = broadcast(shingles(bench, n).select("shingle").distinct())
+    val d = shingleHashes(docs, n)
+    val b = broadcast(shingleHashes(bench, n).select("shingle").distinct())
     d.join(b, "shingle") // d is distinct (doc, shingle) → count = distinct hits
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
@@ -268,7 +287,7 @@ object Dedup {
     // stop-shingle DF, sizes); materialize once instead of four scans +
     // shuffles of the raw corpus — at 100 TB this is the standard
     // "materialize the shingle table" step (MEMORY_AND_DISK spills cleanly)
-    val sh = persistShingles(shingles(docs, n))
+    val sh = persistShingles(shingleHashes(docs, n))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shf = sh.join(rare.select("shingle"), Seq("shingle"))
