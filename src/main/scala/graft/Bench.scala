@@ -106,30 +106,40 @@ object Bench {
   private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
     }
   }
-  /** (result, cpuSec, runSec) of `work`, from task metrics deltas. The
-    * listener bus is async; the post-count grace sleep bounds the loss to
-    * events still in flight after the action returned (empirically none —
-    * local and local-cluster buses drain in single-digit ms).
+  /** (result, cpuSec, runSec, gcSec) of `work`, from task metrics deltas.
+    * gcSec decomposes the off-CPU share: run − cpu = GC pauses (our own
+    * allocation pressure, scales with OUR code) + involuntary descheduling
+    * (host steal / thread oversubscription — a co-tenancy artifact a real
+    * cluster node does not inherit). The listener bus is async; the
+    * post-count grace sleep bounds the loss to events still in flight
+    * after the action returned (empirically none — local and
+    * local-cluster buses drain in single-digit ms).
     */
-  private def tallied[A](t: CpuTally)(work: => A): (A, Double, Double) = {
-    val c0 = t.cpuNs.get; val r0 = t.runMs.get
+  private def tallied[A](t: CpuTally)(work: => A): (A, Double, Double, Double) = {
+    val c0 = t.cpuNs.get; val r0 = t.runMs.get; val g0 = t.gcMs.get
     val a = work
     Thread.sleep(300)
-    (a, (t.cpuNs.get - c0) / 1e9, (t.runMs.get - r0) / 1e3)
+    (a, (t.cpuNs.get - c0) / 1e9, (t.runMs.get - r0) / 1e3,
+      (t.gcMs.get - g0) / 1e3)
   }
 
   private def measureRef(s: SparkSession, tally: CpuTally,
-                         nDocs: Long): (Long, Double, Double, Double, Double) = {
+                         nDocs: Long): (Long, Double, Double, Double, Double, Double) = {
     refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
     val f = fixedCost(refPipeline(s, _))
     // 1 rep; min taken ACROSS time-separated sessions
-    val ((n, t), cpu, run) = tallied(tally)(refPipeline(s, nDocs))
-    (n, t, f, cpu, run)
+    val ((n, t), cpu, run, gc) = tallied(tally)(refPipeline(s, nDocs))
+    (n, t, f, cpu, run, gc)
   }
 
   /** warmup + one measured rep within one session (the sandbox VM has
@@ -139,14 +149,14 @@ object Bench {
     * HERE, inside the one driver-recorded run).
     */
   private def measure(s: SparkSession, tally: CpuTally,
-                      scaleDocs: Long): (Long, Double, Double, Double, Double) = {
+                      scaleDocs: Long): (Long, Double, Double, Double, Double, Double) = {
     // a 5k-doc warmup barely touches executor JIT: the first big run was
     // measured 2-3x slower than the second purely from compilation — warm
     // with ~1/12 of the real load so every measured rep is steady-state
     pipeline(s, math.max(5000L, scaleDocs / 12))
     val f = fixedCost(pipeline(s, _))
-    val ((n, t), cpu, run) = tallied(tally)(pipeline(s, scaleDocs))
-    (n, t, f, cpu, run)
+    val ((n, t), cpu, run, gc) = tallied(tally)(pipeline(s, scaleDocs))
+    (n, t, f, cpu, run, gc)
   }
 
   /** Self-recorded artifact in the repo: the driver's stdout parsing has
@@ -165,8 +175,8 @@ object Bench {
   final case class Leg(triples: Long, sec: Double, mode: String,
                        refSents: Long, refSec: Double,
                        fixed: Double, refFixed: Double,
-                       cpuSec: Double, runSec: Double,
-                       refCpuSec: Double, refRunSec: Double) {
+                       cpuSec: Double, runSec: Double, gcSec: Double,
+                       refCpuSec: Double, refRunSec: Double, refGcSec: Double) {
     def thr: Double = triples / math.max(sec - fixed, sec * 0.5)
     def thrRaw: Double = triples / sec
     def refThr: Double = refSents / math.max(refSec - refFixed, refSec * 0.5)
@@ -174,6 +184,9 @@ object Bench {
     /** on-CPU fraction of task time in the measured run (1 − steal/wait) */
     def cpuUtil: Double = if (runSec > 0) cpuSec / runSec else 1.0
     def refCpuUtil: Double = if (refRunSec > 0) refCpuSec / refRunSec else 1.0
+    /** GC-pause share of task time (the self-inflicted part of off-CPU) */
+    def gcFrac: Double = if (runSec > 0) gcSec / runSec else 0.0
+    def refGcFrac: Double = if (refRunSec > 0) refGcSec / refRunSec else 0.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,9 +238,9 @@ object Bench {
           try {
             val tally = new CpuTally
             s.sparkContext.addSparkListener(tally)
-            val (n, t, f, c, r) = measure(s, tally, toyDocs)
-            val (rn, rt, rf, rc, rr) = measureRef(s, tally, rDocs)
-            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, rc, rr)
+            val (n, t, f, c, r, g) = measure(s, tally, toyDocs)
+            val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs)
+            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg)
           } finally s.stop()
         } else s.stop()
       } catch { case _: Throwable => }
@@ -235,9 +248,9 @@ object Bench {
       try {
         val tally = new CpuTally
         s.sparkContext.addSparkListener(tally)
-        val (n, t, f, c, r) = measure(s, tally, toyDocs)
-        val (rn, rt, rf, rc, rr) = measureRef(s, tally, rDocs)
-        Leg(n, t, "local", rn, rt, f, rf, c, r, rc, rr)
+        val (n, t, f, c, r, g) = measure(s, tally, toyDocs)
+        val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs)
+        Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg)
       } finally s.stop()
     }
     def leg(totalCores: Int): Leg = legAt(totalCores, scaleDocs, refDocs)
@@ -320,6 +333,7 @@ object Bench {
         f""""efficiency_vs_hw":${efficiencyRaw / hwEff}%.3f,""" +
         f""""cpu_sec_low":${lo.cpuSec}%.1f,"cpu_sec_high":${hi.cpuSec}%.1f,""" +
         f""""cpu_util_low":${lo.cpuUtil}%.3f,"cpu_util_high":${hi.cpuUtil}%.3f,""" +
+        f""""gc_frac_low":${lo.gcFrac}%.3f,"gc_frac_high":${hi.gcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (hi.cpuSec > 0) lo.cpuSec / hi.cpuSec else 0.0}%.3f}"""
     val refDims =
       f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
@@ -332,6 +346,7 @@ object Bench {
         f""""efficiency_vs_hw":${refEffRaw / hwSimdEff}%.3f,""" +
         f""""cpu_sec_low":${refLo.refCpuSec}%.1f,"cpu_sec_high":${refHi.refCpuSec}%.1f,""" +
         f""""cpu_util_low":${refLo.refCpuUtil}%.3f,"cpu_util_high":${refHi.refCpuUtil}%.3f,""" +
+        f""""gc_frac_low":${refLo.refGcFrac}%.3f,"gc_frac_high":${refHi.refGcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (refHi.refCpuSec > 0) refLo.refCpuSec / refHi.refCpuSec else 0.0}%.3f}"""
     writeSelf(s"""{"partial":"after_main_legs","scaling":$scaling,"ref_dims":$refDims}""")
 
@@ -381,6 +396,7 @@ object Bench {
         f""""ref_efficiency_vs_hw":${midRefEffRaw / hwMid.simdEff}%.3f,""" +
         f""""cpu_sec_low":${midLo.cpuSec}%.1f,"cpu_sec_high":${midHi.cpuSec}%.1f,""" +
         f""""cpu_util_low":${midLo.cpuUtil}%.3f,"cpu_util_high":${midHi.cpuUtil}%.3f,""" +
+        f""""gc_frac_low":${midLo.gcFrac}%.3f,"gc_frac_high":${midHi.gcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec else 0.0}%.3f,""" +
         f""""note":"headroom pair: isolates code scaling from full-box co-tenant contention; efficiency uses (t - measured per-job fixed cost), the 10^12-doc-relevant number"}"""
     writeSelf(s"""{"partial":"after_mid_legs","scaling":$scaling,"scaling_mid":$scalingMid,"ref_dims":$refDims}""")
