@@ -133,10 +133,24 @@ object Bench {
       (t.gcMs.get - g0) / 1e3)
   }
 
+  /** Force a full GC on every executor (and the driver) so major
+    * collections triggered by WARMUP/probe garbage do not land inside the
+    * measured window — A/B'd at +15-20% on the min high-leg time
+    * (ClusterProbe GRAFT_GC_BETWEEN runs, BASELINE.md round-3e). A real
+    * long-running job pays steady-state GC, which the measured run still
+    * includes; this only stops one run's garbage from billing the next.
+    */
+  private def gcExecutors(s: SparkSession): Unit = {
+    val n = math.max(8, s.sparkContext.defaultParallelism * 2)
+    s.sparkContext.parallelize(1 to n, n).foreach(_ => System.gc())
+    System.gc()
+  }
+
   private def measureRef(s: SparkSession, tally: CpuTally,
                          nDocs: Long): (Long, Double, Double, Double, Double, Double) = {
     refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
     val f = fixedCost(refPipeline(s, _))
+    gcExecutors(s)
     // 1 rep; min taken ACROSS time-separated sessions
     val ((n, t), cpu, run, gc) = tallied(tally)(refPipeline(s, nDocs))
     (n, t, f, cpu, run, gc)
@@ -155,6 +169,7 @@ object Bench {
     // with ~1/12 of the real load so every measured rep is steady-state
     pipeline(s, math.max(5000L, scaleDocs / 12))
     val f = fixedCost(pipeline(s, _))
+    gcExecutors(s)
     val ((n, t), cpu, run, gc) = tallied(tally)(pipeline(s, scaleDocs))
     (n, t, f, cpu, run, gc)
   }

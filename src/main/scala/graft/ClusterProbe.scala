@@ -12,14 +12,20 @@ object ClusterProbe {
     // local-cluster workers resolve the executor launch command via
     // spark.test.home / SPARK_HOME
     System.setProperty("spark.test.home", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    // GC/heap A-B knobs (bench defaults when unset): the toy pipeline is
+    // allocation-heavy and its 32-core leg spends ~30% of task time in GC
+    // pauses (BENCH_SELF gc_frac_high) — these env overrides let a probe
+    // isolate collector choice / heap size without editing Bench
+    val memMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144").toInt
+    val gcOpts = sys.env.getOrElse("GRAFT_GC_OPTS", "-XX:+UseParallelGC")
     val spark = SparkSession.builder()
-      .master(s"local-cluster[$nw,$cpw,6144]")
+      .master(s"local-cluster[$nw,$cpw,$memMb]")
       .appName("graft-cluster-probe")
       .config("spark.executor.extraClassPath", classes)
       // each executor JVM sizes its GC/JIT pools for ITS core share, not
       // the whole box — otherwise N executors spawn N full GC-thread pools
       .config("spark.executor.extraJavaOptions",
-        s"-XX:ActiveProcessorCount=$cpw -XX:+UseParallelGC" +
+        s"-XX:ActiveProcessorCount=$cpw $gcOpts" +
           sys.env.get("GRAFT_GC_THREADS").map(n => s" -XX:ParallelGCThreads=$n").getOrElse(""))
       .config("spark.sql.shuffle.partitions", (nw * cpw).toString)
       .config("spark.ui.enabled", "false")
@@ -48,8 +54,17 @@ object ClusterProbe {
         println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs $unit=$n sec=$dt%.2f thr=${n / dt}%.0f")
       dt
     }
-    run(5000L) // warmup
-    run(nDocs); run(nDocs)
+    // GRAFT_GC_BETWEEN=1: force a full GC on every executor before each
+    // measured run, so major collections triggered by WARMUP garbage do
+    // not land inside the measured window (benchmark hygiene probe)
+    val gcBetween = sys.env.get("GRAFT_GC_BETWEEN").contains("1")
+    def gcExecutors(): Unit = if (gcBetween) {
+      val n = nw * cpw * 2
+      spark.sparkContext.parallelize(1 to n, n).foreach(_ => System.gc())
+    }
+    run(math.max(5000L, nDocs / 12)) // warmup at bench depth
+    gcExecutors(); run(nDocs)
+    gcExecutors(); run(nDocs)
     spark.stop()
   }
 }
