@@ -44,7 +44,7 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextStats.langId(tbl(s, d, "documents"))),
     "q_fp_norm" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
-        md5(array_join(TextStats.tokens(lower(col("text"))), " ")).as("norm_fp"))),
+        md5(array_join(TextStats.tokens(F.lower_simple(col("text"))), " ")).as("norm_fp"))),
     "q_fp_poly" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"), F.poly_hash(col("text")).as("poly_fp"))),
 
@@ -136,7 +136,7 @@ object SparkEntry {
       val vocab = Seq("scan", "filter", "join", "agg", "window", "sort")
         .zipWithIndex.toDF("word", "word_id")
       tbl(s, d, "documents")
-        .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("word"))
+        .select(col("doc_id"), explode(TextStats.tokens(F.lower_simple(col("text")))).as("word"))
         .join(broadcast(vocab), Seq("word"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n"),
@@ -169,7 +169,7 @@ object SparkEntry {
     "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
       ops.Skew.saltedCount(
         tbl(s, d, "documents")
-          .select(explode(TextStats.tokens(lower(col("text")))).as("word")),
+          .select(explode(TextStats.tokens(F.lower_simple(col("text")))).as("word")),
         col("word"), 16)
         .select(col("k").as("word"), col("n"))),
     "q_json_roundtrip" -> ((s, d) => { // format_jl/parse_jl analogue (io.py:6-42)

@@ -23,6 +23,101 @@ object F {
     column(IvfCell(expression(c), centroids))
   def ivf_probe(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     column(IvfProbe(expression(c), centroids, nprobe))
+  def lower_simple(c: Column): Column = column(LowerSimple(expression(c)))
+}
+
+/** Per-codepoint SIMPLE Unicode lowercasing, straight over the UTF-8
+  * bytes. Spark's `lower()` on non-ASCII strings takes the
+  * collation-aware path (UTF8String.toValidString -> toString -> ICU full
+  * CaseMap with Edits tracking -> fromString): on the Russian corpus that
+  * chain was the single largest allocation site of the whole pipeline
+  * (~24 GB of a 70 GB JFR profile — ICU char[] churn plus four byte[]
+  * conversions per value). Simple mapping differs from full mapping only
+  * in context-sensitive cases (final Greek sigma) and expansions
+  * (U+0130 'İ' -> "i̇"), none of which exists in Cyrillic/Latin; use
+  * `lower()` where full ICU semantics are required.
+  */
+case class LowerSimple(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    SimpleCase.lower(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimpleCase.lower($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object SimpleCase {
+  /** In-place-width lowercase over UTF-8 bytes: ASCII and 2-byte
+    * sequences (all of Cyrillic) lower without decoding to String; 3/4-byte
+    * codepoints copy through when caseless, re-encode when the lowercase
+    * keeps the same encoded width, and only a width-CHANGING lowercase
+    * (vanishingly rare: e.g. U+023A -> U+2C65) falls back to the
+    * String-building path. Two allocations per value on the fast path.
+    */
+  def lower(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val b0 = b(i) & 0xFF
+      if (b0 < 0x80) {
+        out(i) = (if (b0 >= 'A' && b0 <= 'Z') b0 + 32 else b0).toByte
+        i += 1
+      } else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+        val cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F)
+        val lc = Character.toLowerCase(cp)
+        if (lc == cp) { out(i) = b(i); out(i + 1) = b(i + 1) }
+        else if (lc >= 0x80 && lc <= 0x7FF) {
+          out(i) = (0xC0 | (lc >> 6)).toByte
+          out(i + 1) = (0x80 | (lc & 0x3F)).toByte
+        } else return lowerViaString(s)
+        i += 2
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+        val cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        val lc = Character.toLowerCase(cp)
+        if (lc == cp) { out(i) = b(i); out(i + 1) = b(i + 1); out(i + 2) = b(i + 2) }
+        else if (lc >= 0x800 && lc <= 0xFFFF) {
+          out(i) = (0xE0 | (lc >> 12)).toByte
+          out(i + 1) = (0x80 | ((lc >> 6) & 0x3F)).toByte
+          out(i + 2) = (0x80 | (lc & 0x3F)).toByte
+        } else return lowerViaString(s)
+        i += 3
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+        val cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        val lc = Character.toLowerCase(cp)
+        if (lc == cp) {
+          out(i) = b(i); out(i + 1) = b(i + 1)
+          out(i + 2) = b(i + 2); out(i + 3) = b(i + 3)
+        } else if (lc >= 0x10000) {
+          out(i) = (0xF0 | (lc >> 18)).toByte
+          out(i + 1) = (0x80 | ((lc >> 12) & 0x3F)).toByte
+          out(i + 2) = (0x80 | ((lc >> 6) & 0x3F)).toByte
+          out(i + 3) = (0x80 | (lc & 0x3F)).toByte
+        } else return lowerViaString(s)
+        i += 4
+      } else { // malformed tail: copy verbatim (Spark strings are valid UTF-8)
+        out(i) = b(i)
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Same SIMPLE per-codepoint mapping, via String — only for inputs with
+    * a width-changing lowercase. */
+  private def lowerViaString(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** word_shape as a scalar expression (semantics: graft.text.Shape,

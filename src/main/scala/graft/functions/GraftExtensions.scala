@@ -32,7 +32,10 @@ object GraftExtensions {
     ("poly_hash", info("poly_hash", "64-bit polynomial rolling hash"),
       (es: Seq[Expression]) => PolyHash(es.head)),
     ("simhash64", info("simhash64", "64-bit simhash over token FNV hashes"),
-      (es: Seq[Expression]) => Simhash64(es.head))
+      (es: Seq[Expression]) => Simhash64(es.head)),
+    ("lower_simple", info("lower_simple",
+      "per-codepoint simple Unicode lowercase (no ICU full casemap)"),
+      (es: Seq[Expression]) => LowerSimple(es.head))
   )
 
   /** Register on an already-built session (tests, spark-shell). */

@@ -244,8 +244,8 @@ object Kg {
     val dict = maybeBroadcast(spark,
       aliasDf(spark).groupBy("alias").agg(min("entity_id").as("entity_id")), dictRows)
     val t = triples.toDF()
-      .withColumn("subj_norm", lower(col("subj")))
-      .withColumn("obj_norm", lower(col("obj")))
+      .withColumn("subj_norm", graft.functions.F.lower_simple(col("subj")))
+      .withColumn("obj_norm", graft.functions.F.lower_simple(col("obj")))
     val linked = t
       .join(dict.as("ds"), col("subj_norm") === col("ds.alias"), "left")
       .withColumnRenamed("entity_id", "subj_eid")
@@ -310,8 +310,8 @@ object Kg {
   def linkCanonicalize(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
     val m = maybeBroadcast(spark, aliasCanonicalDf(spark), dictRows)
     triples.toDF()
-      .withColumn("subj_norm", lower(col("subj")))
-      .withColumn("obj_norm", lower(col("obj")))
+      .withColumn("subj_norm", graft.functions.F.lower_simple(col("subj")))
+      .withColumn("obj_norm", graft.functions.F.lower_simple(col("obj")))
       .join(m.as("ms"), col("subj_norm") === col("ms.alias"), "left")
       .withColumnRenamed("canonical_id", "subj_c")
       .drop("alias")

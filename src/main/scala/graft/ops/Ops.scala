@@ -58,7 +58,7 @@ object TextStats {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       F.poly_hash(col("text")).as("poly_fp"),
-      md5(array_join(tokens(lower(col("text"))), " ")).as("norm_fp"))
+      md5(array_join(tokens(F.lower_simple(col("text"))), " ")).as("norm_fp"))
 
   /** Gopher/C4-style repetition metrics, entirely ROW-LOCAL (no shuffle,
     * stays inside whole-stage codegen): dup_word_ratio = 1 − distinct/total
@@ -67,7 +67,7 @@ object TextStats {
     * docs — cheaper than a per-doc groupBy shuffle at corpus scale.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val t = tokens(lower(col("text")))
+    val t = tokens(F.lower_simple(col("text")))
     val n = size(t)
     val bigrams = when(n >= 2,
       transform(sequence(lit(0), n - 2),
@@ -124,7 +124,7 @@ object TextStats {
     */
   def ngramCounts(docs: DataFrame, n: Int = 2, minCount: Long = 1): DataFrame = {
     require(n >= 1, s"ngramCounts: n must be >= 1, got $n")
-    val t = tokens(lower(col("text")))
+    val t = tokens(F.lower_simple(col("text")))
     val grams =
       if (n == 1) t
       else when(size(t) >= n,
@@ -184,7 +184,7 @@ object Dedup {
     */
   def dupNgramSpans(docs: DataFrame, k: Int = 20, minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"dupNgramSpans: k must be >= 2, got $k")
-    val toks = TextStats.tokens(lower(col("text")))
+    val toks = TextStats.tokens(F.lower_simple(col("text")))
     // fingerprint = xxhash64 (8-byte key, ~4x less shuffle than an md5 hex
     // string; a collision merely merges two windows into one dup class);
     // the gram table feeds both the dup-set aggregate and the join probe,
@@ -241,7 +241,7 @@ object Dedup {
     * joined token text — required where the downstream hash must be
     * oracle-reproducible, i.e. the MinHash md5 base hash). */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
+    val t = docs.select(col("doc_id"), TextStats.tokens(F.lower_simple(col("text"))).as("toks"))
     t.select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
           i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("shingle"))
@@ -254,7 +254,7 @@ object Dedup {
     * shuffle ~5x vs UTF-8 shingle strings. A 2^-64-per-pair collision can
     * only merge two shingles (nudges one intersection count by 1). */
   def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
-    val t = docs.select(col("doc_id"), TextStats.tokens(lower(col("text"))).as("toks"))
+    val t = docs.select(col("doc_id"), TextStats.tokens(F.lower_simple(col("text"))).as("toks"))
     t.select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
           i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("shingle"))
@@ -383,7 +383,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"),
-      F.simhash64(lower(col("text"))).as("simhash"))
+      F.simhash64(F.lower_simple(col("text"))).as("simhash"))
 
   /** Near-dup pairs via embedding cosine >= threshold, blocked through
     * `tables` independent hyperplane-LSH bucket sets (multi-probe recall):

@@ -31,7 +31,7 @@ object Search {
     // consumers (df, dl, scoring) read the materialized table, not the
     // corpus scan (eager localCheckpoint; blocks GC'd with the DF)
     val tf = docs
-      .select(col("doc_id"), explode(TextStats.tokens(lower(col("text")))).as("term"))
+      .select(col("doc_id"), explode(TextStats.tokens(graft.functions.F.lower_simple(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))

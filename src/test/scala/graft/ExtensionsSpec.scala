@@ -34,6 +34,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(graft.functions.IvfProbe.compute(arr(0f, 1f), cs, 1).toIntArray().toSeq == Seq(2))
   }
 
+  test("lower_simple: byte-path equals Spark lower() on the corpus charset") {
+    import graft.functions.SimpleCase
+    import org.apache.spark.unsafe.types.UTF8String
+    def ls(s: String): String = SimpleCase.lower(UTF8String.fromString(s)).toString
+    // ASCII + Cyrillic (incl. Ё), multi-byte caseless punctuation — the
+    // planted-corpus charset where lower_simple MUST equal lower()
+    val corpusLike = Seq(
+      "Иван Петров", "МОСКВА-2024", "Ёжик, т. д.", "ABC xyz 123",
+      "«Газпром» — ООО", "naïve CAFÉ", "…Привет!", "", "A", "я",
+      "Санкт-Петербург", "IBM/КГБ", "ÀÜÖ ÀÜÖ")
+    corpusLike.foreach { s =>
+      assert(ls(s) == s.map(c => Character.toLowerCase(c)).mkString, s"simple map: $s")
+    }
+    // randomized: Cyrillic/Latin/digit/punct strings vs java per-char map
+    val rnd = new scala.util.Random(7)
+    val pool = ('А' to 'я') ++ ('A' to 'z') ++ ('0' to '9') ++ "«»—…., !?-№Ёё"
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.length))).mkString
+      assert(ls(s) == s.map(Character.toLowerCase).mkString)
+    }
+    // width-changing lowercase falls back to the String path: U+023A 'Ⱥ'
+    // (2-byte) lowers to U+2C65 (3-byte)
+    assert(ls("xȺy") == "xⱥy")
+    // 3-byte cased codepoint stays 3-byte: FULLWIDTH LATIN A
+    assert(ls("Ａ") == "ａ")
+    // 4-byte (supplementary) cased codepoint: DESERET CAPITAL LONG I
+    val deseret = new String(Character.toChars(0x10400))
+    assert(ls(deseret) == new String(Character.toChars(0x10428)))
+  }
+
+  test("lower_simple matches Spark lower() end-to-end on Russian text") {
+    val out = spark.sql(
+      "SELECT lower('Иван-ПЕТРОВ «Ёлки» 2024 naïve') AS a").head().getString(0)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val b = Seq("Иван-ПЕТРОВ «Ёлки» 2024 naïve").toDF("t")
+      .select(graft.functions.F.lower_simple(col("t"))).head().getString(0)
+    assert(out == b)
+  }
+
   test("withExtensions wiring registers functions at session build") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
