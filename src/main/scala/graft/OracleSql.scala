@@ -288,6 +288,45 @@ object OracleSql {
     FROM wh JOIN px ON wh.media_ref = px.media_ref"""
   }
 
+  /** The Spark side DECODES real WAV payloads (javax.sound.sampled); this
+    * SQL reproduces the audio GENERATION formula — rate/length/offset/step
+    * from a SECOND splitmix over fnv1a(ref), sample(i) =
+    * ((a + i*step) mod 511) − 255 — so equality proves the decoded PCM is
+    * byte-exact.
+    */
+  def qAudioFeatures: String = {
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
+      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
+      "% 18446744073709551616)::UBIGINT"
+    s"""
+    WITH $corpusCte,
+    media AS (
+      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
+      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
+    p AS (SELECT media_ref, ${mixSql(mixSql(s"($fnv)"))} AS h FROM media),
+    prm AS (SELECT media_ref,
+                   (CASE WHEN h % 2 = 0 THEN 8000 ELSE 16000 END)::INT AS rate,
+                   (500 + ((h >> 8) % 1000))::BIGINT AS n,
+                   ((h >> 24) % 256)::BIGINT AS a,
+                   (1 + ((h >> 32) % 17))::BIGINT AS step
+            FROM p),
+    samp AS (SELECT media_ref,
+                    abs(((a + i * step) % 511) - 255)::BIGINT AS v
+             FROM prm, (SELECT unnest(generate_series(0, 1499)) AS i) g
+             WHERE i < n),
+    agg AS (SELECT media_ref, sum(v)::BIGINT AS sa, max(v) AS pk
+            FROM samp GROUP BY media_ref)
+    SELECT prm.media_ref,
+           prm.rate AS sample_rate,
+           1::INT AS channels,
+           prm.n AS n_samples,
+           round(prm.n::DOUBLE * 1000 / prm.rate, 6) AS duration_ms,
+           round(agg.sa::DOUBLE / prm.n, 6) AS mean_abs,
+           agg.pk::INT AS peak_abs
+    FROM prm JOIN agg USING (media_ref)"""
+  }
+
   /** linking + canonicalization applied to the goldens in SQL: alias dict
     * inlined, representative = min entity per alias, canonical = min id of
     * the alias-edge connected component (recursive CTE label propagation).

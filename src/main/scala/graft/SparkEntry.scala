@@ -322,6 +322,7 @@ object SparkEntry {
     // checked projection emits scalar columns only; the full feature vector
     // stays on Multimodal.features for internal callers
     "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d)),
+    "q_audio_features" -> ((s, d) => ops.Multimodal.audioFeatures(s, d)),
 
     // ---- corpus assembly (dedup clustering, sampling, packing, mixing) ----
     "q_dedup_cluster" -> ((s, d) =>
@@ -749,6 +750,7 @@ object SparkEntry {
       // full-pipeline value checks: the corpus is a pure function of
       // splitmix64, reproduced bit-exactly in SQL (OracleSql)
       "q_media_features" -> OracleSql.qMediaFeatures,
+      "q_audio_features" -> OracleSql.qAudioFeatures,
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_kg_degrees" -> OracleSql.qKgDegrees,

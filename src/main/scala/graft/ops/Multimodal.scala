@@ -178,4 +178,105 @@ object Multimodal {
   def featureScalars(spark: SparkSession, sfDir: String): DataFrame =
     features(spark, sfDir).select(col("media_ref"), col("width"), col("height"),
       col("n_px"), col("mean_px"))
+
+  // ------------------------------------------------------------------
+  // Audio: REAL WAV decode (javax.sound.sampled, in the JDK — same story
+  // as images: genuine codec on the JVM, deterministic fixture payloads,
+  // oracle reproduces the GENERATION formula so the driver gate proves
+  // the decode recovered exactly what was encoded).
+  // ------------------------------------------------------------------
+
+  final case class AudioFeat(media_ref: String, sample_rate: Int, channels: Int,
+                             n_samples: Long, duration_ms: Double,
+                             mean_abs: Double, peak_abs: Int)
+
+  /** Deterministic audio parameters for a ref: (sampleRate, nSamples,
+    * offset, step) from a SECOND splitmix over the same FNV-1a ref hash
+    * the image params use — independent streams, one shared SQL helper.
+    */
+  def audioParams(ref: String): (Int, Int, Int, Int) = {
+    val h = graft.corpus.RuCorpus.mix(
+      graft.corpus.RuCorpus.mix(graft.ops.Simhash.tokenHash(ref)))
+    val rate = if ((h & 1L) == 0L) 8000 else 16000
+    val n = (500L + ((h >>> 8) % 1000L)).toInt
+    val a = ((h >>> 24) % 256L).toInt
+    val step = (1L + ((h >>> 32) % 17L)).toInt
+    (rate, n, a, step)
+  }
+
+  /** Render the ref's audio: 16-bit signed little-endian mono PCM in a
+    * WAV container, sample(i) = ((a + i*step) mod 511) − 255 — an
+    * integer sawtooth, so every decoded statistic is integer-exact and
+    * the DuckDB oracle reproduces it with plain arithmetic (no
+    * cross-engine float transcendentals).
+    */
+  def renderWav(ref: String): Array[Byte] = {
+    val (rate, n, a, step) = audioParams(ref)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((a + i.toLong * step) % 511L).toInt - 255
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio table over the corpus' media refs: one REAL WAV payload per
+    * ref (decoders see a genuine RIFF/WAVE container).
+    */
+  def audioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Docs.russianDocs(spark, sfDir)
+      .flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
+      .map(ref => (ref, renderWav(ref)))
+      .toDF("media_ref", "payload")
+  }
+
+  /** Batched WAV decode + feature extract: REAL javax.sound decode —
+    * format header (rate/channels) and the PCM frames both come from the
+    * decoder, not from the generation formula. duration/mean/peak are
+    * computed on the decoded samples; all stats are integer-derived so
+    * the oracle hash-match is exact.
+    */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, sfDir)
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = bytes.length / 2
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+          val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+          val s = (hi << 8) | lo
+          val v = math.abs(s)
+          sumAbs += v
+          if (v > peak) peak = v
+          i += 1
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioFeat(ref, rate, fmt.getChannels, n.toLong,
+          n.toDouble * 1000 / rate, sumAbs.toDouble / n, peak)
+      }).toDF()
+      // HALF_UP rounding in the plan (same function family as the DuckDB
+      // oracle's round — math.rint would tie-to-even)
+      .select(col("media_ref"), col("sample_rate"), col("channels"),
+        col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+        round(col("mean_abs"), 6).as("mean_abs"), col("peak_abs"))
+  }
 }

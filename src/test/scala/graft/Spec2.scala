@@ -529,6 +529,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("generated WAV is a real RIFF container and decodes byte-exact") {
+    val ref = "s3://media/42/1.jpg"
+    val wav = Multimodal.renderWav(ref)
+    // RIFF....WAVE magic: a REAL audio container, not a byte stub
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val (rate, n, a, step) = Multimodal.audioParams(ref)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    // header values come from the DECODER, and match the generator
+    assert(fmt.getSampleRate.toInt == rate && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val bytes = ais.readAllBytes()
+    assert(bytes.length == n * 2)
+    for (i <- 0 until n) {
+      val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      assert(s == ((a + i.toLong * step) % 511L).toInt - 255, s"sample $i")
+    }
+  }
+
+  test("audioFeatures: decoded stats equal the generation formula") {
+    val rows = Multimodal.audioFeatures(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ref = r.getAs[String]("media_ref")
+      val (rate, n, a, step) = Multimodal.audioParams(ref)
+      assert(r.getAs[Int]("sample_rate") == rate && r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      var sumAbs = 0L; var peak = 0
+      for (i <- 0 until n) {
+        val v = math.abs(((a + i.toLong * step) % 511L).toInt - 255)
+        sumAbs += v; if (v > peak) peak = v
+      }
+      assert(r.getAs[Int]("peak_abs") == peak, s"peak for $ref")
+      assert(math.abs(r.getAs[Double]("mean_abs") - sumAbs.toDouble / n) < 1e-6)
+      assert(math.abs(r.getAs[Double]("duration_ms") - n * 1000.0 / rate) < 1e-6)
+    }
+  }
+
   test("resize: exact nearest-neighbor resample, re-encoded as PNG") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").limit(4)
     val out = Multimodal.resize(media, 8, 5).collect()
