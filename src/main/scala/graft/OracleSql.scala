@@ -327,6 +327,44 @@ object OracleSql {
     FROM prm JOIN agg USING (media_ref)"""
   }
 
+  /** The Spark side DECODES real animated-GIF payloads (javax.imageio
+    * multi-frame reader); this SQL reproduces the video GENERATION
+    * formula — frame count/dims/offset from a THIRD splitmix over
+    * fnv1a(ref), frame f pixel(x,y) = (a + 7f + x + y) mod 256 — so
+    * equality proves frame extraction and the per-frame rasters are exact.
+    */
+  def qVideoFrames(everyK: Int): String = {
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
+      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
+      "% 18446744073709551616)::UBIGINT"
+    s"""
+    WITH $corpusCte,
+    media AS (
+      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
+      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
+    p AS (SELECT media_ref, ${mixSql(mixSql(mixSql(s"($fnv)")))} AS h FROM media),
+    prm AS (SELECT media_ref,
+                   (4 + (h % 8))::INT AS nf,
+                   (12 + ((h >> 8) % 12))::INT AS w,
+                   (12 + ((h >> 16) % 12))::INT AS hh,
+                   ((h >> 24) % 256)::BIGINT AS a
+            FROM p),
+    fr AS (SELECT media_ref, f.i AS frame_idx, w, hh, a
+           FROM prm, (SELECT unnest(generate_series(0, 10)) AS i) f
+           WHERE f.i < nf AND f.i % $everyK = 0),
+    px AS (SELECT media_ref, frame_idx,
+                  sum((a + 7 * frame_idx + gx.i + gy.i) % 256)::BIGINT AS s,
+                  count(*) AS n
+           FROM fr, (SELECT unnest(generate_series(0, 22)) AS i) gx,
+                    (SELECT unnest(generate_series(0, 22)) AS i) gy
+           WHERE gx.i < w AND gy.i < hh GROUP BY media_ref, frame_idx)
+    SELECT fr.media_ref, fr.frame_idx::INT AS frame_idx,
+           fr.w AS width, fr.hh AS height,
+           round(px.s::DOUBLE / px.n, 6) AS f_mean
+    FROM fr JOIN px USING (media_ref, frame_idx)"""
+  }
+
   /** linking + canonicalization applied to the goldens in SQL: alias dict
     * inlined, representative = min entity per alias, canonical = min id of
     * the alias-edge connected component (recursive CTE label propagation).

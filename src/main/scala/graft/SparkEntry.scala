@@ -323,6 +323,7 @@ object SparkEntry {
     // stays on Multimodal.features for internal callers
     "q_media_features" -> ((s, d) => ops.Multimodal.featureScalars(s, d)),
     "q_audio_features" -> ((s, d) => ops.Multimodal.audioFeatures(s, d)),
+    "q_video_frames" -> ((s, d) => ops.Multimodal.videoFrameFeatures(s, d, 2)),
 
     // ---- corpus assembly (dedup clustering, sampling, packing, mixing) ----
     "q_dedup_cluster" -> ((s, d) =>
@@ -751,6 +752,7 @@ object SparkEntry {
       // splitmix64, reproduced bit-exactly in SQL (OracleSql)
       "q_media_features" -> OracleSql.qMediaFeatures,
       "q_audio_features" -> OracleSql.qAudioFeatures,
+      "q_video_frames" -> OracleSql.qVideoFrames(2),
       "q_triples" -> OracleSql.qTriples,
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_kg_degrees" -> OracleSql.qKgDegrees,

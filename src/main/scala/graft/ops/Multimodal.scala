@@ -107,19 +107,130 @@ object Multimodal {
       }).toDF()
   }
 
-  /** STUB frame sampling: every k-th 16-byte block is a "frame" (video
-    * codecs are not in the JDK; the Spark plumbing — flatMap batch shape,
-    * schema — is the real scale path).
+  /** Frame sampling, REAL for multi-frame GIF (the one video-like
+    * container the JDK can decode): every k-th frame is extracted with
+    * ImageReader.read(i) and re-encoded as PNG. True video codecs are not
+    * in the JDK, so non-GIF payloads keep the honest deterministic stub
+    * (every k-th 16-byte block) — the operator stays total and the Spark
+    * plumbing (flatMap batch shape, schema) is identical either way.
     */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_ref", "payload").as[(String, Array[Byte])]
       .flatMap { case (ref, payload) =>
-        payload.grouped(16).zipWithIndex.collect {
-          case (block, i) if i % everyK == 0 => FrameRow(ref, i, block)
-        }
+        if (isGif(payload)) {
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by everyK).map { i =>
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(reader.read(i), "png", bos)
+              FrameRow(ref, i, bos.toByteArray)
+            }
+          } finally { reader.dispose(); iis.close() }
+        } else // no codec in the JDK for this payload: documented stub
+          payload.grouped(16).zipWithIndex.collect {
+            case (block, i) if i % everyK == 0 => FrameRow(ref, i, block)
+          }.toSeq
       }.toDF()
+  }
+
+  private def isGif(payload: Array[Byte]): Boolean =
+    payload.length > 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+
+  // ------------------------------------------------------------------
+  // Video: REAL multi-frame decode via animated GIF (javax.imageio reads
+  // and writes multi-frame GIF losslessly for 256-gray palettes — probed
+  // bit-exact). Same fixture scheme: deterministic frames per ref, the
+  // oracle reproduces the generation formula.
+  // ------------------------------------------------------------------
+
+  final case class VideoFrameFeat(media_ref: String, frame_idx: Int,
+                                  width: Int, height: Int, f_mean: Double)
+
+  /** Deterministic video parameters: (nFrames, w, h, a) from a THIRD
+    * splitmix over the ref hash (images use one, audio two). */
+  def videoParams(ref: String): (Int, Int, Int, Int) = {
+    val h = graft.corpus.RuCorpus.mix(graft.corpus.RuCorpus.mix(
+      graft.corpus.RuCorpus.mix(graft.ops.Simhash.tokenHash(ref))))
+    val nf = (4L + (h & 7L)).toInt
+    val w = (12L + ((h >>> 8) % 12L)).toInt
+    val hh = (12L + ((h >>> 16) % 12L)).toInt
+    val a = ((h >>> 24) % 256L).toInt
+    (nf, w, hh, a)
+  }
+
+  /** Render the ref's animated GIF: nf gray frames, frame f pixel(x,y) =
+    * (a + 7f + x + y) mod 256. */
+  def renderGif(ref: String): Array[Byte] = {
+    val (nf, w, h, a) = videoParams(ref)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, (a + 7 * f + x + y) % 256); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Video table over the corpus' media refs: one REAL animated-GIF
+    * payload per ref. */
+  def videoTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Docs.russianDocs(spark, sfDir)
+      .flatMap(d => d.spans.filter(_.kind == "media").map(_.media_ref))
+      .map(ref => (ref, renderGif(ref)))
+      .toDF("media_ref", "payload")
+  }
+
+  /** Decode + per-sampled-frame stats: frame count from the DECODER
+    * (getNumImages), pixel mean from the decoded frame raster. */
+  def videoFrameFeatures(spark: SparkSession, sfDir: String,
+                         everyK: Int): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, sfDir)
+      .as[(String, Array[Byte])]
+      .flatMap { case (ref, payload) =>
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by everyK).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            VideoFrameFeat(ref, i, w, h, sum.toDouble / (w.toLong * h))
+          }
+        } finally { reader.dispose(); iis.close() }
+      }.toDF()
+      .select(col("media_ref"), col("frame_idx"), col("width"), col("height"),
+        round(col("f_mean"), 6).as("f_mean"))
   }
 
   /** Batched decode + feature extract over media payloads: REAL ImageIO

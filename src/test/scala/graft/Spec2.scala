@@ -569,6 +569,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("generated GIF is a real multi-frame container; sampling decodes frames") {
+    val ref = "s3://media/42/1.jpg"
+    val gif = Multimodal.renderGif(ref)
+    assert(new String(gif.take(4), "US-ASCII") == "GIF8")
+    val (nf, w, h, a) = Multimodal.videoParams(ref)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == nf) // frame count from the DECODER
+    for (f <- 0 until nf) {
+      val img = reader.read(f)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xff) == (a + 7 * f + x + y) % 256,
+          s"frame $f pixel ($x,$y)")
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("sampleFrames: real GIF path extracts every k-th decoded frame as PNG") {
+    import spark.implicits._
+    val ref = "s3://media/42/1.jpg"
+    val (nf, w, h, a) = Multimodal.videoParams(ref)
+    val media = Seq((ref, Multimodal.renderGif(ref))).toDF("media_ref", "payload")
+    val out = Multimodal.sampleFrames(media, 2).collect()
+      .map(r => r.getAs[Int]("frame_idx") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(out.keySet == (0 until nf by 2).toSet)
+    for ((f, png) <- out) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getSample(1, 2, 0) == (a + 7 * f + 3) % 256)
+    }
+    // non-GIF payload falls back to the documented block stub
+    val stub = Multimodal.sampleFrames(
+      Seq(("x", Array.fill[Byte](64)(7))).toDF("media_ref", "payload"), 2).collect()
+    assert(stub.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+  }
+
   test("resize: exact nearest-neighbor resample, re-encoded as PNG") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").limit(4)
     val out = Multimodal.resize(media, 8, 5).collect()
