@@ -51,7 +51,11 @@ object OracleSql {
       FROM (SELECT row_number() OVER () - 1 AS i FROM documents) n,
            (SELECT unnest(generate_series(0, 19)) AS j) g),
     hd AS (SELECT id, ${mixSql("id")} AS hdoc FROM ids),
-    sent AS (
+    -- MATERIALIZED: sent is read by med+base (and the media CTEs), base by
+    -- every per-template UNION ALL branch (up to 45 refs in q_morph_feats);
+    -- without it DuckDB inlines and re-derives the corpus per reference
+    -- (q_morph_* / q_syntax_parse cost 59-80 s each at sf0.01 in round 3).
+    sent AS MATERIALIZED (
       SELECT id, k
       FROM hd, (SELECT unnest(generate_series(0, 3)) AS k) ks
       WHERE k < 1 + (hdoc >> 4) % 4),
@@ -62,7 +66,7 @@ object OracleSql {
       FROM sent s LEFT JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
         ON j.j < s.k
       GROUP BY 1, 2),
-    base AS (
+    base AS MATERIALIZED (
       SELECT s.id, s.k, (s.k + coalesce(m.nmed, 0))::INT AS span_order,
              h, (h >> 8) % 7 AS t,
              ${list(firstNames)}[((h % 8) + 1)::INT] AS fn,
@@ -250,31 +254,44 @@ object OracleSql {
     s"WITH $corpusCte SELECT * FROM (${branches.mkString(" UNION ALL ")})"
   }
 
-  /** Multimodal stub pipeline reproduced in SQL: media refs from the
-    * corpus media-span placement, payload = md5(ref) bytes x4, width/height
-    * from splitmix64(FNV-1a(ref)), mean byte from the digest's hex pairs,
-    * payload digest = md5 of the lowercase-hex payload.
+  /** Media refs + STAGED splitmix chain h1/h2/h3 = splitmix64^i(fnv1a(ref)).
+    *
+    * `mixSql` is a textual macro that inlines its argument ×32 (twice per
+    * xor/mulmod stage); nesting it used to blow the generated SQL up to
+    * 11 MB for the triple-mix video oracle (270 s in DuckDB at sf0.01 —
+    * it zeroed round 3's correctness artifact). Staging each application
+    * as its own CTE column means the ×32 duplication only ever applies to
+    * a plain column name (~3.5 KB per stage) and DuckDB evaluates each
+    * stage once per row. Bit-exact with the nested form by construction.
     */
+  private def mediaHashCtes: String = {
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
+      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
+      "% 18446744073709551616)::UBIGINT"
+    s"""media AS MATERIALIZED (
+      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
+      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
+    mh0 AS (SELECT media_ref, ($fnv) AS h0 FROM media),
+    mh1 AS MATERIALIZED (SELECT media_ref, ${mixSql("h0")} AS h1 FROM mh0),
+    mh2 AS MATERIALIZED (SELECT media_ref, ${mixSql("h1")} AS h2 FROM mh1),
+    mh3 AS MATERIALIZED (SELECT media_ref, ${mixSql("h2")} AS h3 FROM mh2)"""
+  }
+
   /** The Spark side DECODES real PNG payloads (javax.imageio); this SQL
     * reproduces the image GENERATION formula — dims and gradient-gray
     * offset from splitmix64(fnv1a(ref)), pixel(x,y) = (a+x+y) mod 256 —
     * so equality proves the decode recovered exactly what was encoded.
     */
   def qMediaFeatures: String = {
-    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
-      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
-      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
-      "% 18446744073709551616)::UBIGINT"
     s"""
     WITH $corpusCte,
-    media AS (
-      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
-      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
+    $mediaHashCtes,
     wh AS (SELECT media_ref,
                   (16 + (h % 16))::INT AS w,
                   (16 + ((h >> 8) % 16))::INT AS hh,
                   ((h >> 16) % 256)::INT AS a
-           FROM (SELECT media_ref, ${mixSql(s"($fnv)")} AS h FROM media)),
+           FROM (SELECT media_ref, h1 AS h FROM mh1)),
     grid AS (SELECT gx.i AS x, gy.i AS y
              FROM (SELECT unnest(generate_series(0, 30)) AS i) gx,
                   (SELECT unnest(generate_series(0, 30)) AS i) gy),
@@ -295,16 +312,10 @@ object OracleSql {
     * byte-exact.
     */
   def qAudioFeatures: String = {
-    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
-      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
-      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
-      "% 18446744073709551616)::UBIGINT"
     s"""
     WITH $corpusCte,
-    media AS (
-      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
-      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
-    p AS (SELECT media_ref, ${mixSql(mixSql(s"($fnv)"))} AS h FROM media),
+    $mediaHashCtes,
+    p AS (SELECT media_ref, h2 AS h FROM mh2),
     prm AS (SELECT media_ref,
                    (CASE WHEN h % 2 = 0 THEN 8000 ELSE 16000 END)::INT AS rate,
                    (500 + ((h >> 8) % 1000))::BIGINT AS n,
@@ -334,16 +345,10 @@ object OracleSql {
     * equality proves frame extraction and the per-frame rasters are exact.
     */
   def qVideoFrames(everyK: Int): String = {
-    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
-      "[unicode(c)::HUGEINT for c in string_split(media_ref, '')]), " +
-      "(h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * 1099511628211) " +
-      "% 18446744073709551616)::UBIGINT"
     s"""
     WITH $corpusCte,
-    media AS (
-      SELECT 's3://media/' || id || '/' || k || '.jpg' AS media_ref
-      FROM sent WHERE (${mixSql("id * 7919 + k")} & 7) = 0),
-    p AS (SELECT media_ref, ${mixSql(mixSql(mixSql(s"($fnv)")))} AS h FROM media),
+    $mediaHashCtes,
+    p AS (SELECT media_ref, h3 AS h FROM mh3),
     prm AS (SELECT media_ref,
                    (4 + (h % 8))::INT AS nf,
                    (12 + ((h >> 8) % 12))::INT AS w,
@@ -379,7 +384,7 @@ object OracleSql {
       .map(r => s"('${r.alias}', '${r.entityId}')").mkString(", ")
     s"""$corpusCte,
     dict(alias, entity_id) AS (SELECT * FROM (VALUES $vals) t(alias, entity_id)),
-    rep AS (SELECT alias, min(entity_id) AS entity_id FROM dict GROUP BY 1),
+    rep AS MATERIALIZED (SELECT alias, min(entity_id) AS entity_id FROM dict GROUP BY 1),
     nodes AS (SELECT DISTINCT entity_id FROM dict),
     edges AS (SELECT a.entity_id AS src, b.entity_id AS dst
               FROM dict a JOIN dict b ON a.alias = b.alias AND a.entity_id <> b.entity_id),
@@ -387,7 +392,7 @@ object OracleSql {
       SELECT entity_id, entity_id FROM nodes
       UNION
       SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.rid),
-    cc AS (SELECT rid AS entity_id, min(r) AS comp FROM reach GROUP BY 1),
+    cc AS MATERIALIZED (SELECT rid AS entity_id, min(r) AS comp FROM reach GROUP BY 1),
     linked AS (
       SELECT docId, spanOrder, sentIdx,
              coalesce(rs.entity_id, 'M:' || lower(subj)) AS subjId,
@@ -397,7 +402,8 @@ object OracleSql {
       FROM golden
       LEFT JOIN rep rs ON rs.alias = lower(subj)
       LEFT JOIN rep ro ON ro.alias = lower(obj)),
-    ktriples AS (
+    -- MATERIALIZED: the KG-analytics oracles read ktriples 2-4×
+    ktriples AS MATERIALIZED (
       SELECT docId, spanOrder, sentIdx,
              coalesce(cs.comp, subjId) AS subj_id, subjType AS subj_type, pred,
              coalesce(co.comp, objId) AS obj_id, objType AS obj_type
@@ -429,8 +435,11 @@ object OracleSql {
     * Must mirror Analytics.pageRank's exact contract: micro-unit ranks,
     * floor division, damping 150000 + 850/1000. */
   def qKgPagerank(iters: Int): String = {
+    // MATERIALIZED everywhere (the q_kg_communities pattern): without it
+    // DuckDB inlines the iteration chain and re-derives the upstream
+    // corpus+triples pipeline per iteration (184.6 s at sf0.01 in round 3).
     val steps = (1 to iters).map { i =>
-      s"""pr$i AS (SELECT n.entity_id,
+      s"""pr$i AS MATERIALIZED (SELECT n.entity_id,
            CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS "rank"
          FROM knodes n LEFT JOIN (
            SELECT e.dst AS entity_id, sum(p."rank" // d.odeg) AS s
@@ -439,13 +448,13 @@ object OracleSql {
     }.mkString(",\n    ")
     s"""
     WITH RECURSIVE $triplesCanonicalCtes,
-    kedges AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
+    kedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
                WHERE subj_id <> obj_id),
-    kdeg AS (SELECT src, count(*) AS odeg FROM kedges GROUP BY 1),
+    kdeg AS MATERIALIZED (SELECT src, count(*) AS odeg FROM kedges GROUP BY 1),
     -- NB: the union is nested in a derived table on purpose — DuckDB 1.0
     -- gives recursive-union (no dedup) semantics to ANY top-level UNION
     -- in a CTE under WITH RECURSIVE, even without a self-reference.
-    knodes AS (SELECT DISTINCT entity_id FROM
+    knodes AS MATERIALIZED (SELECT DISTINCT entity_id FROM
                (SELECT src AS entity_id FROM kedges
                 UNION ALL SELECT dst FROM kedges) un),
     pr0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS "rank" FROM knodes),

@@ -24,9 +24,22 @@ object SparkEntry {
   def packBc(s: SparkSession): Broadcast[ModelPack] =
     packCache.getOrUpdate(s)(ss => ss.sparkContext.broadcast(SynthPack.build()))
 
-  /** Parsed Russian corpus (full NLP inference) for a test dir. */
-  def parsed(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.nlp.ParsedSent] =
-    Pipeline.parse(Docs.sentences(Docs.russianDocs(s, dir)), packBc(s))
+  /** Parsed Russian corpus (full NLP inference) for a test dir — persisted
+    * per (session, dir): 15 catalog queries consume it, and re-running the
+    * full CNN/CRF/biaffine forward pass per query made Verify ~3× slower
+    * than the work requires (round-3 VERDICT #4). MEMORY_AND_DISK so an
+    * sf larger than executor memory spills instead of OOMing; eviction
+    * follows the session (SessionCache drops stopped sessions' entries).
+    */
+  private val parsedCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.nlp.ParsedSent]]]
+  def parsed(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.nlp.ParsedSent] = {
+    val perDir = parsedCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      Pipeline.parse(Docs.sentences(Docs.russianDocs(s, d)), packBc(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Flagship: the full KG-construction pipeline (sentenize -> batched
     * NER+morph+syntax inference -> dep-pattern triples -> entity linking ->

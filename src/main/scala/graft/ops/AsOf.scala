@@ -32,6 +32,14 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the rewrite introduces __src/__r/__m and reads matches as __m.<name>:
+    // a pre-existing column with a reserved name would silently resolve
+    // wrong, and a dot inside ts/payload would parse as struct access
+    val reserved = Set("__src", "__r", "__m")
+    require(!(leftCols ++ right.columns).exists(reserved),
+      s"asofJoin: input columns collide with reserved names $reserved")
+    require(!(ts +: payload).exists(_.contains(".")),
+      "asofJoin: ts/payload column names must be dot-free (struct access ambiguity)")
     val rSchema = right.select((ts +: payload).map(col): _*).schema
     val l = left
       .withColumn("__src", lit(1))

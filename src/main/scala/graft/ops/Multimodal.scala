@@ -412,6 +412,12 @@ object Multimodal {
       .mapPartitions(_.map { case (ref, payload) =>
         val ais = readAudio(payload)
         val fmt = ais.getFormat
+        // the sample loop below assumes a 2-byte mono frame — fail loudly
+        // on anything else instead of silently mis-striding 8/24/32-bit
+        // or multi-channel PCM (round-3 ADVICE)
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"audioFeatures supports 16-bit mono PCM only, got " +
+            s"${fmt.getSampleSizeInBits}-bit x${fmt.getChannels}ch")
         val bytes = ais.readAllBytes()
         val big = fmt.isBigEndian
         val n = bytes.length / 2

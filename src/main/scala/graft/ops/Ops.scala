@@ -137,6 +137,45 @@ object TextStats {
       .where(col("n") >= minCount)
   }
 
+  /** Shuffle-diet variant of [[ngramCounts]] for the 100 TB path: the
+    * count aggregation shuffles ONLY xxhash64(gram) (8-byte keys, ~4×
+    * fewer shuffle bytes than gram text), then a second corpus pass
+    * recovers the surviving grams' text — per-partition deduped BEFORE
+    * its shuffle (groupBy(hash).min(gram) partial-aggregates map-side),
+    * and joined to the survivor counts (broadcast by hint: this variant
+    * presumes minCount prunes survivors to broadcastable size — with
+    * minCount=1 use [[ngramCounts]]). Trade: tokenization runs twice, so
+    * single-node this only wins when shuffle I/O dominates CPU — use the
+    * one-scan [[ngramCounts]] locally and this shape on a real cluster.
+    * Collision note: two grams sharing an xxhash64 would merge counts
+    * (p ≈ n²/2^65 — negligible below ~10^9 distinct grams; swap in a
+    * 128-bit hash beyond that).
+    */
+  def ngramCountsHashed(docs: DataFrame, n: Int = 2, minCount: Long = 1): DataFrame = {
+    require(n >= 1, s"ngramCountsHashed: n must be >= 1, got $n")
+    val t = tokens(F.lower_simple(col("text")))
+    val grams =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array(Seq.empty[Column]: _*).cast("array<string>"))
+    val exploded = docs.select(explode(grams).as("ngram"))
+    val survivors = exploded
+      .select(xxhash64(col("ngram")).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    // semi-join BEFORE the text dedup so non-survivors are dropped
+    // map-side (broadcast under AQE) and never shuffle their text; the
+    // groupBy then partial-aggregates to <= distinct survivors per task
+    exploded
+      .select(xxhash64(col("ngram")).as("gh"), col("ngram"))
+      .join(survivors.hint("broadcast"), Seq("gh"))
+      .groupBy("gh", "n").agg(min("ngram").as("ngram"))
+      .select(col("ngram"), col("n"))
+  }
+
   /** Per-language token-length distribution: count/sum/min/max plus
     * EXACT interpolated p50/p90 (`percentile`, R-7 / quantile_cont
     * semantics — deterministic, engine-independent, unlike the t-digest
@@ -445,7 +484,15 @@ object Dedup {
     // is cheap at any scale.
     val pairs = minhashDupPairs(docs, n, numHashes, bands, threshold)
       .select("doc_a", "doc_b").localCheckpoint()
-    def pad(c: Column) = lpad(c.cast("string"), 15, "0")
+    // 20 chars covers every non-negative Long (max 19 digits) — lpad
+    // TRUNCATES overlong strings, so a 15-pad would silently corrupt
+    // doc_id >= 10^15; negative ids are rejected because '-' breaks the
+    // string-order == numeric-order invariant the component min relies on
+    def pad(c: Column) = {
+      val l = c.cast("long")
+      lpad(when(l < 0, raise_error(concat(lit("dedupClusters: negative doc_id "), c)))
+        .otherwise(l).cast("string"), 20, "0")
+    }
     val edges = pairs.select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()

@@ -263,7 +263,7 @@ object Tokenizer {
               Character.isLowerCase(text.charAt(k3))) join = true
           }
         }
-        if (!join && singleDot) join = abbrevBeforeDot(text, ls, i)
+        if (!join && singleDot) join = abbrevBeforeDot(text, ls, le, i)
         if (join) i = j
         else {
           emit(text, s, close, out)
@@ -275,10 +275,22 @@ object Tokenizer {
     if (s < le) emit(text, s, le, out)
   }
 
+  /** Single lowercase letters that are only abbreviations in CITATION
+    * contexts ("с. 45" страница, "п. 3" пункт): joining them before a
+    * capital made genuine sentence ends stay joined, so the join requires
+    * a digit after the dot (round-3 ADVICE). Known tradeoff, documented in
+    * TokenizerSpec: "с. Иваново" (село + name) now splits — the citation
+    * reading is far more frequent in running text than the village one.
+    */
+  private val DigitOnlySokrs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    s.add("с"); s.add("п"); s
+  }
+
   /** Is the single dot at `dot` preceded by an initial, a known
     * abbreviation, or a line-leading list number?
     */
-  private def abbrevBeforeDot(text: String, ls: Int, dot: Int): Boolean = {
+  private def abbrevBeforeDot(text: String, ls: Int, le: Int, dot: Int): Boolean = {
     var ws = dot
     while (ws > ls && Character.isLetter(text.charAt(ws - 1))) ws -= 1
     if (ws < dot) {
@@ -300,6 +312,13 @@ object Tokenizer {
           while (w2 > ls && Character.isLetter(text.charAt(w2 - 1))) w2 -= 1
           if (dot2 - w2 == 1 && Character.isLowerCase(text.charAt(w2)))
             return false // completed pair sokr — sentence may end here
+        }
+        if (DigitOnlySokrs.contains(w)) {
+          // citation sokr: join only when a digit follows ("с. 45")
+          var k = dot + 1
+          while (k < le && (isSpace(text.charAt(k)) ||
+            Closers.indexOf(text.charAt(k)) >= 0)) k += 1
+          return k < le && Character.isDigit(text.charAt(k))
         }
         return true
       }

@@ -64,6 +64,21 @@ class PackIoSpec extends AnyFunSuite {
     assert(names.exists(_.startsWith("arrays/")) && names.exists(_.startsWith("vocabs/")))
   }
 
+  test("stale u32-layout navec indexes.bin fails loudly, not as garbage") {
+    val pack = graft.pack.SynthPack.build()
+    val dir = java.nio.file.Files.createTempDirectory("pack").toString
+    graft.pack.PackIO.dump(pack, dir)
+    val idx = java.nio.file.Paths.get(dir, "navec", "indexes.bin")
+    val u8 = java.nio.file.Files.readAllBytes(idx)
+    // simulate the pre-round-3 int32 layout: 4 bytes per id
+    val u32 = java.nio.ByteBuffer.allocate(u8.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    u8.foreach(b => u32.putInt(b & 0xff))
+    java.nio.file.Files.write(idx, u32.array())
+    val e = intercept[IllegalArgumentException](graft.pack.PackIO.load(dir))
+    assert(e.getMessage.contains("indexes.bin"))
+  }
+
   test("protocol check rejects wrong version") {
     val pack = graft.pack.SynthPack.build()
     val dir = java.nio.file.Files.createTempDirectory("pack").toString
