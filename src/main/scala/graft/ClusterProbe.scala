@@ -17,7 +17,8 @@ object ClusterProbe {
     // pauses (BENCH_SELF gc_frac_high) — these env overrides let a probe
     // isolate collector choice / heap size without editing Bench
     val memMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "6144").toInt
-    val gcOpts = sys.env.getOrElse("GRAFT_GC_OPTS", "-XX:+UseParallelGC")
+    val gcOpts = sys.env.getOrElse("GRAFT_GC_OPTS",
+      "-XX:+UseParallelGC -XX:NewRatio=1") // bench default (A/B'd, see Bench)
     val spark = SparkSession.builder()
       .master(s"local-cluster[$nw,$cpw,$memMb]")
       .appName("graft-cluster-probe")

@@ -109,6 +109,10 @@ object SparkEntry {
       val e = tbl(s, d, "embeddings")
       Similarity.annIvf(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
+    }),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
     "q_agg_acc" -> ((s, d) => // Acc/Mean merge semantics (score.py:12-53)
@@ -381,6 +385,13 @@ object SparkEntry {
     }.mkString(",\n")
   }
 
+  /** one subspace's PQ codebook as a DOUBLE[][] literal (16 × subdim) */
+  private def pqLutSql(m: Int, ksub: Int, subdim: Int, seed: Long): Seq[String] = {
+    val subs = ops.Similarity.pqSubCentroids(m, ksub, subdim, seed)
+    subs.toSeq.map(cb =>
+      cb.map(v => s"[${v.mkString(", ")}]").mkString("[", ", ", "]::DOUBLE[][]"))
+  }
+
   def oracleSql: Map[String, String] = {
     val tokSql = Tok // backslashes are literal inside single-quoted SQL strings
     def toks(c: String) = s"regexp_extract_all($c, '$tokSql')"
@@ -626,6 +637,67 @@ object SparkEntry {
             JOIN e e2 ON e2.vec_id = ec.vec_id
             JOIN q ON q.query_id = qc.query_id
             WHERE ec.vec_id <> qc.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 5"""
+      },
+      "q_ann_ivfpq" -> {
+        // same seeded coarse centroids + PQ codebooks as
+        // Similarity.annIvfPq: per-subspace cosine code assignment, ADC
+        // scoring (left-assoc sums match the engine's sequential folds
+        // bit-for-bit), top-32 ADC candidates, exact-cosine top-5 rerank
+        val luts = pqLutSql(8, 16, 8, 11L)
+        val pqCtes = luts.zipWithIndex
+          .map { case (l, i) => s"pq$i AS (SELECT $l AS l)" }.mkString(",\n        ")
+        val codeCtes = (0 until 8).map { i =>
+          val lo = i * 8 + 1; val hi = i * 8 + 8
+          s"""code$i AS (SELECT vec_id, (c - 1)::INT AS c$i FROM (
+            SELECT e.vec_id, g.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb[$lo:$hi], pq$i.l[g.c]) DESC, g.c ASC) AS rn
+            FROM e CROSS JOIN pq$i CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS c) g) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        val codeJoins = (0 until 8).map(i => s"JOIN code$i USING (vec_id)").mkString(" ")
+        val adc = (0 until 8).map { i =>
+          val lo = i * 8 + 1; val hi = i * 8 + 8
+          s"list_inner_product(q.q_emb[$lo:$hi], pq$i.l[cd.c$i + 1])"
+        }.mkString("(", " + ", ")")
+        val pqCross = (0 until 8).map(i => s"CROSS JOIN pq$i").mkString(" ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent(cell, cv) AS (VALUES ${ivfCentSql(16, 64, 7L)}),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        $pqCtes,
+        $codeCtes,
+        codes AS (SELECT * FROM cells $codeJoins),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
+        qcells AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.q_emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        cand AS (
+            SELECT qc.query_id, cd.vec_id AS neighbor_id, $adc AS adc
+            FROM codes cd JOIN qcells qc ON cd.cell = qc.cell
+            JOIN q ON q.query_id = qc.query_id
+            $pqCross
+            WHERE cd.vec_id <> qc.query_id),
+        rtop AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc DESC, neighbor_id ASC) AS arank
+            FROM cand) WHERE arank <= 32),
+        scored AS (SELECT r.query_id, r.neighbor_id,
+                          list_cosine_similarity(e2.emb, q.q_emb) AS cos
+                   FROM rtop r JOIN e e2 ON e2.vec_id = r.neighbor_id
+                   JOIN q ON q.query_id = r.query_id)
         SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
             SELECT query_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY query_id

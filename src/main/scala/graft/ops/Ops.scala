@@ -612,6 +612,74 @@ object Similarity {
     * can inline them; in production you'd train them offline (k-means over
     * a sample) and pass the trained array — the plan shape is unchanged.
     */
+  /** seeded PQ sub-centroids (m subspaces × ksub × dim/m) — public so the
+    * DuckDB oracle can inline the exact same values.
+    */
+  def pqSubCentroids(m: Int, ksub: Int, subdim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(m, ksub, subdim)(rnd.nextGaussian())
+  }
+
+  /** IVF-PQ ANN — the third scale path (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): coarse IVF
+    * cell assignment + an m-byte product-quantization code per vector
+    * (per-subspace nearest sub-centroid, spherical/cosine variant reusing
+    * the IvfCell codegen). Query: probe nprobe cells, score candidates by
+    * ADC (asymmetric distance: sum over subspaces of query-slice ·
+    * assigned sub-centroid — the candidate join carries only the m codes,
+    * ~m bytes/vector instead of 4·dim), keep top-`rerank` per query by
+    * ADC, then fetch ONLY those vectors' embeddings (broadcast-joined
+    * candidate list) for the exact-cosine top-k. At 100 TB: codes+cells
+    * are computed once at ingest; the ADC probe join never moves raw
+    * embeddings, and the rerank fetch is top-R·Q rows. Determinism: both
+    * engine and oracle accumulate dots sequentially left-to-right, so ADC
+    * ranks are bit-identical; output ties break on neighbor_id.
+    */
+  def annIvfPq(emb: DataFrame, queries: DataFrame, k: Int,
+               cells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+               m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+               seed: Long = 7L, pqSeed: Long = 11L): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subdim = dim / m
+    val cs = ivfCentroids(cells, dim, seed)
+    val subs = pqSubCentroids(m, ksub, subdim, pqSeed)
+    val codeCols = (0 until m).map(i =>
+      F.ivf_cell(slice(col("embedding"), i * subdim + 1, subdim), subs(i)).as(s"c$i"))
+    val base = emb.select(
+      col("vec_id") +: F.ivf_cell(col("embedding"), cs).as("cell") +: codeCols: _*)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("q_cell", explode(F.ivf_probe(col("q_emb"), cs, nprobe))))
+    val lut = typedLit(subs.map(_.map(_.toSeq).toSeq).toSeq)
+    def dot(a: Column, b: Column): Column = // sequential fold, 0.0+p1+...+pn
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    val adc = (0 until m).map { i =>
+      dot(slice(col("q_emb"), i * subdim + 1, subdim),
+        element_at(element_at(lut, i + 1), col(s"c$i") + 1))
+    }.reduce(_ + _)
+    val cand = base
+      .join(q, col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val top = cand.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank).drop("adc", "arank")
+    // rerank fetch: only top-R·Q vectors' embeddings move (broadcast side)
+    val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(top.hint("broadcast"), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        F.cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
              nprobe: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
     val cs = ivfCentroids(cells, dim, seed)

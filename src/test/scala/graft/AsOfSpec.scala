@@ -76,4 +76,18 @@ class AsOfSpec extends AnyFunSuite {
     }.toMap
     assert(got == expected)
   }
+
+  test("asofJoin: reserved internal names and dotted payloads are rejected") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 1L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 1L, 0.5)).toDF("k", "ts", "v")
+    val clash = Seq((1L, "k", 1L, 0)).toDF("id", "k", "ts", "__src")
+    intercept[IllegalArgumentException] {
+      ops.AsOf.asofJoin(clash, right, "k", "ts", Seq("v"))
+    }
+    val dotted = right.withColumnRenamed("v", "v.x")
+    intercept[IllegalArgumentException] {
+      ops.AsOf.asofJoin(left, dotted, "k", "ts", Seq("v.x"))
+    }
+  }
 }

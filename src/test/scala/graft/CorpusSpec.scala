@@ -133,4 +133,26 @@ class CorpusSpec extends AnyFunSuite {
     val one = Seq((1L, "solo")).toDF("doc_id", "text")
     assert(ops.TextStats.ngramCounts(one, 2).count() == 0)
   }
+
+  test("ngramCountsHashed == ngramCounts on the fixture corpus (100 TB shuffle-diet path)") {
+    for ((n, minCount) <- Seq((2, 2L), (3, 1L), (1, 5L))) {
+      val a = ops.TextStats.ngramCounts(docs, n, minCount).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = ops.TextStats.ngramCountsHashed(docs, n, minCount).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a == b, s"n=$n minCount=$minCount")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("dedupClusters: negative doc ids fail loudly (lpad order invariant)") {
+    import spark.implicits._
+    // two identical texts so a dup pair (hence the padded edge path) exists
+    val bad = Seq((-1L, "a b c d e f g h"), (7L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      ops.Dedup.dedupClusters(bad, 3, 32, 8, 0.1).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

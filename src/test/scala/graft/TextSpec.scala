@@ -293,6 +293,30 @@ class TokenizerSpec extends AnyFunSuite {
     assert(sents("Конец.") == Seq("Конец."))
   }
 
+  test("sentenize: citation sokrs 'с.'/'п.' join only before digits (round-3 ADVICE)") {
+    def sents(t: String) = Tokenizer.sentenize(t).map(_.text).toSeq
+    // page/point citations keep joining
+    assert(sents("Подробнее на с. 45 книги. Далее выводы.") ==
+      Seq("Подробнее на с. 45 книги.", "Далее выводы."))
+    assert(sents("Согласно п. 3 договора. Срок истёк.") ==
+      Seq("Согласно п. 3 договора.", "Срок истёк."))
+    // citation at sentence end: the digit ends the sentence, the next
+    // capital starts a new one (round 3 joined through such ends)
+    assert(sents("См. с. 45. Новый абзац начался.") ==
+      Seq("См. с. 45.", "Новый абзац начался."))
+    // a standalone lowercase 'с.'/'п.' before a capital no longer joins
+    assert(sents("Он закончил писать п. Редактор вычитал текст.") ==
+      Seq("Он закончил писать п.", "Редактор вычитал текст."))
+    // DOCUMENTED TRADEOFF: the village reading "с. Иваново" now splits —
+    // the citation reading dominates running text, and razdel itself is
+    // unavailable in-sandbox to adjudicate (FIXTURES.md)
+    assert(sents("Они выехали из с. Иваново вчера.") ==
+      Seq("Они выехали из с.", "Иваново вчера."))
+    // pair-sokr completion is unaffected
+    assert(sents("И т. д. и т. п. В общем, вся газета.") ==
+      Seq("И т. д. и т. п.", "В общем, вся газета."))
+  }
+
   test("sentenize: real-shaped news sentences (20+ cases)") {
     def sents(t: String) = Tokenizer.sentenize(t).map(_.text).toSeq
     val cases: Seq[(String, Seq[String])] = Seq(
