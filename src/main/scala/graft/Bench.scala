@@ -306,7 +306,10 @@ object Bench {
     var pairsSkipped = 0
     def secsOf(xs: Seq[Double]): String = xs.map(v => f"$v%.2f").mkString("[", ",", "]")
     def mainPair(): Unit = {
-      if ((System.nanoTime() - wall0) / 1e9 < 330 || sessionsBuf.isEmpty)
+      // 420 s: catalog + mid legs sit between pairs now, so the last pair
+      // starts ~370-400 s in on a quiet box; total stays under the ~550 s
+      // proven-recorded envelope (round-3/4 runs at 495-535 s landed fine)
+      if ((System.nanoTime() - wall0) / 1e9 < 420 || sessionsBuf.isEmpty)
         sessionsBuf += ((leg(cpusLow), leg(cpus)))
       else pairsSkipped += 1
       // raw per-pair seconds survive any mid-run kill
@@ -321,12 +324,19 @@ object Bench {
     // pairs regularly ALL landed inside one epoch
     val midLowCores = math.max(1, cpus / 8)
     val midHighCores = math.max(2, cpus / 2)
-    val midDocs = scaleDocs / 2
-    val midRefDocs = refDocs * 3 / 10
+    val midDocs = scaleDocs * 3 / 8
+    val midRefDocs = refDocs / 4
     val midBuf = scala.collection.mutable.ArrayBuffer.empty[(Leg, Leg)]
-    def midPair(): Unit =
-      midBuf += ((legAt(midLowCores, midDocs, midRefDocs),
-        legAt(midHighCores, midDocs, midRefDocs)))
+    var midSkipped = 0
+    def midPair(): Unit = {
+      // same wall-guard discipline as mainPair (time-conditioned only):
+      // the second mid pair is the last scheduled work and must not push
+      // the whole run past the driver's window
+      if ((System.nanoTime() - wall0) / 1e9 < 470 || midBuf.isEmpty)
+        midBuf += ((legAt(midLowCores, midDocs, midRefDocs),
+          legAt(midHighCores, midDocs, midRefDocs)))
+      else midSkipped += 1
+    }
     // --- per-query catalog timings on plain local[cpus]; best-of-2 (the
     // host has hypervisor-level steal spikes that single-shot timings hit)
     def runCatalog(): Seq[(String, Double)] = {
@@ -459,6 +469,7 @@ object Bench {
         f""""ref_sents_per_sec_low":${midRefLo.refThrRaw}%.1f,""" +
         f""""ref_sents_per_sec_high":${midRefHi.refThrRaw}%.1f,""" +
         f""""ref_efficiency_raw":$midRefEffRaw%.3f,"ref_efficiency":$midRefEff%.3f,""" +
+        f""""pairs_skipped":$midSkipped,""" +
         f""""hw_flops_eff":${hwMid.eff}%.3f,"hw_simd_eff":${hwMid.simdEff}%.3f,""" +
         f""""efficiency_vs_hw":${midEffRaw / hwMid.eff}%.3f,""" +
         f""""ref_efficiency_vs_hw":${midRefEffRaw / hwMid.simdEff}%.3f,""" +

@@ -125,7 +125,12 @@ def tokenize(text):
         i += 1
 
 
-def _abbrev_before_dot(text, ls, dot):
+# citation-only single-letter sokrs: join ONLY before a digit ("с. 45",
+# "п. 3") — mirrors Tokenizer.DigitOnlySokrs (round-4 ADVICE fix)
+DIGIT_ONLY_SOKRS = {"с", "п"}
+
+
+def _abbrev_before_dot(text, ls, le, dot):
     ws = dot
     while ws > ls and text[ws - 1].isalpha():
         ws -= 1
@@ -146,6 +151,11 @@ def _abbrev_before_dot(text, ls, dot):
                     w2 -= 1
                 if dot2 - w2 == 1 and text[w2].islower():
                     return False
+            if w in DIGIT_ONLY_SOKRS:
+                k = dot + 1
+                while k < le and (text[k].isspace() or text[k] in CLOSERS):
+                    k += 1
+                return k < le and text[k].isdecimal()
             return True
         return w in JOIN_SOKRS
     ds = dot
@@ -188,7 +198,7 @@ def _split_line(text, ls, le, out):
                     if k3 < le and text[k3].isalpha() and text[k3].islower():
                         join = True
             if not join and single_dot:
-                join = _abbrev_before_dot(text, ls, i)
+                join = _abbrev_before_dot(text, ls, le, i)
             if join:
                 i = j
             else:
