@@ -37,22 +37,70 @@ object ClusterProbe {
     // would be meaningless, sents/s is the metric)
     val refMode = args.length > 3 && args(3) == "ref"
     lazy val refBc = spark.sparkContext.broadcast(graft.pack.SynthPack.buildRandom())
+    // per-run task-metric tally: cpuSec decomposes wall scaling into work
+    // invariance (does the N-core plan burn the same CPU as the 4N one?)
+    // vs contention; gcSec isolates allocation-pressure pauses
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          val a = stageAgg.computeIfAbsent(e.stageId, _ => new Array[Long](4))
+          a.synchronized {
+            a(0) += m.executorCpuTime; a(1) += m.executorRunTime
+            a(2) += m.jvmGCTime; a(3) += 1
+          }
+        }
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val a = stageAgg.getOrDefault(i.stageId, new Array[Long](4))
+        if (sys.env.get("GRAFT_STAGE_DETAIL").contains("1"))
+          println(f"STAGE id=${i.stageId} name=${i.name.takeWhile(_ != ' ')} tasks=${a(3)} " +
+            f"cpu=${a(0) / 1e9}%.1f run=${a(1) / 1e3}%.1f gc=${a(2) / 1e3}%.1f")
+      }
+    })
+    // GRAFT_SLICES: force the generator's slice count — holds task
+    // granularity CONSTANT across core counts (a real 100 TB scan sizes
+    // splits by data, not by cluster size). Via the graft.gen.slices
+    // property so the generate->parse chain stays one fused object stage;
+    // GRAFT_SLICES_SHUFFLE=1 uses repartition() instead, which inserts an
+    // encoder round-trip + exchange (probe for that boundary's cost).
+    val forcedSlices = sys.env.get("GRAFT_SLICES").map(_.toInt)
+    val sliceShuffle = sys.env.get("GRAFT_SLICES_SHUFFLE").contains("1")
+    if (!sliceShuffle) forcedSlices.foreach(n => sys.props("graft.gen.slices") = n.toString)
+    def docsAt(docs: Long) = {
+      val d = graft.sources.Docs.russianDocs(spark, docs)
+      if (sliceShuffle) forcedSlices.map(d.repartition(_)).getOrElse(d) else d
+    }
     def run(docs: Long): Double = {
+      val c0 = cpuNs.get; val r0 = runMs.get; val g0 = gcMs.get
       val t0 = System.nanoTime()
       val n =
         if (refMode)
           graft.nlp.Pipeline.parse(
-            graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, docs)),
-            refBc).count()
+            graft.sources.Docs.sentences(docsAt(docs)), refBc).count()
         else
           graft.kg.Kg.linkCanonicalize(spark,
             graft.kg.Kg.triples(graft.nlp.Pipeline.parse(
-              graft.sources.Docs.sentences(graft.sources.Docs.russianDocs(spark, docs)),
+              graft.sources.Docs.sentences(docsAt(docs)),
               SparkEntry.packBc(spark)))).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain
+      val cpu = (cpuNs.get - c0) / 1e9
+      val run = (runMs.get - r0) / 1e3
+      val gc = (gcMs.get - g0) / 1e3
       val unit = if (refMode) "sents" else "triples"
       if (docs == nDocs)
-        println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs $unit=$n sec=$dt%.2f thr=${n / dt}%.0f")
+        println(f"CLUSTER nw=$nw cpw=$cpw docs=$nDocs $unit=$n sec=$dt%.2f thr=${n / dt}%.0f " +
+          f"cpu=$cpu%.1f run=$run%.1f gc=$gc%.1f util=${cpu / math.max(run, 0.001)}%.3f")
       dt
     }
     // GRAFT_GC_BETWEEN=1: force a full GC on every executor before each

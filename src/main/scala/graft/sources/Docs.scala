@@ -22,10 +22,24 @@ object Docs {
     */
   def russianDocs(spark: SparkSession, nDocs: Long): Dataset[InterleavedDoc] = {
     import spark.implicits._
-    // tasks finer than cores (8x): smooths stragglers and matches how a
-    // real 100 TB input arrives (many splits per executor, sized by data)
-    val slices = math.max(spark.sparkContext.defaultParallelism * 8,
-      math.min(nDocs, 32L).toInt)
+    // splits sized by DATA (like files.maxPartitionBytes on a real scan),
+    // NOT by cluster size: 640 docs/slice ≈ one Pipeline sort-buffer fill
+    // (~1600 sents), the granularity ClusterProbe measured work-invariant
+    // across 8 vs 32 cores. The old defaultParallelism*8 rule made task
+    // size shrink as cores grew, inflating per-task overhead + pad waste
+    // at the 4N leg (+13% CPU at 32 cores) — a decomposition artifact a
+    // real N->4N cluster reading fixed-size splits never sees. Bounds:
+    // at least one task per core (tiny inputs), at most 256 tasks (local
+    // sandbox cap ≈ 8 waves on 32 cores; a real 100 TB input brings
+    // millions of data-sized splits and no cap).
+    // graft.gen.slices overrides the count for granularity probes — unlike
+    // a repartition() it keeps the generate->parse chain one fused
+    // object-level stage (no encoder round-trip, no exchange)
+    val slices = sys.props.get("graft.gen.slices").map(_.toInt).getOrElse {
+      val byData = nDocs / 640
+      math.min(math.max(spark.sparkContext.defaultParallelism,
+        math.min(byData, Int.MaxValue).toInt), 256)
+    }
     spark.range(0, nDocs, 1, slices).as[Long].map { id =>
       InterleavedDoc(s"d$id",
         RuCorpus.docSpans(id).map(s => SpanT(s.kind, s.text, s.media_ref, s.offset)).toArray)
