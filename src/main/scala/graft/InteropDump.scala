@@ -58,7 +58,12 @@ object InteropDump {
       "«Северный поток — 2» остановлен.",
       "Гл. 3, разд. 2.1 — см. с. 45.",
       "Он родился 31.12.1999 в 23:59.",
-      "Опрос: 2/3 жителей согласны (67%).")
+      "Опрос: 2/3 жителей согласны (67%).",
+      // round-4 probes (ADVICE): single-letter sokr joins are now
+      // digit-only — "с. 45" joins, "... с. Новый абзац" splits
+      "Подробнее см. с. 45. Новый абзац начинается здесь.",
+      "Это указано в п. 3. Следующее предложение отдельно.",
+      "Смотри п. 7 и с. 12 приложения.")
     val parsed = sents.zipWithIndex.map { case (t, i) =>
       Pipeline.inferBatch(Seq(SentRow(s"d$i", 0, 0, 0, t.length, t)), pack).head
     }

@@ -72,6 +72,11 @@ sents = [
     "Гл. 3, разд. 2.1 — см. с. 45.",
     "Он родился 31.12.1999 в 23:59.",
     "Опрос: 2/3 жителей согласны (67%).",
+    # round-4 probes (ADVICE): single-letter sokr joins are now
+    # digit-only — "с. 45" joins, "... с. Новый абзац" splits
+    "Подробнее см. с. 45. Новый абзац начинается здесь.",
+    "Это указано в п. 3. Следующее предложение отдельно.",
+    "Смотри п. 7 и с. 12 приложения.",
 ]
 words = [[t.text for t in razdel_rules.tokenize(s)] for s in sents]
 
