@@ -375,6 +375,14 @@ object Bench {
     // runs under the AVX-512 frequency license -> per-workload ceilings
     val hwEff = math.max(hwPre.eff, hwPost.eff)
     val hwSimdEff = math.max(hwPre.simdEff, hwPost.simdEff)
+    // steal-free CLOCK ratios (flops per thread-CPU-second): the factor by
+    // which identical work costs more CPU SECONDS at the high core count
+    // purely from all-core frequency scaling. efficiency_cpu divided by
+    // this is work-invariance in CYCLES — the figure a real N->4N
+    // scale-OUT (constant per-node clocks) inherits. max(pre,post) is the
+    // conservative denominator (closer to 1 -> smaller normalized figure).
+    val hwCpuFreqEff = math.max(hwPre.cpuFreqEff, hwPost.cpuFreqEff)
+    val hwSimdCpuFreqEff = math.max(hwPre.simdCpuFreqEff, hwPost.simdCpuFreqEff)
     val los = sessions.map(_._1)
     val his = sessions.map(_._2)
     val lo = los.minBy(_.sec)
@@ -422,7 +430,9 @@ object Bench {
         f""""cpu_sec_low":${lo.cpuSec}%.1f,"cpu_sec_high":${hi.cpuSec}%.1f,""" +
         f""""cpu_util_low":${lo.cpuUtil}%.3f,"cpu_util_high":${hi.cpuUtil}%.3f,""" +
         f""""gc_frac_low":${lo.gcFrac}%.3f,"gc_frac_high":${hi.gcFrac}%.3f,""" +
-        f""""efficiency_cpu":${if (hi.cpuSec > 0) lo.cpuSec / hi.cpuSec else 0.0}%.3f}"""
+        f""""efficiency_cpu":${if (hi.cpuSec > 0) lo.cpuSec / hi.cpuSec else 0.0}%.3f,""" +
+        f""""hw_cpu_freq_eff":$hwCpuFreqEff%.3f,""" +
+        f""""efficiency_cpu_vs_hw":${if (hi.cpuSec > 0) lo.cpuSec / hi.cpuSec / hwCpuFreqEff else 0.0}%.3f}"""
     val refDims =
       f"""{"dims":"navec 250Kx300d 100q, cnn [256,128,64] k3, dense","docs":$refDocs,""" +
         f""""sents":${refHi.refSents},""" +
@@ -436,7 +446,9 @@ object Bench {
         f""""cpu_sec_low":${refLo.refCpuSec}%.1f,"cpu_sec_high":${refHi.refCpuSec}%.1f,""" +
         f""""cpu_util_low":${refLo.refCpuUtil}%.3f,"cpu_util_high":${refHi.refCpuUtil}%.3f,""" +
         f""""gc_frac_low":${refLo.refGcFrac}%.3f,"gc_frac_high":${refHi.refGcFrac}%.3f,""" +
-        f""""efficiency_cpu":${if (refHi.refCpuSec > 0) refLo.refCpuSec / refHi.refCpuSec else 0.0}%.3f}"""
+        f""""efficiency_cpu":${if (refHi.refCpuSec > 0) refLo.refCpuSec / refHi.refCpuSec else 0.0}%.3f,""" +
+        f""""hw_simd_cpu_freq_eff":$hwSimdCpuFreqEff%.3f,""" +
+        f""""efficiency_cpu_vs_hw":${if (refHi.refCpuSec > 0) refLo.refCpuSec / refHi.refCpuSec / hwSimdCpuFreqEff else 0.0}%.3f}"""
     writeSelf(s"""{"partial":"after_main_legs","scaling":$scaling,"ref_dims":$refDims}""")
 
     // --- secondary scaling pair at cpus/8 -> cpus/2 (4 -> 16 on the
@@ -477,6 +489,10 @@ object Bench {
         f""""cpu_util_low":${midLo.cpuUtil}%.3f,"cpu_util_high":${midHi.cpuUtil}%.3f,""" +
         f""""gc_frac_low":${midLo.gcFrac}%.3f,"gc_frac_high":${midHi.gcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec else 0.0}%.3f,""" +
+        f""""hw_cpu_freq_eff":${hwMid.cpuFreqEff}%.3f,""" +
+        f""""efficiency_cpu_vs_hw":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec / hwMid.cpuFreqEff else 0.0}%.3f,""" +
+        f""""ref_efficiency_cpu":${if (midRefHi.refCpuSec > 0) midRefLo.refCpuSec / midRefHi.refCpuSec else 0.0}%.3f,""" +
+        f""""ref_efficiency_cpu_vs_hw":${if (midRefHi.refCpuSec > 0) midRefLo.refCpuSec / midRefHi.refCpuSec / hwMid.simdCpuFreqEff else 0.0}%.3f,""" +
         f""""note":"headroom pair: isolates code scaling from full-box co-tenant contention; efficiency uses (t - measured per-job fixed cost), the 10^12-doc-relevant number"}"""
     writeSelf(s"""{"partial":"after_mid_legs","scaling":$scaling,"scaling_mid":$scalingMid,"ref_dims":$refDims}""")
 

@@ -34,28 +34,44 @@ object HwCeiling {
     x + y + z + w
   }
 
-  private def onThreads(n: Int)(work: () => Unit): Double = {
+  /** (wall seconds, summed thread-CPU seconds) of `work` on n threads.
+    * Thread CPU time (ThreadMXBean) excludes hypervisor steal and
+    * descheduling — a stolen-away thread accrues wall time but not CPU
+    * time — so flops/cpuSec across thread counts isolates the CLOCK
+    * component of the ceiling (all-core frequency scaling), steal-free.
+    */
+  private def onThreads(n: Int)(work: () => Unit): (Double, Double) = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
     val pool = Executors.newFixedThreadPool(n)
     val start = new CountDownLatch(1)
     val done = new CountDownLatch(n)
+    val cpuNs = new AtomicLong
     for (_ <- 0 until n) pool.execute { () =>
-      start.await(); work(); done.countDown()
+      start.await()
+      val c0 = bean.getCurrentThreadCpuTime
+      work()
+      cpuNs.addAndGet(bean.getCurrentThreadCpuTime - c0)
+      done.countDown()
     }
     val t0 = System.nanoTime()
     start.countDown()
     done.await()
     val dt = (System.nanoTime() - t0) / 1e9
     pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS)
-    dt
+    (dt, cpuNs.get / 1e9)
   }
 
-  /** best-of-3 ~0.6 s samples -> per-thread GFLOPS at `nt` threads */
-  def gflopsPerThread(nt: Int): Double = {
+  /** best-of-3 ~0.6 s samples -> (wall-based per-thread GFLOPS,
+    * GFLOPS per thread-CPU-second) at `nt` threads. The second figure's
+    * high/low ratio is the pure clock ratio (see onThreads).
+    */
+  def gflopsPerThread2(nt: Int): (Double, Double) = {
     val iters = 150000000L
     sink.addAndGet(flopKernel(iters / 8).toLong) // JIT
-    val best = (1 to 3).map(_ =>
-      onThreads(nt)(() => sink.addAndGet(flopKernel(iters).toLong))).min
-    iters * 16.0 / best / 1e9
+    val runs = (1 to 3).map(_ =>
+      onThreads(nt)(() => sink.addAndGet(flopKernel(iters).toLong)))
+    (iters * 16.0 / runs.map(_._1).min / 1e9,
+      iters * 16.0 * nt / runs.map(_._2).min / 1e9)
   }
 
   /** 512-bit SIMD mul/add kernel, registers only — triggers the same
@@ -81,17 +97,21 @@ object HwCeiling {
     a0.add(a1).add(a2).add(a3).reduceLanes(jdk.incubator.vector.VectorOperators.ADD)
   }
 
-  /** per-thread SIMD GFLOPS at `nt` threads (best-of-3); 0 if the Vector
-    * API module is absent */
-  def simdGflopsPerThread(nt: Int): Double = {
+  /** (wall-based per-thread SIMD GFLOPS, SIMD GFLOPS per thread-CPU-second)
+    * at `nt` threads (best-of-3); (0,0) if the Vector API module is absent.
+    * The cpu-based ratio tracks the AVX-512 all-core frequency license
+    * curve with steal excluded.
+    */
+  def simdGflopsPerThread2(nt: Int): (Double, Double) = {
     val lanes =
       try jdk.incubator.vector.FloatVector.SPECIES_PREFERRED.length()
-      catch { case _: Throwable => return 0.0 }
+      catch { case _: Throwable => return (0.0, 0.0) }
     val iters = 40000000L
     sink.addAndGet(simdKernel(iters / 8).toLong)
-    val best = (1 to 3).map(_ =>
-      onThreads(nt)(() => sink.addAndGet(simdKernel(iters).toLong))).min
-    iters * 8.0 * lanes / best / 1e9
+    val runs = (1 to 3).map(_ =>
+      onThreads(nt)(() => sink.addAndGet(simdKernel(iters).toLong)))
+    (iters * 8.0 * lanes / runs.map(_._1).min / 1e9,
+      iters * 8.0 * lanes * nt / runs.map(_._2).min / 1e9)
   }
 
   // one shared read-only streaming array, ~512 MB: far beyond L3, so
@@ -148,7 +168,9 @@ object HwCeiling {
 
   final case class Sample(perThreadLow: Double, perThreadHigh: Double,
                           simdLow: Double, simdHigh: Double,
-                          bwLow: Double, bwHigh: Double) {
+                          bwLow: Double, bwHigh: Double,
+                          cpuLow: Double, cpuHigh: Double,
+                          simdCpuLow: Double, simdCpuHigh: Double) {
     /** scalar-compute scaling efficiency the box offered low -> high */
     def eff: Double = perThreadHigh / perThreadLow
     /** 512-bit-SIMD scaling efficiency (the GEMM workload's frequency
@@ -156,11 +178,27 @@ object HwCeiling {
     def simdEff: Double = if (simdLow > 0) simdHigh / simdLow else eff
     /** DRAM-stream scaling efficiency (the shared-memory-bus ceiling) */
     def bwEff: Double = if (bwLow > 0) bwHigh / bwLow else eff
+    /** pure CLOCK ratio high/low for scalar code, measured in flops per
+      * thread-CPU-second (steal-free): the factor by which the SAME work
+      * costs more CPU SECONDS at the high core count purely from all-core
+      * frequency scaling. Normalizes cpu-second-based work-invariance
+      * figures; a real N->4N scale-OUT keeps per-node active-core counts
+      * (and thus clocks) constant, so it does not inherit this ceiling.
+      */
+    def cpuFreqEff: Double = if (cpuLow > 0) cpuHigh / cpuLow else eff
+    /** clock ratio under the AVX-512 license (the GEMM path's curve) */
+    def simdCpuFreqEff: Double =
+      if (simdCpuLow > 0) simdCpuHigh / simdCpuLow else cpuFreqEff
   }
 
   /** one bracketing sample at the two leg thread-counts (~8 s) */
-  def sample(low: Int, high: Int): Sample =
-    Sample(gflopsPerThread(low), gflopsPerThread(high),
-      simdGflopsPerThread(low), simdGflopsPerThread(high),
-      bwGBpsPerThread(low), bwGBpsPerThread(high))
+  def sample(low: Int, high: Int): Sample = {
+    val (sLo, sLoCpu) = gflopsPerThread2(low)
+    val (sHi, sHiCpu) = gflopsPerThread2(high)
+    val (vLo, vLoCpu) = simdGflopsPerThread2(low)
+    val (vHi, vHiCpu) = simdGflopsPerThread2(high)
+    Sample(sLo, sHi, vLo, vHi,
+      bwGBpsPerThread(low), bwGBpsPerThread(high),
+      sLoCpu, sHiCpu, vLoCpu, vHiCpu)
+  }
 }

@@ -148,7 +148,7 @@ object ThreadScale {
     // hardware ceilings at the same thread counts
     val fbase = new scala.collection.mutable.HashMap[Int, Double]
     for (nt <- threadCounts) {
-      val perThread = HwCeiling.gflopsPerThread(nt)
+      val perThread = HwCeiling.gflopsPerThread2(nt)._1
       fbase(nt) = perThread
       val effStr = threadCounts.filter(_ < nt)
         .map(lo => f"eff_vs_$lo=${perThread / fbase(lo)}%.3f").mkString(" ")
@@ -158,7 +158,7 @@ object ThreadScale {
     // license the scalar kernel does not (the GEMM runs under THIS curve)
     val sbase = new scala.collection.mutable.HashMap[Int, Double]
     for (nt <- threadCounts) {
-      val perThread = HwCeiling.simdGflopsPerThread(nt)
+      val perThread = HwCeiling.simdGflopsPerThread2(nt)._1
       if (perThread > 0) {
         sbase(nt) = perThread
         val effStr = threadCounts.filter(_ < nt)
