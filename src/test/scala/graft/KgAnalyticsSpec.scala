@@ -176,4 +176,44 @@ class KgAnalyticsSpec extends AnyFunSuite {
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(got == expected)
   }
+
+  test("triangles: 1000-degree hub — orientation bounds wedges, no BNLJ") {
+    import spark.implicits._
+    // adversarial skew: one hub wired to 1000 leaves, plus a chain among
+    // the first 11 leaves so each chain edge closes a triangle with the
+    // hub. A naive wedge join builds C(1000,2) ≈ 500k wedge candidates at
+    // the hub; degree-ordered orientation builds ZERO there (all hub
+    // edges point INTO the hub, and wedges form only at out-degree ≥ 2).
+    val leaves = (0 until 1000).map(i => f"n$i%04d")
+    val star = leaves.map(l => (l, "zhub")) // hub sorts AFTER every leaf
+    val chain = (0 until 10).map(i => (leaves(i), leaves(i + 1)))
+    val pairs = (star ++ chain).toDF("e1", "e2")
+
+    val df = kg.Analytics.triangles(pairs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle join must stay equi-join under skew:\n$plan")
+
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0 until 10).flatMap(i =>
+      Seq(leaves(i), leaves(i + 1), "zhub"))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected) // hub in all 10 triangles, chain ends in 1 ...
+
+    // wedge-fan-out bound, computed with the SAME (deg, id) orientation
+    // the operator uses: sum over vertices of C(outdeg, 2) must stay
+    // O(edges) — not the O(maxdeg^2) a naive formulation pays.
+    val es = star ++ chain
+    val deg = es.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    import scala.math.Ordering.Implicits._
+    val outdeg = es.groupBy { case (u, v) =>
+      if ((deg(u), u) < ((deg(v), v))) u else v
+    }.map { case (k, vs) => k -> vs.size }
+    assert(!outdeg.contains("zhub"), "hub must have zero out-edges")
+    val wedges = outdeg.values.map(d => d.toLong * (d - 1) / 2).sum
+    assert(wedges <= 2L * es.size,
+      s"oriented wedge count $wedges must be O(edges)=${es.size}")
+  }
 }
