@@ -18,6 +18,29 @@ object Bench {
     new java.io.File(getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
       .getAbsolutePath
 
+  /** Kernel-reported hypervisor steal (/proc/stat `cpu` col 8, jiffies).
+    * This box loses CPU to co-tenants in minutes-long epochs (~17
+    * core-hours over the last day at round-4 time); a leg that lands in
+    * one measures the HOST, not the code. Sampling steal around each
+    * measured window gives an EXTERNAL contamination covariate — leg
+    * retries key on it, never on the reported metric (the round-3 ADVICE
+    * optional-stopping critique), and every attempt's steal share is
+    * recorded in the artifact.
+    */
+  private object Steal {
+    val ncpu: Int = Runtime.getRuntime.availableProcessors()
+    def jiffies: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next().trim.split("\\s+")(8).toLong
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    /** stolen fraction of whole-box CPU capacity over the window */
+    def frac(j0: Long, j1: Long, wallSec: Double): Double =
+      if (j0 < 0 || j1 < 0 || wallSec <= 0) 0.0
+      else ((j1 - j0) / 100.0) / (wallSec * ncpu)
+  }
+
   private def clusterSession(workers: Int, coresPerWorker: Int): SparkSession = {
     System.setProperty("spark.test.home", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
     val s = SparkSession.builder()
@@ -151,9 +174,9 @@ object Bench {
     System.gc()
   }
 
-  private def measureRef(s: SparkSession, tally: CpuTally,
-                         nDocs: Long): (Long, Double, Double, Double, Double, Double) = {
-    refPipeline(s, math.max(2000L, nDocs / 10)) // warmup/JIT
+  private def measureRef(s: SparkSession, tally: CpuTally, nDocs: Long,
+                         warmMul: Int): (Long, Double, Double, Double, Double, Double) = {
+    refPipeline(s, math.max(2000L, nDocs / 20 * warmMul)) // warmup/JIT
     val f = fixedCost(refPipeline(s, _))
     gcExecutors(s)
     // 1 rep; min taken ACROSS time-separated sessions
@@ -167,12 +190,18 @@ object Bench {
     * minutes, so no single window decides a leg (the min-reduction lives
     * HERE, inside the one driver-recorded run).
     */
-  private def measure(s: SparkSession, tally: CpuTally,
-                      scaleDocs: Long): (Long, Double, Double, Double, Double, Double) = {
+  private def measure(s: SparkSession, tally: CpuTally, scaleDocs: Long,
+                      warmMul: Int): (Long, Double, Double, Double, Double, Double) = {
     // a 5k-doc warmup barely touches executor JIT: the first big run was
     // measured 2-3x slower than the second purely from compilation — warm
-    // with ~1/12 of the real load so every measured rep is steady-state
-    pipeline(s, math.max(5000L, scaleDocs / 12))
+    // with ~1/12 of the real load so every measured rep is steady-state.
+    // warmMul scales warmup with the leg's EXECUTOR COUNT (per-executor-
+    // equal warmup): a fixed warmup gives the 4N leg's 8 executors 1/4 the
+    // per-JVM JIT + heap-growth warm of the 2-executor leg, so its one
+    // measured rep billed adaptive-GC heap expansion (ClusterProbe 8x4:
+    // rep1 10.4 s / 162 s GC pauses vs rep2 3.9 s / 2.5 s — same session)
+    // — a startup artifact a 10^12-doc steady-state job never re-pays.
+    pipeline(s, math.max(5000L, scaleDocs / 24 * warmMul))
     val f = fixedCost(pipeline(s, _))
     gcExecutors(s)
     val ((n, t), cpu, run, gc) = tallied(tally)(pipeline(s, scaleDocs))
@@ -196,7 +225,8 @@ object Bench {
                        refSents: Long, refSec: Double,
                        fixed: Double, refFixed: Double,
                        cpuSec: Double, runSec: Double, gcSec: Double,
-                       refCpuSec: Double, refRunSec: Double, refGcSec: Double) {
+                       refCpuSec: Double, refRunSec: Double, refGcSec: Double,
+                       stealFrac: Double = 0.0) {
     def thr: Double = triples / math.max(sec - fixed, sec * 0.5)
     def thrRaw: Double = triples / sec
     def refThr: Double = refSents / math.max(refSec - refFixed, refSec * 0.5)
@@ -261,9 +291,12 @@ object Bench {
           try {
             val tally = new CpuTally
             s.sparkContext.addSparkListener(tally)
-            val (n, t, f, c, r, g) = measure(s, tally, toyDocs)
-            val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs)
-            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg)
+            val sj0 = Steal.jiffies; val sw0 = System.nanoTime()
+            val nExec = math.max(1, totalCores / cpw)
+            val (n, t, f, c, r, g) = measure(s, tally, toyDocs, nExec)
+            val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, nExec)
+            val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
+            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg, sf)
           } finally s.stop()
         } else s.stop()
       } catch { case _: Throwable => }
@@ -271,12 +304,37 @@ object Bench {
       try {
         val tally = new CpuTally
         s.sparkContext.addSparkListener(tally)
-        val (n, t, f, c, r, g) = measure(s, tally, toyDocs)
-        val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs)
-        Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg)
+        val sj0 = Steal.jiffies; val sw0 = System.nanoTime()
+        // local fallback is one JVM, but its allocation RATE still scales
+        // with threads — same per-core warmup as the cluster path
+        val warmMul = math.max(1, totalCores / cpw)
+        val (n, t, f, c, r, g) = measure(s, tally, toyDocs, warmMul)
+        val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, warmMul)
+        val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
+        Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg, sf)
       } finally s.stop()
     }
     def leg(totalCores: Int): Leg = legAt(totalCores, scaleDocs, refDocs)
+    // steal-conditioned leg retry: if the kernel reports >2% of box
+    // capacity stolen during a leg's measured window, re-run the leg once
+    // (bounded globally + wall-guarded) and keep the LOWER-STEAL attempt.
+    // Selection keys on the external covariate only — the retried
+    // attempt is kept even if it times worse — so the estimator stays
+    // free of the metric-conditioned optional stopping flagged in round-3
+    // ADVICE. Every attempt's steal share lands in the artifact.
+    val stealRetryAt = 0.02
+    var legRetries = 0
+    val maxLegRetries = 3
+    def cleanLegAt(cores: Int, toyDocs: Long, rDocs: Long, wallCap: Double): Leg = {
+      val a = legAt(cores, toyDocs, rDocs)
+      if (a.stealFrac > stealRetryAt && legRetries < maxLegRetries &&
+          (System.nanoTime() - wall0) / 1e9 < wallCap) {
+        legRetries += 1
+        mark(f"leg retry cores=$cores steal=${a.stealFrac}%.3f")
+        val b = legAt(cores, toyDocs, rDocs)
+        if (b.stealFrac < a.stealFrac) b else a
+      } else a
+    }
     // time-interleaved sessions per leg (lo,hi,lo,hi); the recorded figure
     // is the min across sessions, and the per-session spread is reported
     // so the noise band is visible in the artifact itself (hypervisor
@@ -310,7 +368,8 @@ object Bench {
       // starts ~370-400 s in on a quiet box; total stays under the ~550 s
       // proven-recorded envelope (round-3/4 runs at 495-535 s landed fine)
       if ((System.nanoTime() - wall0) / 1e9 < 420 || sessionsBuf.isEmpty)
-        sessionsBuf += ((leg(cpusLow), leg(cpus)))
+        sessionsBuf += ((cleanLegAt(cpusLow, scaleDocs, refDocs, 400),
+          cleanLegAt(cpus, scaleDocs, refDocs, 400)))
       else pairsSkipped += 1
       // raw per-pair seconds survive any mid-run kill
       writeSelf(s"""{"partial":"pairs_done_${sessionsBuf.length}",""" +
@@ -333,8 +392,8 @@ object Bench {
       // the second mid pair is the last scheduled work and must not push
       // the whole run past the driver's window
       if ((System.nanoTime() - wall0) / 1e9 < 470 || midBuf.isEmpty)
-        midBuf += ((legAt(midLowCores, midDocs, midRefDocs),
-          legAt(midHighCores, midDocs, midRefDocs)))
+        midBuf += ((cleanLegAt(midLowCores, midDocs, midRefDocs, 460),
+          cleanLegAt(midHighCores, midDocs, midRefDocs, 460)))
       else midSkipped += 1
     }
     // --- per-query catalog timings on plain local[cpus]; best-of-2 (the
@@ -342,7 +401,12 @@ object Bench {
     def runCatalog(): Seq[(String, Double)] = {
       val spark = localSession(cpus)
       mark("catalog start")
-      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      // untimed warmup of the first catalog query: a fresh session bills
+      // JIT/codegen compilation to whoever runs first (q_acc_agg measured
+      // 0.29 s warm vs 5.6 s cold in the round-4a run)
+      try sorted.head._2(spark, sfDir).count() catch { case _: Throwable => }
+      val rs = sorted.map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -408,10 +472,15 @@ object Bench {
     val refEffRaw = refHi.refThrRaw / (mainRatio * refLo.refThrRaw)
     def secs(xs: Seq[Double]): String =
       xs.map(v => f"$v%.2f").mkString("[", ",", "]")
+    def fracs(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.4f").mkString("[", ",", "]")
 
     val scaling =
       f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"${lo.mode}/${hi.mode}",""" +
         f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,""" +
+        f""""steal_frac_low_sessions":${fracs(los.map(_.stealFrac))},""" +
+        f""""steal_frac_high_sessions":${fracs(his.map(_.stealFrac))},""" +
+        f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,""" +
         f""""efficiency_pairs":${effList(pairEffs)},"efficiency_median":${median(pairEffs)}%.3f,""" +
         f""""sec_low_sessions":${secs(los.map(_.sec))},"sec_high_sessions":${secs(his.map(_.sec))},""" +
         f""""fixed_sec_low":${lo.fixed}%.2f,"fixed_sec_high":${hi.fixed}%.2f,""" +
@@ -482,6 +551,8 @@ object Bench {
         f""""ref_sents_per_sec_high":${midRefHi.refThrRaw}%.1f,""" +
         f""""ref_efficiency_raw":$midRefEffRaw%.3f,"ref_efficiency":$midRefEff%.3f,""" +
         f""""pairs_skipped":$midSkipped,""" +
+        f""""steal_frac_low_sessions":${fracs(midLos.map(_.stealFrac))},""" +
+        f""""steal_frac_high_sessions":${fracs(midHis.map(_.stealFrac))},""" +
         f""""hw_flops_eff":${hwMid.eff}%.3f,"hw_simd_eff":${hwMid.simdEff}%.3f,""" +
         f""""efficiency_vs_hw":${midEffRaw / hwMid.eff}%.3f,""" +
         f""""ref_efficiency_vs_hw":${midRefEffRaw / hwMid.simdEff}%.3f,""" +

@@ -22,6 +22,10 @@ object ClusterProbe {
     val spark = SparkSession.builder()
       .master(s"local-cluster[$nw,$cpw,$memMb]")
       .appName("graft-cluster-probe")
+      // local-cluster's third arg is the WORKER's budget; the executor
+      // heap itself defaults to spark.executor.memory = 1g unless set —
+      // claim the worker's full budget for the one executor it hosts
+      .config("spark.executor.memory", s"${sys.env.getOrElse("GRAFT_EXEC_HEAP_MB", memMb.toString)}m")
       .config("spark.executor.extraClassPath", classes)
       // each executor JVM sizes its GC/JIT pools for ITS core share, not
       // the whole box — otherwise N executors spawn N full GC-thread pools
