@@ -70,6 +70,22 @@ object ClusterProbe {
           println(f"STAGE id=${i.stageId} name=${i.name.takeWhile(_ != ' ')} tasks=${a(3)} " +
             f"cpu=${a(0) / 1e9}%.1f run=${a(1) / 1e3}%.1f gc=${a(2) / 1e3}%.1f")
       }
+      // GRAFT_JOB_DETAIL=1: per-job wall + the DRIVER-SIDE GAP since the
+      // previous job ended — the gap sum is the action's serial tail
+      // (plan/schedule/driver compute between jobs), the Amdahl term the
+      // 4N leg cannot shrink.
+      private var lastJobEnd = 0L
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (sys.env.get("GRAFT_JOB_DETAIL").contains("1")) {
+          val now = System.nanoTime()
+          val gap = if (lastJobEnd == 0) 0.0 else (now - lastJobEnd) / 1e9
+          println(f"JOB ${e.jobId} start gap=$gap%.3f")
+        }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        lastJobEnd = System.nanoTime()
+        if (sys.env.get("GRAFT_JOB_DETAIL").contains("1"))
+          println(s"JOB ${e.jobId} end")
+      }
     })
     // GRAFT_SLICES: force the generator's slice count — holds task
     // granularity CONSTANT across core counts (a real 100 TB scan sizes

@@ -21,6 +21,16 @@ final case class LinkedTriple(
     pred: String,
     objId: String, objType: String)
 
+/** linkCanonicalize output row — field names ARE its public column
+  * contract (docId, spanOrder, sentIdx, subj_id, subj_type, pred,
+  * obj_id, obj_type).
+  */
+final case class CanonTriple(
+    docId: String, spanOrder: Int, sentIdx: Int,
+    subj_id: String, subj_type: String,
+    pred: String,
+    obj_id: String, obj_type: String)
+
 object Kg {
 
   /** per-thread scratch for the flat:name child index — zeroed on acquire
@@ -301,13 +311,89 @@ object Kg {
         .cache()
     }
 
+  /** alias -> canonical map as a plain broadcast variable, one per
+    * session: the DataFrame-join form rebuilds+reships its
+    * BroadcastExchange on EVERY action (two broadcast-build jobs and
+    * ~0.3-0.5 s of driver-serial time per run measured at 8 executors —
+    * an Amdahl tail that caps N->4N scaling no matter how wide the
+    * cluster), while an explicit `sc.broadcast` ships once and is
+    * memory-mapped by every subsequent job in the session.
+    */
+  private val aliasCanonBcCache = new graft.runtime.SessionCache[
+    org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, String]]]
+  private def aliasCanonicalBc(spark: SparkSession) =
+    aliasCanonBcCache.getOrUpdate(spark) { s =>
+      val rows = aliasCanonicalDf(s).select("alias", "canonical_id").collect()
+      val m = new java.util.HashMap[String, String](rows.length * 2)
+      rows.foreach(r => m.put(r.getString(0), r.getString(1)))
+      s.sparkContext.broadcast(m)
+    }
+
+  /** same simple-casemap as the lower_simple expression — per-codepoint
+    * Character.toLowerCase, exactly SimpleCase.lower's mapping (asserted
+    * equal in ExtensionsSpec) — but String-native so the object path pays
+    * no String<->UTF8String round trip (+12% pipeline CPU when measured
+    * through the conversion). Returns the SAME instance when no codepoint
+    * changes (entity mentions are typically capitalized, so ~half the
+    * values do change).
+    */
+  private[graft] def normSimple(s: String): String = {
+    if (s == null) return s
+    val n = s.length
+    var i = 0
+    // scan for the first cased char; most strings change, but the scan is
+    // cheap and the no-change case returns the original instance
+    var changeAt = -1
+    while (i < n && changeAt < 0) {
+      val cp = s.codePointAt(i)
+      if (Character.toLowerCase(cp) != cp) changeAt = i
+      else i += Character.charCount(cp)
+    }
+    if (changeAt < 0) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, changeAt)
+    i = changeAt
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+  private def canonOf(m: java.util.HashMap[String, String], norm: String): String =
+    if (norm == null) null
+    else { val c = m.get(norm); if (c != null) c else "M:" + norm }
+
   /** link + canonicalize fused: identical output to
     * `canonicalize(spark, link(spark, triples))` (the composition
     * comp(min-entity(alias)) equals the two-step mapping because all
     * entities sharing an alias are in one component; unlinked mentions
     * fall back to M:<norm> literals in both).
+    *
+    * Broadcast-scale dicts take the OBJECT path: a mapPartitions probe of
+    * the session-cached broadcast map, which Catalyst chains onto the
+    * extraction flatMap with no serialization boundary — the whole
+    * pipeline (scan -> sentenize -> inference -> extract -> link ->
+    * canonicalize) is ONE object stage and ONE Spark job, with no
+    * per-action broadcast rebuild. Above the threshold the declarative
+    * join form below runs unhinted, so the planner/AQE picks a shuffled
+    * hash join with skew split (a 100M-alias Wikidata slice must not be
+    * collected to the driver).
     */
   def linkCanonicalize(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
+    val max = spark.conf.get("spark.graft.link.broadcastMaxRows", "4000000").toLong
+    if (dictRows <= max) {
+      val bc = aliasCanonicalBc(spark)
+      import spark.implicits._
+      return triples.mapPartitions { it =>
+        val m = bc.value
+        it.map { t =>
+          CanonTriple(t.docId, t.spanOrder, t.sentIdx,
+            canonOf(m, normSimple(t.subj)), t.subjType, t.pred,
+            canonOf(m, normSimple(t.obj)), t.objType)
+        }
+      }.toDF()
+    }
     val m = maybeBroadcast(spark, aliasCanonicalDf(spark), dictRows)
     triples.toDF()
       .withColumn("subj_norm", graft.functions.F.lower_simple(col("subj")))

@@ -62,6 +62,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // 4-byte (supplementary) cased codepoint: DESERET CAPITAL LONG I
     val deseret = new String(Character.toChars(0x10400))
     assert(ls(deseret) == new String(Character.toChars(0x10428)))
+    // the String-native twin used by the fused link path (Kg.normSimple)
+    // must match SimpleCase.lower bit for bit on every case above
+    val all = corpusLike ++ Seq("xȺy", "Ａ", deseret) ++ (1 to 500).map { _ =>
+      Array.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.length))).mkString
+    }
+    all.foreach { s =>
+      assert(graft.kg.Kg.normSimple(s) == ls(s), s"normSimple twin: $s")
+    }
+    assert(graft.kg.Kg.normSimple(null) == null)
   }
 
   test("lower_simple matches Spark lower() end-to-end on Russian text") {

@@ -147,8 +147,14 @@ class PipelineSpec extends AnyFunSuite {
       Docs.sentences(Docs.russianDocs(spark, 120L)), SparkEntry.packBc(spark)))
     val twoStep = graft.kg.Kg.canonicalize(spark, graft.kg.Kg.link(spark, triples))
       .collect().map(_.toString).sorted
-    val fused = graft.kg.Kg.linkCanonicalize(spark, triples)
-      .collect().map(_.toString).sorted
+    val fusedDf = graft.kg.Kg.linkCanonicalize(spark, triples)
+    // broadcast-dict branch: the link probe is an object-mode
+    // mapPartitions fused onto the extraction flatMap — no join operator,
+    // no exchange, no per-action broadcast rebuild in the plan at all
+    val plan = fusedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"fused path must be join- and shuffle-free; plan:\n${plan.take(2000)}")
+    val fused = fusedDf.collect().map(_.toString).sorted
     assert(fused.sameElements(twoStep))
     assert(fused.nonEmpty)
   }
