@@ -80,6 +80,11 @@ object SparkEntry {
     }),
     "q_ngram_counts" -> ((s, d) =>
       TextStats.ngramCounts(tbl(s, d, "documents"), 2, 5)),
+    // the 100 TB shuffle-diet shape (8-byte hash keys in the count
+    // shuffle, survivors' text recovered in a second pass) certified
+    // against the SAME oracle as the one-scan variant
+    "q_ngram_counts_hashed" -> ((s, d) =>
+      TextStats.ngramCountsHashed(tbl(s, d, "documents"), 2, 5)),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -501,6 +506,11 @@ object SparkEntry {
                count(*) AS n_grams
         FROM isl GROUP BY doc_id, island""",
       "q_ngram_counts" -> s"""
+        SELECT ngram, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+          FROM (SELECT ${toks("lower(text)")} AS w FROM documents))
+        GROUP BY ngram HAVING count(*) >= 5""",
+      "q_ngram_counts_hashed" -> s"""
         SELECT ngram, count(*) AS n FROM (
           SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
           FROM (SELECT ${toks("lower(text)")} AS w FROM documents))

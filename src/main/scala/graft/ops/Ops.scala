@@ -177,12 +177,21 @@ object TextStats {
       .groupBy("gh").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
     // semi-join BEFORE the text dedup so non-survivors are dropped
-    // map-side (broadcast under AQE) and never shuffle their text; the
-    // groupBy then partial-aggregates to <= distinct survivors per task
+    // map-side (broadcast under AQE) and never shuffle their text. The
+    // representative text per hash is array_min(collect_set(...)), NOT
+    // min(...): min over strings has no mutable unsafe-row buffer, so
+    // Spark plans it as SortAggregate — a full sort of the gram stream
+    // (measured 10× the one-scan variant; and a staged keys-only dedup
+    // aggregate before the min gets collapsed away by Catalyst's
+    // RemoveRedundantAggregates). collect_set is a
+    // TypedImperativeAggregate → ObjectHashAggregate: hash-based,
+    // map-side partial, per-group state ~1 gram (hash collisions only);
+    // group count = survivors, already presumed broadcast-small above.
+    // array_min keeps the collision tiebreak deterministic.
     exploded
       .select(xxhash64(col("ngram")).as("gh"), col("ngram"))
       .join(survivors.hint("broadcast"), Seq("gh"))
-      .groupBy("gh", "n").agg(min("ngram").as("ngram"))
+      .groupBy("gh", "n").agg(array_min(collect_set("ngram")).as("ngram"))
       .select(col("ngram"), col("n"))
   }
 
