@@ -372,15 +372,53 @@ final case class Conv1d(weight: Array[Float], filters: Int, inDim: Int,
 final case class BatchNorm1d(weight: Array[Float], bias: Array[Float],
                              mean: Array[Float], std: Array[Float])
     extends Serializable {
+  // per-channel scale hoisted out of the element loop: the old form did a
+  // FLOAT DIVISION per element ((x-m)/s*w) — ~11-14 cycles unpipelined vs
+  // one FMA — and JFR attributed 6.9% of 32-core pipeline samples here.
+  // (x-m)*(w/s) differs from ((x-m)/s)*w by <=1 ulp; every golden is
+  // pinned at the DECODED (argmax) level, same tolerance the round-1
+  // im2col->sparse-tap conv rewrite already relied on.
+  @transient private lazy val scale: Array[Float] = {
+    val a = new Array[Float](weight.length)
+    var c = 0
+    while (c < weight.length) { a(c) = weight(c) / std(c); c += 1 }
+    a
+  }
   def applyInPlace(x: Array[Float], batch: Int, channels: Int, len: Int): Unit = {
+    val sc = scale
     var b = 0
     while (b < batch) {
       var c = 0
       while (c < channels) {
         val off = (b * channels + c) * len
-        val m = mean(c); val s = std(c); val w = weight(c); val bi = bias(c)
+        val m = mean(c); val a = sc(c); val bi = bias(c)
         var l = 0
-        while (l < len) { x(off + l) = (x(off + l) - m) / s * w + bi; l += 1 }
+        while (l < len) { x(off + l) = (x(off + l) - m) * a + bi; l += 1 }
+        c += 1
+      }
+      b += 1
+    }
+  }
+
+  /** Fused relu + batchnorm: the encoder layer (conv -> relu -> norm,
+    * exec/model.py:257-268) ran TWO full streaming passes over [B,C,S];
+    * per-element max(0,x) then the same affine as [[applyInPlace]] in one
+    * pass halves the tensor traffic of the activation/norm stage.
+    */
+  def reluNormInPlace(x: Array[Float], batch: Int, channels: Int, len: Int): Unit = {
+    val sc = scale
+    var b = 0
+    while (b < batch) {
+      var c = 0
+      while (c < channels) {
+        val off = (b * channels + c) * len
+        val m = mean(c); val a = sc(c); val bi = bias(c)
+        var l = 0
+        while (l < len) {
+          val v = x(off + l)
+          x(off + l) = ((if (v > 0f) v else 0f) - m) * a + bi
+          l += 1
+        }
         c += 1
       }
       b += 1
@@ -512,8 +550,7 @@ final case class CNNEncoder(layers: Seq[CNNEncoderLayer]) extends Serializable {
       val f = layer.conv.filters
       val y = ws.f(if (li % 2 == 0) WS.ENC_A else WS.ENC_B, batch * f * seqLen)
       layer.conv.into(x, batch, seqLen, y, ws)
-      Kernels.relu(y, batch * f * seqLen)
-      layer.norm.applyInPlace(y, batch, f, seqLen)
+      layer.norm.reluNormInPlace(y, batch, f, seqLen)
       // zero masked positions after EVERY layer (exec/model.py:277-286)
       var bb = 0
       while (bb < batch) {
