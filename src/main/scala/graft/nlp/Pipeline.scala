@@ -206,10 +206,29 @@ object Pipeline {
     sents.mapPartitions { it =>
       val ws = new Workspace
       it.grouped(bufferSize).flatMap { window =>
-        // primitive-key sort (no boxed Ordering[Int] per element)
-        val arr = window.toArray
-        java.util.Arrays.sort(arr,
-          java.util.Comparator.comparingInt((r: SentRow) => r.text.length))
+        // stable COUNTING sort on text.length: same order TimSort+
+        // comparingInt produced (both stable on the same key), but O(n)
+        // array passes instead of a lambda invoke per comparison (JFR:
+        // the comparator was 2.2% of 32-core pipeline samples)
+        val in = window.toArray
+        val n = in.length
+        val lens = new Array[Int](n)
+        var maxL = 0
+        var i = 0
+        while (i < n) {
+          val l = in(i).text.length
+          lens(i) = l; if (l > maxL) maxL = l; i += 1
+        }
+        val start = new Array[Int](maxL + 2)
+        i = 0
+        while (i < n) { start(lens(i) + 1) += 1; i += 1 }
+        i = 1
+        while (i <= maxL + 1) { start(i) += start(i - 1); i += 1 }
+        val arr = new Array[SentRow](n)
+        i = 0
+        while (i < n) {
+          val l = lens(i); arr(start(l)) = in(i); start(l) += 1; i += 1
+        }
         Iterator.range(0, arr.length, batchSize).flatMap { off =>
           inferBatch(scala.collection.immutable.ArraySeq.unsafeWrapArray(
             java.util.Arrays.copyOfRange(arr, off,
