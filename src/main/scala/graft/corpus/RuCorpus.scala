@@ -178,21 +178,28 @@ object RuCorpus {
     */
   final case class SpanRow(kind: String, text: String, media_ref: String, offset: Int)
 
-  def docSpans(docId: Long): Vector[SpanRow] = {
+  def docSpans(docId: Long): scala.collection.immutable.ArraySeq[SpanRow] = {
+    // array-backed, not Vector: the per-doc span list is tiny and built
+    // in every generator task — VectorBuilder.result()'s trie copy was
+    // 3% of 32-core pipeline JFR samples; an exact-size array is one
+    // allocation and wraps for free
     val n = nSents(docId)
-    val out = Vector.newBuilder[SpanRow]
+    val buf = new Array[SpanRow](2 * n)
+    var m = 0
     var offset = 0
     var k = 0
     while (k < n) {
       val s = sentence(docId, k)
-      out += SpanRow("text", s.text, null, offset)
+      buf(m) = SpanRow("text", s.text, null, offset); m += 1
       offset += s.text.length + 1 // virtual " " joiner
       val hm = mix(docId * 7919L + k)
-      if ((hm & 7) == 0) // ~1/8 of sentence gaps get a media span
-        out += SpanRow("media", null, s"s3://media/$docId/$k.jpg", offset)
+      if ((hm & 7) == 0) { // ~1/8 of sentence gaps get a media span
+        buf(m) = SpanRow("media", null, s"s3://media/$docId/$k.jpg", offset); m += 1
+      }
       k += 1
     }
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m))
   }
 
   /** Golden triples for one sentence, by construction of the grammar:

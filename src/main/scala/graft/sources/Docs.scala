@@ -41,8 +41,15 @@ object Docs {
         math.min(byData, Int.MaxValue).toInt), 256)
     }
     spark.range(0, nDocs, 1, slices).as[Long].map { id =>
-      InterleavedDoc(s"d$id",
-        RuCorpus.docSpans(id).map(s => SpanT(s.kind, s.text, s.media_ref, s.offset)).toArray)
+      // index straight off the array-backed spans — no intermediate
+      // mapped collection before the SpanT array
+      val sp = RuCorpus.docSpans(id)
+      val arr = new Array[SpanT](sp.length)
+      var i = 0
+      while (i < sp.length) {
+        val s = sp(i); arr(i) = SpanT(s.kind, s.text, s.media_ref, s.offset); i += 1
+      }
+      InterleavedDoc(s"d$id", arr)
     }
   }
 
