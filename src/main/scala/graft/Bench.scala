@@ -282,7 +282,12 @@ object Bench {
     // legs shrunk ×2/3 to afford THREE pre-registered session pairs
     // (steal epochs last minutes; more, shorter, time-separated sessions
     // beat fewer long ones for the min-reduction).
-    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 24
+    // x28 (was x24): the round-4 kernel work cut the 8-core leg from
+    // ~9.3 s to ~6.6 s at x24 — shorter legs carry a larger noise share
+    // on this host, so the doc count grows with the code's speed to keep
+    // legs in the 7-9 s band; +~25 s total, still inside the ~600 s
+    // envelope with the wall guards as backstop
+    val scaleDocs = graft.corpus.RuCorpus.docCount(sfDir) * 28
 
     // --- N executors, then 4N executors (each leg its own session)
     val coresPerWorker = 4
@@ -391,12 +396,15 @@ object Bench {
     var pairsSkipped = 0
     def secsOf(xs: Seq[Double]): String = xs.map(v => f"$v%.2f").mkString("[", ",", "]")
     def mainPair(): Unit = {
-      // 420 s: catalog + mid legs sit between pairs now, so the last pair
-      // starts ~370-400 s in on a quiet box; total stays under the ~550 s
-      // proven-recorded envelope (round-3/4 runs at 495-535 s landed fine)
-      if ((System.nanoTime() - wall0) / 1e9 < 420 || sessionsBuf.isEmpty)
-        sessionsBuf += ((cleanLegAt(cpusLow, scaleDocs, refDocs, 400),
-          cleanLegAt(cpus, scaleDocs, refDocs, 400)))
+      // 480 s: the THIRD main pair outranks the second mid pair in the
+      // wall budget — the median over three pairs survives one
+      // contention-poisoned pair (round-4d saw a 23.5 s low leg against a
+      // 9.1 s twin at recorded-zero steal), a median over two does not.
+      // The mid guard below stays at 470 so when main3 runs (~110 s),
+      // mid2 is the pair that yields; total stays under ~600 s.
+      if ((System.nanoTime() - wall0) / 1e9 < 480 || sessionsBuf.isEmpty)
+        sessionsBuf += ((cleanLegAt(cpusLow, scaleDocs, refDocs, 460),
+          cleanLegAt(cpus, scaleDocs, refDocs, 460)))
       else pairsSkipped += 1
       // raw per-pair seconds survive any mid-run kill
       writeSelf(s"""{"partial":"pairs_done_${sessionsBuf.length}",""" +
@@ -532,16 +540,28 @@ object Bench {
     val refPairEffs = sessions.map { case (l, h) => h.refThr / (mainRatio * l.refThr) }
     val refPairEffsRaw = sessions.map { case (l, h) => h.refThrRaw / (mainRatio * l.refThrRaw) }
     def effList(xs: Seq[Double]): String = xs.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val efficiency = median(pairEffs)
-    val efficiencyRaw = median(pairEffsRaw)
+    // physical-bound filter, NOT metric selection: all "executors" share
+    // one cache/memory system here, so >1.0 strong-scaling efficiency is
+    // impossible for this workload — a pair above 1.05 means its LOW leg
+    // was externally slowed (round-4d: a 23.5 s low leg vs a 9.1 s twin
+    // at recorded-zero steal → pair "efficiency" 2.30). Such pairs are
+    // excluded from the headline median; every pair's raw seconds and
+    // efficiency stay in the artifact, and the count is flagged.
+    def plausible(xs: Seq[Double]): Seq[Double] = {
+      val p = xs.filter(_ <= 1.05)
+      if (p.nonEmpty) p else xs
+    }
+    val pairsImplausible = pairEffs.count(_ > 1.05)
+    val efficiency = median(plausible(pairEffs))
+    val efficiencyRaw = median(plausible(pairEffsRaw))
     val effMinmix = hi.thr / (mainRatio * lo.thr)
     val effMinmixRaw = hi.thrRaw / (mainRatio * lo.thrRaw)
     // ref-dims: pick the (sents, sec) PAIR from the min-ref-time session so
     // the throughput stays self-consistent even if leg inputs diverge
     val refLo = los.minBy(_.refSec)
     val refHi = his.minBy(_.refSec)
-    val refEff = median(refPairEffs)
-    val refEffRaw = median(refPairEffsRaw)
+    val refEff = median(plausible(refPairEffs))
+    val refEffRaw = median(plausible(refPairEffsRaw))
     val refEffMinmix = refHi.refThr / (mainRatio * refLo.refThr)
     val refEffMinmixRaw = refHi.refThrRaw / (mainRatio * refLo.refThrRaw)
     def secs(xs: Seq[Double]): String =
@@ -551,7 +571,7 @@ object Bench {
 
     val scaling =
       f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"${lo.mode}/${hi.mode}",""" +
-        f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,""" +
+        f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,"pairs_implausible":$pairsImplausible,""" +
         f""""steal_frac_low_sessions":${fracs(los.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(his.map(_.stealFrac))},""" +
         f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,""" +
@@ -614,11 +634,11 @@ object Bench {
     val midPairEffsRaw = midSessions.map { case (l, h) => h.thrRaw / (midRatio * l.thrRaw) }
     val midRefPairEffs = midSessions.map { case (l, h) => h.refThr / (midRatio * l.refThr) }
     val midRefPairEffsRaw = midSessions.map { case (l, h) => h.refThrRaw / (midRatio * l.refThrRaw) }
-    val midEff = median(midPairEffs)
-    val midEffRaw = median(midPairEffsRaw)
+    val midEff = median(plausible(midPairEffs))
+    val midEffRaw = median(plausible(midPairEffsRaw))
     val midRefLo = midLos.minBy(_.refSec); val midRefHi = midHis.minBy(_.refSec)
-    val midRefEff = median(midRefPairEffs)
-    val midRefEffRaw = median(midRefPairEffsRaw)
+    val midRefEff = median(plausible(midRefPairEffs))
+    val midRefEffRaw = median(plausible(midRefPairEffsRaw))
     val scalingMid =
       f"""{"cpus_low":$midLowCores,"cpus_high":$midHighCores,"docs":$midDocs,""" +
         f""""sec_low_sessions":${secs(midLos.map(_.sec))},""" +
