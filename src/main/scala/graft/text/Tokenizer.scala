@@ -57,12 +57,20 @@ object Tokenizer {
     * block; NEL is added explicitly.
     */
   @inline private def isSpace(c: Char): Boolean =
-    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == 0x85.toChar
+    // ASCII closed form first: the JDK calls are two property-table
+    // lookups and this predicate guards EVERY char in the atom loop.
+    // For c < 0x80, isWhitespace ∪ isSpaceChar = {0x09-0x0d, 0x1c-0x1f,
+    // 0x20} exactly; above ASCII the JDK path is authoritative (NBSP,
+    // 0x85, Unicode Zs).
+    if (c < 0x80) c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f)
+    else Character.isWhitespace(c) || Character.isSpaceChar(c) || c == 0x85.toChar
 
   @inline private def isRuChar(c: Char): Boolean =
     (c >= 'а' && c <= 'я') || (c >= 'А' && c <= 'Я') || c == 'ё' || c == 'Ё'
   @inline private def isLatChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  @inline private def isDigitFast(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c > 0x7f && Character.isDigit(c))
   @inline private def isDash(c: Char): Boolean = Dashes.indexOf(c) >= 0
   @inline private def isPunctChar(c: Char): Boolean =
     isDash(c) || PunctMisc.indexOf(c) >= 0 || Quotes.indexOf(c) >= 0 ||
@@ -99,9 +107,9 @@ object Tokenizer {
         val s = i
         while (i < n && isLatChar(text.charAt(i))) i += 1
         push(pk(s, i, LAT))
-      } else if (Character.isDigit(c)) {
+      } else if (isDigitFast(c)) {
         val s = i
-        while (i < n && Character.isDigit(text.charAt(i))) i += 1
+        while (i < n && isDigitFast(text.charAt(i))) i += 1
         push(pk(s, i, INT))
       } else {
         push(pk(i, i + 1, if (isPunctChar(c)) PUNCT else OTHER))
