@@ -355,16 +355,34 @@ object Bench {
     // free of the metric-conditioned optional stopping flagged in round-3
     // ADVICE. Every attempt's steal share lands in the artifact.
     val stealRetryAt = 0.02
+    // Second external covariate, same rule: the on-CPU fraction of task
+    // time. This hypervisor does NOT always account steal to /proc/stat
+    // (round-4g: a 17.7 s high leg against a 3.2 s twin at steal 0.000x),
+    // but a co-tenant epoch still shows as executors NOT on CPU —
+    // cpuSec/runSec collapses. Like steal, cpu_util is a contamination
+    // measure, not the reported metric; the retried attempt is kept by
+    // the covariate even if it times worse.
+    // 0.75: healthy legs measure 0.86-0.99 here (the 32-core leg's normal
+    // scheduling gaps put it at ~0.86-0.89 — NOT contamination);
+    // epoch-hit legs collapse well below (a 17.7 s leg ran ~0.5)
+    val utilRetryBelow = 0.75
     var legRetries = 0
     val maxLegRetries = 3
     def cleanLegAt(cores: Int, toyDocs: Long, rDocs: Long, wallCap: Double, reps: Int = 1): Leg = {
+      def contaminated(l: Leg): Boolean =
+        l.stealFrac > stealRetryAt ||
+          math.min(l.cpuUtil, l.refCpuUtil) < utilRetryBelow
       val a = legAt(cores, toyDocs, rDocs, reps)
-      if (a.stealFrac > stealRetryAt && legRetries < maxLegRetries &&
+      if (contaminated(a) && legRetries < maxLegRetries &&
           (System.nanoTime() - wall0) / 1e9 < wallCap) {
         legRetries += 1
-        mark(f"leg retry cores=$cores steal=${a.stealFrac}%.3f")
+        mark(f"leg retry cores=$cores steal=${a.stealFrac}%.3f " +
+          f"util=${math.min(a.cpuUtil, a.refCpuUtil)}%.2f")
         val b = legAt(cores, toyDocs, rDocs, reps)
-        if (b.stealFrac < a.stealFrac) b else a
+        // keep the less-contaminated attempt: steal dominates, util breaks ties
+        val aBad = (a.stealFrac, 1.0 - math.min(a.cpuUtil, a.refCpuUtil))
+        val bBad = (b.stealFrac, 1.0 - math.min(b.cpuUtil, b.refCpuUtil))
+        if (Ordering[(Double, Double)].lt(bBad, aBad)) b else a
       } else a
     }
     // time-interleaved sessions per leg (lo,hi,lo,hi); the recorded figure
@@ -507,16 +525,26 @@ object Bench {
     // conservative: normalize by the HIGHER of the two bracket ceilings;
     // toy pipeline runs scalar-dominated code (sparse-tap conv), ref-dims
     // runs under the AVX-512 frequency license -> per-workload ceilings
-    val hwEff = math.max(hwPre.eff, hwPost.eff)
-    val hwSimdEff = math.max(hwPre.simdEff, hwPost.simdEff)
+    // probe sanity band: per-thread throughput/frequency RATIOS between
+    // two core counts of one box physically sit in ~[0.5, 1.15]; a probe
+    // leg that catches a contention epoch can report wild ratios (round-4h
+    // recorded a 4.1× "frequency" ratio that turned efficiency_cpu_vs_hw
+    // into 0.19). Out-of-band probes fall back to 1.0 (= no
+    // normalization) and are flagged; the raw probe values stay in the
+    // artifact either way.
+    var hwProbeSuspect = 0
+    def saneHw(x: Double): Double =
+      if (x >= 0.5 && x <= 1.15) x else { hwProbeSuspect += 1; 1.0 }
+    val hwEff = saneHw(math.max(hwPre.eff, hwPost.eff))
+    val hwSimdEff = saneHw(math.max(hwPre.simdEff, hwPost.simdEff))
     // steal-free CLOCK ratios (flops per thread-CPU-second): the factor by
     // which identical work costs more CPU SECONDS at the high core count
     // purely from all-core frequency scaling. efficiency_cpu divided by
     // this is work-invariance in CYCLES — the figure a real N->4N
     // scale-OUT (constant per-node clocks) inherits. max(pre,post) is the
     // conservative denominator (closer to 1 -> smaller normalized figure).
-    val hwCpuFreqEff = math.max(hwPre.cpuFreqEff, hwPost.cpuFreqEff)
-    val hwSimdCpuFreqEff = math.max(hwPre.simdCpuFreqEff, hwPost.simdCpuFreqEff)
+    val hwCpuFreqEff = saneHw(math.max(hwPre.cpuFreqEff, hwPost.cpuFreqEff))
+    val hwSimdCpuFreqEff = saneHw(math.max(hwPre.simdCpuFreqEff, hwPost.simdCpuFreqEff))
     val los = sessions.map(_._1)
     val his = sessions.map(_._2)
     val lo = los.minBy(_.sec)
@@ -571,7 +599,7 @@ object Bench {
 
     val scaling =
       f"""{"cpus_low":$cpusLow,"cpus_high":$cpus,"docs":$scaleDocs,"mode":"${lo.mode}/${hi.mode}",""" +
-        f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,"pairs_implausible":$pairsImplausible,""" +
+        f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,"pairs_implausible":$pairsImplausible,"hw_probe_suspect":$hwProbeSuspect,""" +
         f""""steal_frac_low_sessions":${fracs(los.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(his.map(_.stealFrac))},""" +
         f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,""" +
@@ -593,6 +621,8 @@ object Bench {
         f""""efficiency_vs_hw":${efficiencyRaw / hwEff}%.3f,""" +
         f""""cpu_sec_low":${lo.cpuSec}%.1f,"cpu_sec_high":${hi.cpuSec}%.1f,""" +
         f""""cpu_util_low":${lo.cpuUtil}%.3f,"cpu_util_high":${hi.cpuUtil}%.3f,""" +
+        f""""cpu_util_low_sessions":${fracs(los.map(_.cpuUtil))},""" +
+        f""""cpu_util_high_sessions":${fracs(his.map(_.cpuUtil))},""" +
         f""""gc_frac_low":${lo.gcFrac}%.3f,"gc_frac_high":${hi.gcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (hi.cpuSec > 0) lo.cpuSec / hi.cpuSec else 0.0}%.3f,""" +
         f""""hw_cpu_freq_eff":$hwCpuFreqEff%.3f,""" +
@@ -660,16 +690,16 @@ object Bench {
         f""""steal_frac_low_sessions":${fracs(midLos.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(midHis.map(_.stealFrac))},""" +
         f""""hw_flops_eff":${hwMid.eff}%.3f,"hw_simd_eff":${hwMid.simdEff}%.3f,""" +
-        f""""efficiency_vs_hw":${midEffRaw / hwMid.eff}%.3f,""" +
-        f""""ref_efficiency_vs_hw":${midRefEffRaw / hwMid.simdEff}%.3f,""" +
+        f""""efficiency_vs_hw":${midEffRaw / saneHw(hwMid.eff)}%.3f,""" +
+        f""""ref_efficiency_vs_hw":${midRefEffRaw / saneHw(hwMid.simdEff)}%.3f,""" +
         f""""cpu_sec_low":${midLo.cpuSec}%.1f,"cpu_sec_high":${midHi.cpuSec}%.1f,""" +
         f""""cpu_util_low":${midLo.cpuUtil}%.3f,"cpu_util_high":${midHi.cpuUtil}%.3f,""" +
         f""""gc_frac_low":${midLo.gcFrac}%.3f,"gc_frac_high":${midHi.gcFrac}%.3f,""" +
         f""""efficiency_cpu":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec else 0.0}%.3f,""" +
         f""""hw_cpu_freq_eff":${hwMid.cpuFreqEff}%.3f,""" +
-        f""""efficiency_cpu_vs_hw":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec / hwMid.cpuFreqEff else 0.0}%.3f,""" +
+        f""""efficiency_cpu_vs_hw":${if (midHi.cpuSec > 0) midLo.cpuSec / midHi.cpuSec / saneHw(hwMid.cpuFreqEff) else 0.0}%.3f,""" +
         f""""ref_efficiency_cpu":${if (midRefHi.refCpuSec > 0) midRefLo.refCpuSec / midRefHi.refCpuSec else 0.0}%.3f,""" +
-        f""""ref_efficiency_cpu_vs_hw":${if (midRefHi.refCpuSec > 0) midRefLo.refCpuSec / midRefHi.refCpuSec / hwMid.simdCpuFreqEff else 0.0}%.3f,""" +
+        f""""ref_efficiency_cpu_vs_hw":${if (midRefHi.refCpuSec > 0) midRefLo.refCpuSec / midRefHi.refCpuSec / saneHw(hwMid.simdCpuFreqEff) else 0.0}%.3f,""" +
         f""""note":"headroom pair: isolates code scaling from full-box co-tenant contention; efficiency uses (t - measured per-job fixed cost), the 10^12-doc-relevant number"}"""
     writeSelf(s"""{"partial":"after_mid_legs","scaling":$scaling,"scaling_mid":$scalingMid,"ref_dims":$refDims}""")
 
