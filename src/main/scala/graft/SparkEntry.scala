@@ -41,6 +41,23 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Canonical triple table for a test dir, persisted per (session, dir)
+    * like [[parsed]] one level up: a count() over the chain is cheap
+    * (Catalyst prunes the string columns), but every analytics query that
+    * USES triple values re-evaluates extraction + linking from the parsed
+    * cache (~4.5 s at sf0.1 x 32 cores, measured) — 7 q_kg_* queries paid
+    * it independently.
+    */
+  private val canonCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  def canonicalTriples(s: SparkSession, dir: String): DataFrame = {
+    val perDir = canonCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      Kg.linkCanonicalize(s, Kg.triples(parsed(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Flagship: the full KG-construction pipeline (sentenize -> batched
     * NER+morph+syntax inference -> dep-pattern triples -> entity linking ->
     * canonicalization) on the deterministic interleaved corpus.
@@ -278,31 +295,31 @@ object SparkEntry {
     }),
     "q_triples" -> ((s, d) => Kg.triples(parsed(s, d)).toDF()),
     "q_triples_canonical" -> ((s, d) =>
-      Kg.linkCanonicalize(s, Kg.triples(parsed(s, d)))),
+      canonicalTriples(s, d)),
     "q_entities" -> ((s, d) => Kg.canonicalMap(s)
       .select(col("id").as("entity_id"), col("component").as("canonical_id"))),
     // ---- KG analytics over the built graph (kg/Analytics) ----
     "q_kg_degrees" -> ((s, d) =>
-      kg.Analytics.degrees(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))))),
+      kg.Analytics.degrees(canonicalTriples(s, d))),
     "q_kg_pagerank" -> ((s, d) =>
-      kg.Analytics.pageRank(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), iters = 10)),
+      kg.Analytics.pageRank(canonicalTriples(s, d), iters = 10)),
     "q_kg_comentions" -> ((s, d) =>
-      kg.Analytics.coMentions(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), minDocs = 2)),
+      kg.Analytics.coMentions(canonicalTriples(s, d), minDocs = 2)),
     "q_kg_twohop" -> ((s, d) =>
       // undirected: this grammar's objects never re-occur as subjects, so
       // the directed hop chain is empty by construction; the symmetrized
       // graph exercises the same skew-prone hop join with real output
-      kg.Analytics.twoHopPaths(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))),
+      kg.Analytics.twoHopPaths(canonicalTriples(s, d),
         undirected = true)),
     "q_kg_pred_stats" -> ((s, d) =>
-      kg.Analytics.predicateStats(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))))),
+      kg.Analytics.predicateStats(canonicalTriples(s, d))),
     "q_kg_communities" -> ((s, d) =>
-      kg.Analytics.labelProp(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), iters = 5)),
+      kg.Analytics.labelProp(canonicalTriples(s, d), iters = 5)),
     "q_kg_triangles" -> ((s, d) =>
       // triangle counts over the co-mention graph (the triple DAG itself
       // is near-bipartite by construction; co-mentions close triangles)
       kg.Analytics.triangles(
-        kg.Analytics.coMentions(Kg.linkCanonicalize(s, Kg.triples(parsed(s, d))), minDocs = 1)
+        kg.Analytics.coMentions(canonicalTriples(s, d), minDocs = 1)
           .select(col("e1"), col("e2")))),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
