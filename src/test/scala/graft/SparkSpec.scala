@@ -284,6 +284,23 @@ class PipelineSpec extends AnyFunSuite {
   }
 }
 
+class CanonicalCacheSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("canonicalTriples is cached per (session, dir) and matches the uncached chain") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.canonicalTriples(spark, d)
+    val b = SparkEntry.canonicalTriples(spark, d)
+    // identity: a second call must NOT build a new (re-evaluated) frame
+    assert(a eq b)
+    val fresh = graft.kg.Kg.linkCanonicalize(spark,
+      graft.kg.Kg.triples(SparkEntry.parsed(spark, d)))
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString(" ")).sorted.toSeq
+    assert(keys(a) == keys(fresh))
+  }
+}
+
 class CcSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
 
