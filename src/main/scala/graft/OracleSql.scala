@@ -539,4 +539,99 @@ object OracleSql {
        UNION ALL SELECT q FROM tri
        UNION ALL SELECT r FROM tri) u
     GROUP BY 1"""
+
+  /** Multi-source BFS hop distances, hops unrolled as min-aggregated
+    * MATERIALIZED CTEs; mirrors Analytics.bfsDistances(maxHops,
+    * undirected=true) seeded from the PER-typed canonical subjects. */
+  def qKgBfs(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""bd$i AS MATERIALIZED (SELECT entity_id, min(dist) AS dist FROM
+           (SELECT entity_id, dist FROM bd${i - 1}
+            UNION ALL
+            SELECT e.dst, d.dist + 1 FROM bd${i - 1} d
+            JOIN bedges e ON e.src = d.entity_id) u
+           GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    bedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+               (SELECT subj_id AS src, obj_id AS dst FROM ktriples
+                UNION ALL SELECT obj_id, subj_id FROM ktriples) un
+               WHERE src <> dst),
+    bd0 AS MATERIALIZED (SELECT DISTINCT subj_id AS entity_id, 0 AS dist
+           FROM ktriples WHERE subj_type = 'PER'),
+    $steps
+    SELECT entity_id, dist FROM bd$maxHops"""
+  }
+
+  /** Neighborhood-Jaccard entity similarity; mirrors
+    * Analytics.neighborJaccard — hub cap applied BEFORE the wedge join,
+    * sizes and commons both over the capped sets. */
+  def qKgNeighborJaccard(minCommon: Long, hubCap: Long): String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    njm AS MATERIALIZED (SELECT DISTINCT e, n FROM
+            (SELECT subj_id AS e, obj_id AS n FROM ktriples
+             UNION ALL SELECT obj_id, subj_id FROM ktriples) un
+            WHERE e <> n),
+    njc AS MATERIALIZED (SELECT m.e, m.n FROM njm m
+            JOIN (SELECT n FROM njm GROUP BY n
+                  HAVING count(*) <= $hubCap) k ON k.n = m.n),
+    njsz AS MATERIALIZED (SELECT e, count(*) AS sz FROM njc GROUP BY 1),
+    njp AS (SELECT a.e AS e1, b.e AS e2, count(*) AS common
+            FROM njc a JOIN njc b ON a.n = b.n AND a.e < b.e
+            GROUP BY 1, 2 HAVING count(*) >= $minCommon)
+    SELECT e1, e2, common, s1.sz AS sz1, s2.sz AS sz2,
+           common::DOUBLE / (s1.sz + s2.sz - common) AS jaccard
+    FROM njp JOIN njsz s1 ON s1.e = njp.e1
+    JOIN njsz s2 ON s2.e = njp.e2"""
+
+  /** Deterministic random walks, steps unrolled as MATERIALIZED CTEs.
+    * Mirrors Analytics.randomWalks exactly: neighbor index = dense rank
+    * of dst in src's sorted distinct neighbor list; step choice =
+    * pmod(poly_hash('seed:cur:step:walk_no'), odeg) with the SIGNED
+    * 64-bit hash (poly accumulates mod 2^64 as UBIGINT, converted to
+    * BIGINT two's-complement, then ((h % d) + d) % d = Spark pmod). The
+    * per-character hash is staged in its own column per step so it is
+    * evaluated once per walk state, not per join probe. */
+  def qKgWalks(walksPerStart: Int, walkLen: Int, seed: Long): String = {
+    // signed poly_hash of the step-choice key, as a SQL expression over
+    // walk-state columns (cur, walk_no) with step/seed inlined literals
+    def polySigned(step: Int): String = {
+      val key = s"'$seed:' || cur || ':$step:' || walk_no::VARCHAR"
+      val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"[unicode(c)::HUGEINT for c in string_split($key, '')]), " +
+        "(h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT"
+      s"((($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+    }
+    val steps = (1 to walkLen).map { i =>
+      s"""wh$i AS MATERIALIZED (SELECT start, walk_no, cur, odeg,
+             ${polySigned(i)} AS h
+           FROM w${i - 1} WHERE odeg > 0),
+    w$i AS MATERIALIZED (SELECT s.start, s.walk_no, n.dst AS cur,
+             coalesce(d.odeg, 0) AS odeg
+           FROM wh$i s
+           JOIN wnbrs n ON n.src = s.cur
+                AND n.idx = ((s.h % s.odeg) + s.odeg) % s.odeg
+           LEFT JOIN wdeg d ON d.src = n.dst)"""
+    }.mkString(",\n    ")
+    val outs = (0 to walkLen).map { i =>
+      s"SELECT start, walk_no, $i AS step, cur AS entity_id FROM w$i"
+    }.mkString("\n       UNION ALL ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    wnbrs AS MATERIALIZED (
+      SELECT src, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             dst, count(*) OVER (PARTITION BY src) AS odeg
+      FROM (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
+            WHERE subj_id <> obj_id) de),
+    wdeg AS MATERIALIZED (SELECT src, max(odeg) AS odeg FROM wnbrs GROUP BY 1),
+    w0 AS MATERIALIZED (SELECT w.src AS start, g.wn::INTEGER AS walk_no,
+            w.src AS cur, w.odeg
+          FROM wdeg w,
+            (SELECT unnest(generate_series(0, ${walksPerStart - 1})) AS wn) g),
+    $steps
+    SELECT start, walk_no, step, entity_id FROM
+      ($outs) wout"""
+  }
 }

@@ -321,6 +321,22 @@ object SparkEntry {
       kg.Analytics.triangles(
         kg.Analytics.coMentions(canonicalTriples(s, d), minDocs = 1)
           .select(col("e1"), col("e2")))),
+    "q_kg_bfs" -> ((s, d) => {
+      // multi-source BFS from the PER-typed canonical subjects;
+      // undirected for the same reason as q_kg_twohop (the grammar's
+      // directed chains are empty by construction)
+      val t = canonicalTriples(s, d)
+      kg.Analytics.bfsDistances(t,
+        t.where(col("subj_type") === "PER")
+          .select(col("subj_id").as("entity_id")),
+        maxHops = 4, undirected = true)
+    }),
+    "q_kg_neighbor_jaccard" -> ((s, d) =>
+      kg.Analytics.neighborJaccard(canonicalTriples(s, d),
+        minCommon = 1, hubCap = 10000)),
+    "q_kg_walks" -> ((s, d) =>
+      kg.Analytics.randomWalks(canonicalTriples(s, d),
+        walksPerStart = 2, walkLen = 3, seed = 42L)),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -874,6 +890,9 @@ object SparkEntry {
       "q_kg_pred_stats" -> OracleSql.qKgPredStats,
       "q_kg_communities" -> OracleSql.qKgCommunities(5),
       "q_kg_triangles" -> OracleSql.qKgTriangles,
+      "q_kg_bfs" -> OracleSql.qKgBfs(4),
+      "q_kg_neighbor_jaccard" -> OracleSql.qKgNeighborJaccard(1, 10000),
+      "q_kg_walks" -> OracleSql.qKgWalks(2, 3, 42L),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

@@ -289,4 +289,156 @@ object Analytics {
     tri.select(explode(array(col("p"), col("q"), col("r"))).as("entity_id"))
       .groupBy("entity_id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS: shortest hop distance from any seed entity, up to
+    * `maxHops`. Entities unreachable within the horizon are absent from
+    * the output (a bounded-frontier contract — at 10^10 edges an
+    * "unreachable = NULL for every node" output would materialize the
+    * full vertex set for no analytical value).
+    *
+    * Physical shape per hop: ONE equi-join frontier><edges on src + one
+    * min-aggregate — the Pregel superstep. Only the entities settled in
+    * the PREVIOUS hop are expanded (a node first reached at hop i can
+    * never improve a neighbor below i+1), so per-hop work is proportional
+    * to the frontier, not the visited set. Lineage is truncated every
+    * hop (eager localCheckpoint) so the plan stays O(1) deep; the edge
+    * set is persisted once and reused by every hop.
+    *
+    * No driver-local fast path here (unlike pageRank/labelProp): with
+    * maxHops small the distributed loop is a handful of narrow jobs and
+    * the local twin would add a second code path for no measured win.
+    */
+  def bfsDistances(triples: DataFrame, seeds: DataFrame, maxHops: Int,
+                   undirected: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"bfsDistances: maxHops must be >= 1, got $maxHops")
+    val base = triples.select(col("subj_id").as("src"), col("obj_id").as("dst"))
+    val edges = (if (undirected)
+      base.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("m"))
+        .select(col("m.src"), col("m.dst"))
+    else base)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("entity_id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    for (i <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === i - 1)
+      val next = frontier.join(edges, frontier("entity_id") === edges("src"))
+        .select(edges("dst").as("entity_id"), lit(i).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("entity_id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    dist
+  }
+
+  /** Entity similarity by shared neighborhood: Jaccard over undirected
+    * neighbor sets — the KG entity-resolution signal ("two entities that
+    * connect to the same things are candidates for the same thing").
+    *
+    * Shape: neighbor pairs -> wedge self-join on the shared neighbor ->
+    * two-phase count per (e1,e2) -> set sizes joined back. The wedge join
+    * is the skew-prone step (a neighbor shared by k entities emits
+    * k(k-1)/2 pairs): `hubCap` drops neighbors above the cap BEFORE the
+    * join — a hub like a country entity connects half the graph and its
+    * wedges carry no discriminative signal anyway (mirrored exactly by
+    * the oracle; both sizes and common counts use the capped sets, so
+    * jaccard stays internally consistent). Orientation e1 < e2 halves
+    * the output; AQE splits what skew remains below the cap.
+    */
+  def neighborJaccard(triples: DataFrame, minCommon: Long = 1,
+                      hubCap: Long = 10000): DataFrame = {
+    val ment = triples.select(explode(array(
+        struct(col("subj_id").as("e"), col("obj_id").as("n")),
+        struct(col("obj_id").as("e"), col("subj_id").as("n")))).as("m"))
+      .select(col("m.e"), col("m.n"))
+      .where(col("e") =!= col("n"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = ment.groupBy("n").agg(count(lit(1)).as("nk"))
+      .where(col("nk") <= hubCap)
+      .select("n")
+    val capped = ment.join(keep, "n").select("e", "n")
+      .localCheckpoint() // three consumers (sizes + both join sides)
+    ment.unpersist()
+    val sizes = capped.groupBy("e").agg(count(lit(1)).as("sz"))
+    capped.as("a")
+      .join(capped.as("b"), col("a.n") === col("b.n") && col("a.e") < col("b.e"))
+      .groupBy(col("a.e").as("e1"), col("b.e").as("e2"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+      .join(sizes.select(col("e").as("e1"), col("sz").as("sz1")), "e1")
+      .join(sizes.select(col("e").as("e2"), col("sz").as("sz2")), "e2")
+      .select(col("e1"), col("e2"), col("common"), col("sz1"), col("sz2"),
+        (col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common"))).as("jaccard"))
+  }
+
+  /** Deterministic "random" walks over the distinct directed edge set —
+    * the node2vec/DeepWalk corpus generator, made reproducible: step
+    * choice is poly_hash(seed:cur:step:walk_no) mod out-degree over the
+    * SORTED neighbor list, so the same graph yields bit-identical walks
+    * on any partitioning, any retry, and in the independent oracle
+    * engine (pmod semantics on the signed 64-bit hash match Spark's
+    * `pmod` and the oracle's ((h % d) + d) % d).
+    *
+    * Output is long format: (start, walk_no, step, entity_id), one row
+    * per visited position; walks stop early at sink nodes (no out-edges).
+    *
+    * Physical shape per step: hash computed row-locally (codegen
+    * PolyHash), then ONE composite equi-join (cur, pick) = (src, idx)
+    * against the indexed neighbor table — no range join, no explosion;
+    * the neighbor table carries the destination's out-degree so the next
+    * step needs no extra join. Neighbor indexing pays one window sort
+    * per src partition, once, reused by all steps and walks.
+    */
+  def randomWalks(triples: DataFrame, walksPerStart: Int = 2,
+                  walkLen: Int = 3, seed: Long = 42L): DataFrame = {
+    require(walksPerStart >= 1 && walkLen >= 1,
+      s"randomWalks: walksPerStart/walkLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val edges = triples.select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val withIdx = edges
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long"))
+      .withColumn("odeg",
+        count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+    val odeg = withIdx.select(col("src"), col("odeg")).distinct()
+    val nbrs = withIdx
+      .join(odeg.select(col("src").as("dst"), col("odeg").as("dst_odeg")),
+        Seq("dst"), "left")
+      .na.fill(0L, Seq("dst_odeg"))
+      .select(col("src"), col("idx"), col("dst"), col("odeg"), col("dst_odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = odeg
+      .select(col("src").as("start"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk_no"),
+        col("src").as("cur"), col("odeg").as("cur_odeg"))
+      .localCheckpoint()
+    var out = cur.select(col("start"), col("walk_no"),
+      lit(0).as("step"), col("cur").as("entity_id"))
+    for (i <- 1 to walkLen) {
+      val h = graft.functions.F.poly_hash(concat_ws(":",
+        lit(seed.toString), col("cur"), lit(i.toString),
+        col("walk_no").cast("string")))
+      val stepped = cur.where(col("cur_odeg") > 0)
+        .withColumn("pick", pmod(h, col("cur_odeg")))
+        .join(nbrs, col("cur") === nbrs("src") && col("pick") === nbrs("idx"))
+        .select(col("start"), col("walk_no"),
+          nbrs("dst").as("cur"), nbrs("dst_odeg").as("cur_odeg"))
+        .localCheckpoint()
+      out = out.unionByName(stepped.select(col("start"), col("walk_no"),
+        lit(i).as("step"), col("cur").as("entity_id")))
+      cur = stepped
+    }
+    nbrs.unpersist()
+    out
+  }
 }

@@ -216,4 +216,83 @@ class KgAnalyticsSpec extends AnyFunSuite {
     assert(wedges <= 2L * es.size,
       s"oriented wedge count $wedges must be O(edges)=${es.size}")
   }
+
+  private def seedsOf(ids: String*) = {
+    import spark.implicits._
+    ids.toDF("entity_id")
+  }
+
+  test("bfsDistances: directed hop distances, horizon-bounded") {
+    val m = kg.Analytics.bfsDistances(triples, seedsOf("B"), maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // directed distinct edges: A->B, A->C, B->C, C->A
+    assert(m == Map("B" -> 0, "C" -> 1, "A" -> 2))
+    val one = kg.Analytics.bfsDistances(triples, seedsOf("B"), maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(one == Map("B" -> 0, "C" -> 1)) // A outside the horizon: absent
+  }
+
+  test("bfsDistances: undirected, multi-seed min wins") {
+    val m = kg.Analytics.bfsDistances(triples, seedsOf("A", "B"),
+      maxHops = 3, undirected = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("A" -> 0, "B" -> 0, "C" -> 1))
+  }
+
+  test("neighborJaccard: hand-computed sets; hub cap empties the wedge join") {
+    // undirected neighbor sets (self-loop dropped): A:{B,C} B:{A,C} C:{A,B}
+    val rows = kg.Analytics.neighborJaccard(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    rows.values.foreach { case (common, sz1, sz2, jac) =>
+      assert(common == 1L && sz1 == 2L && sz2 == 2L)
+      assert(jac == 1.0 / 3.0) // exact IEEE: 1/(2+2-1), same op order as SQL
+    }
+    // every neighbor is shared by 2 entities -> a cap of 1 drops them all
+    assert(kg.Analytics.neighborJaccard(triples, hubCap = 1).count() == 0L)
+  }
+
+  test("randomWalks: deterministic, partition-invariant, sink-terminated") {
+    import spark.implicits._
+    // independent in-test twin of the walk contract
+    def poly(s: String): Long = {
+      var h = 1125899906842597L
+      s.foreach(c => h = 31 * h + c); h
+    }
+    val edges = Map( // distinct non-self edges of `triples`
+      "A" -> Vector("B", "C"), "B" -> Vector("C"), "C" -> Vector("A"))
+    val expected = for {
+      start <- edges.keys.toSeq; wn <- 0 until 2
+    } yield {
+      var cur = start
+      val path = scala.collection.mutable.ArrayBuffer((start, wn, 0, start))
+      for (i <- 1 to 3 if edges.contains(cur)) {
+        val nb = edges(cur)
+        cur = nb(Math.floorMod(poly(s"42:$cur:$i:$wn"), nb.size).toInt)
+        path += ((start, wn, i, cur))
+      }
+      path.toSeq
+    }
+    val want = expected.flatten.toSet
+    val got = kg.Analytics.randomWalks(triples, 2, 3, 42L)
+      .as[(String, Int, Int, String)].collect().toSet
+    assert(got == want)
+    // partitioning must not change a single step
+    val sp = spark
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", "1")
+      val got1 = kg.Analytics.randomWalks(triples, 2, 3, 42L)
+        .as[(String, Int, Int, String)].collect().toSet
+      assert(got1 == want)
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    // sink node stops the walk early: X->Y, Y has no out-edges
+    val sink = Seq(("d9", 0, 0, "X", "PER", "p", "Y", "ORG"))
+      .toDF("docId", "spanOrder", "sentIdx",
+        "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val srows = kg.Analytics.randomWalks(sink, 1, 3, 7L)
+      .as[(String, Int, Int, String)].collect().toSet
+    assert(srows == Set(("X", 0, 0, "X"), ("X", 0, 1, "Y")))
+  }
 }
