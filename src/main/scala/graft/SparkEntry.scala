@@ -102,6 +102,11 @@ object SparkEntry {
     // against the SAME oracle as the one-scan variant
     "q_ngram_counts_hashed" -> ((s, d) =>
       TextStats.ngramCountsHashed(tbl(s, d, "documents"), 2, 5)),
+    // CCNet-style quality signal: add-one bigram LM trained on the corpus,
+    // every doc scored by perplexity under it (integer micro-nat contract
+    // — see TextStats.lmPerplexity)
+    "q_lm_perplexity" -> ((s, d) =>
+      TextStats.lmPerplexity(tbl(s, d, "documents"))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -548,6 +553,26 @@ object SparkEntry {
           SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
           FROM (SELECT ${toks("lower(text)")} AS w FROM documents))
         GROUP BY ngram HAVING count(*) >= 5""",
+      // mirrors TextStats.lmPerplexity: per-bigram integer micro-nats
+      // (floor(ln(p)*1e6 + 0.5)) summed exactly, transcendentals only at
+      // the per-row and final-projection boundaries, same op order
+      "q_lm_perplexity" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS w FROM documents),
+        bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+        big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        uni AS MATERIALIZED (SELECT w1, count(*) AS c1
+               FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY 1),
+        vv AS (SELECT count(*) AS v FROM uni),
+        sc AS (SELECT doc_id,
+                 floor(ln((coalesce(c12, 0) + 1)::DOUBLE /
+                          (coalesce(c1, 0) + v)::DOUBLE) * 1000000 + 0.5)::BIGINT AS mn
+               FROM bi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+               CROSS JOIN vv)
+        SELECT doc_id, count(*) AS n_grams,
+               round(-(sum(mn)::DOUBLE / (count(*) * 1000000.0)), 6) AS avg_neg_logp,
+               round(exp(-(sum(mn)::DOUBLE / (count(*) * 1000000.0))), 6) AS perplexity
+        FROM sc GROUP BY 1""",
       "q_decontaminate" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),

@@ -195,6 +195,70 @@ object TextStats {
       .select(col("ngram"), col("n"))
   }
 
+  /** CCNet-style corpus LM quality scoring: train an add-one-smoothed
+    * bigram language model on the corpus, then score every document's
+    * perplexity under it — the classic "how typical is this document"
+    * filter signal for training-data curation (CCNet scores CommonCrawl
+    * with a Wikipedia LM; here the model corpus and the scored corpus
+    * are the same table, which ranks documents by in-corpus typicality —
+    * pass a different `model` frame to reproduce the CCNet split).
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); c(w1) is w1's total
+    * occurrence count, V the distinct-token count.
+    *
+    * EXACTNESS CONTRACT: per-bigram log-probs are fixed to integer
+    * micro-nats — floor(ln(p)·10^6 + 0.5) as BIGINT — before summing.
+    * A float sum's value depends on partition order (fp addition is not
+    * associative), so a double-summed score would differ run to run and
+    * engine to engine; integer sums are exact in any order, and the only
+    * transcendental evaluated per row maps to the oracle bit-for-bit
+    * except at ~1e-13-probability rounding boundaries.
+    *
+    * Physical shape: one tokenize pass feeds the two count aggregations
+    * (two-phase, map-side combine absorbs Zipfian skew exactly like
+    * [[ngramCounts]]); scoring is two equi-joins of the bigram stream
+    * against the count tables (shuffle joins at scale — the LM of a
+    * 100 TB corpus is not broadcastable; AQE may downgrade to broadcast
+    * when it is) plus a broadcast single-row V. Docs with <2 tokens have
+    * no bigrams and are absent from the output (documented contract).
+    */
+  def lmPerplexity(docs: DataFrame, model: DataFrame = null): DataFrame = {
+    val lm = Option(model).getOrElse(docs)
+    def toked(d: DataFrame) =
+      d.select(col("doc_id"), tokens(F.lower_simple(col("text"))).as("toks"))
+    // toks is materialized into a column BEFORE the gram lambda (the
+    // gramRows CSE note applies: an unbound reference inside transform()
+    // re-runs the regex per gram)
+    def bigrams(d: DataFrame) = toked(d).select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val big = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toked(lm).select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // 1 row -> broadcast cross
+    // left joins + coalesce(0): a scored bigram/token the LM never saw
+    // backs off to the smoothing floor instead of being dropped (matters
+    // only when `model` differs from `docs`)
+    val mn = floor(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6 + 0.5)
+      .cast("long")
+    val avg = -(col("sum_mn").cast("double") / (col("n_grams") * lit(1e6)))
+    bigrams(docs)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), mn.as("mn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("mn").as("sum_mn"))
+      .select(col("doc_id"), col("n_grams"),
+        round(avg, 6).as("avg_neg_logp"),
+        round(exp(avg), 6).as("perplexity"))
+  }
+
   /** Per-language token-length distribution: count/sum/min/max plus
     * EXACT interpolated p50/p90 (`percentile`, R-7 / quantile_cont
     * semantics — deterministic, engine-independent, unlike the t-digest

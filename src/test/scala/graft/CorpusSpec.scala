@@ -117,6 +117,35 @@ class CorpusSpec extends AnyFunSuite {
       (5L, 0L, 2L, 1L), (5L, 4L, 6L, 1L)))
   }
 
+  test("lmPerplexity: hand-computed bigram LM; unseen-gram backoff; <2-token docs absent") {
+    import spark.implicits._
+    // independent in-test twin of the micro-nat contract
+    def mn(c12: Long, c1: Long, v: Long): Long =
+      math.floor(math.log((c12 + 1).toDouble / (c1 + v).toDouble) * 1e6 + 0.5).toLong
+    def avgOf(mns: Seq[Long]): Double = -(mns.sum.toDouble / (mns.length * 1e6))
+    def rnd(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    // corpus: unigrams a:2 b:2 c:1 solo:1 (V=4); bigrams ab:1 ba:1 bc:1
+    val in = Seq((1L, "a b a"), (2L, "b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = ops.TextStats.lmPerplexity(in).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L)) // "solo" has no bigrams
+    val d1 = Seq(mn(1, 2, 4), mn(1, 2, 4)) // (a,b), (b,a): p = 2/6 each
+    val d2 = Seq(mn(1, 2, 4))              // (b,c): p = 2/6
+    assert(out(1L) == ((2L, rnd(avgOf(d1)), rnd(math.exp(avgOf(d1))))))
+    assert(out(2L) == ((1L, rnd(avgOf(d2)), rnd(math.exp(avgOf(d2))))))
+
+    // model != docs: unseen bigram and unseen token back off to the
+    // smoothing floor instead of being dropped
+    val model = Seq((1L, "a b a")).toDF("doc_id", "text") // uni a:2 b:1, V=2
+    val score = Seq((9L, "b z")).toDF("doc_id", "text")   // (b,z): c12=0, c1(b)=1
+    val s = ops.TextStats.lmPerplexity(score, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val bz = Seq(mn(0, 1, 2))
+    assert(s(9L) == ((1L, rnd(avgOf(bz)), rnd(math.exp(avgOf(bz))))))
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
