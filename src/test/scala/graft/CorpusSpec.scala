@@ -117,6 +117,27 @@ class CorpusSpec extends AnyFunSuite {
       (5L, 0L, 2L, 1L), (5L, 4L, 6L, 1L)))
   }
 
+  test("curate: every stage drops exactly its target; survivors get packed") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val docs = Seq(
+      (1L, "ru", a),                            // near-dup cluster survivor
+      (2L, "ru", a),                            // identical twin -> dropped by dedup
+      (3L, "ru", "one two three four five six seven eight nine ten eleven twelve"),
+      // ^ shares 3-gram "five six seven" with bench -> dropped by decontaminate
+      (4L, "xx", "red orange yellow green blue indigo violet pink brown black white"),
+      // ^ lang rate 0 -> dropped by the stratified sample
+      (5L, "ru", "cat dog bird fish horse cow sheep goat duck hen pig"),
+      (6L, "ru", "too short text here")         // < 10 tokens -> dropped at the gate
+    ).toDF("doc_id", "lang", "text")
+    val bench = Seq((99L, "ru", "contains five six seven among other words entirely"))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.Corpus.curate(docs, bench,
+        Map("ru" -> 1.0, "xx" -> 0.0), minTokens = 10, dedupThreshold = 0.1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 0L, 11L), (5L, 5L, 0L, 11L)))
+  }
+
   test("lmPerplexity: hand-computed bigram LM; unseen-gram backoff; <2-token docs absent") {
     import spark.implicits._
     // independent in-test twin of the micro-nat contract
