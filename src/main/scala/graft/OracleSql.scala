@@ -634,4 +634,60 @@ object OracleSql {
     SELECT start, walk_no, step, entity_id FROM
       ($outs) wout"""
   }
+
+  /** Fixed-point integer HITS, iterations unrolled as MATERIALIZED CTE
+    * half-steps. Mirrors Analytics.hits exactly: micro-unit scores,
+    * sum-over-edges raw, max-normalize with floor division
+    * (`raw * 10^6 // greatest(max(raw), 1)`), sinks/sources held at 0 by
+    * the left join. */
+  def qKgHits(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS entity_id, sum(h.score) AS s
+           FROM kedges e JOIN hub${i - 1} h ON h.entity_id = e.src GROUP BY 1),
+    am$i AS (SELECT greatest(max(s), 1) AS mx FROM ar$i),
+    auth$i AS MATERIALIZED (SELECT n.entity_id,
+           CAST((coalesce(r.s, 0) * 1000000) // m.mx AS BIGINT) AS score
+           FROM knodes n LEFT JOIN ar$i r USING (entity_id) CROSS JOIN am$i m),
+    hr$i AS MATERIALIZED (SELECT e.src AS entity_id, sum(a.score) AS s
+           FROM kedges e JOIN auth$i a ON a.entity_id = e.dst GROUP BY 1),
+    hm$i AS (SELECT greatest(max(s), 1) AS mx FROM hr$i),
+    hub$i AS MATERIALIZED (SELECT n.entity_id,
+           CAST((coalesce(r.s, 0) * 1000000) // m.mx AS BIGINT) AS score
+           FROM knodes n LEFT JOIN hr$i r USING (entity_id) CROSS JOIN hm$i m)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
+               WHERE subj_id <> obj_id),
+    knodes AS MATERIALIZED (SELECT DISTINCT entity_id FROM
+               (SELECT src AS entity_id FROM kedges
+                UNION ALL SELECT dst FROM kedges) un),
+    hub0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS score FROM knodes),
+    $steps
+    SELECT n.entity_id, h.score AS hub, a.score AS auth
+    FROM knodes n JOIN hub$iters h USING (entity_id)
+    JOIN auth$iters a USING (entity_id)"""
+  }
+
+  /** Bounded k-core peeling, rounds unrolled as MATERIALIZED CTEs.
+    * Mirrors Analytics.kCore exactly: symmetrized distinct edges, drop
+    * nodes with degree < k each round (both endpoints must survive),
+    * output survivors with their final in-core degree. */
+  def qKgKcore(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""kp$i AS MATERIALIZED (SELECT src FROM kc${i - 1}
+           GROUP BY 1 HAVING count(*) >= $k),
+    kc$i AS MATERIALIZED (SELECT e.src, e.dst FROM kc${i - 1} e
+           JOIN kp$i a ON a.src = e.src
+           JOIN kp$i b ON b.src = e.dst)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kc0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+            (SELECT subj_id AS src, obj_id AS dst FROM ktriples
+             UNION ALL SELECT obj_id, subj_id FROM ktriples) un
+            WHERE src <> dst),
+    $steps
+    SELECT src AS entity_id, count(*) AS degree FROM kc$rounds GROUP BY 1"""
+  }
 }

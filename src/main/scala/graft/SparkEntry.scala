@@ -107,6 +107,13 @@ object SparkEntry {
     // — see TextStats.lmPerplexity)
     "q_lm_perplexity" -> ((s, d) =>
       TextStats.lmPerplexity(tbl(s, d, "documents"))),
+    // keyword extraction: per-doc top-3 TF-IDF terms (integer micro-nat
+    // idf — see TextStats.tfidfTop)
+    "q_tfidf_top" -> ((s, d) =>
+      TextStats.tfidfTop(tbl(s, d, "documents"), topK = 3)),
+    // collocation mining: corpus bigram PMI, count floor 5
+    "q_pmi_colloc" -> ((s, d) =>
+      TextStats.pmiCollocations(tbl(s, d, "documents"), minCount = 5)),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -342,6 +349,10 @@ object SparkEntry {
     "q_kg_walks" -> ((s, d) =>
       kg.Analytics.randomWalks(canonicalTriples(s, d),
         walksPerStart = 2, walkLen = 3, seed = 42L)),
+    "q_kg_hits" -> ((s, d) =>
+      kg.Analytics.hits(canonicalTriples(s, d), iters = 5)),
+    "q_kg_kcore" -> ((s, d) =>
+      kg.Analytics.kCore(canonicalTriples(s, d), k = 2, rounds = 4)),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -583,6 +594,41 @@ object SparkEntry {
                round(-(sum(mn)::DOUBLE / (count(*) * 1000000.0)), 6) AS avg_neg_logp,
                round(exp(-(sum(mn)::DOUBLE / (count(*) * 1000000.0))), 6) AS perplexity
         FROM sc GROUP BY 1""",
+      // mirrors TextStats.tfidfTop: smoothed idf in integer micro-nats,
+      // integer score tf*idf_micro, top-3 per doc, term-ascending ties
+      "q_tfidf_top" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS w FROM documents),
+        tfc AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM
+               (SELECT doc_id, unnest(w) AS term FROM t) x GROUP BY 1, 2),
+        dfc AS MATERIALIZED (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, term, tf, df,
+                 tf * floor(ln((1 + n_docs)::DOUBLE / (1 + df)::DOUBLE)
+                            * 1000000 + 0.5)::BIGINT AS score_micro
+               FROM tfc JOIN dfc USING (term) CROSS JOIN nd)
+        SELECT doc_id, rk, term, tf, df, score_micro FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score_micro DESC, term ASC) AS rk FROM sc) r
+        WHERE rk <= 3""",
+      // mirrors TextStats.pmiCollocations: integer micro-nat PMI over
+      // corpus bigrams with count floor 5
+      "q_pmi_colloc" -> s"""
+        WITH t AS (SELECT ${toks("lower(text)")} AS w FROM documents),
+        uni AS MATERIALIZED (SELECT w1, count(*) AS c FROM
+               (SELECT unnest(w) AS w1 FROM t) x GROUP BY 1),
+        big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM
+               (SELECT w[i] AS w1, w[i+1] AS w2
+                FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t) y) z
+               GROUP BY 1, 2),
+        tot AS (SELECT (SELECT sum(c) FROM uni) AS t,
+                       (SELECT sum(c12) FROM big) AS b)
+        SELECT g.w1, g.w2, g.c12, u1.c AS c1, u2.c AS c2,
+               floor(ln((g.c12::DOUBLE * tot.t * tot.t) /
+                        (tot.b::DOUBLE * u1.c * u2.c)) * 1000000 + 0.5)::BIGINT AS pmi_micro
+        FROM big g JOIN uni u1 ON u1.w1 = g.w1
+        JOIN uni u2 ON u2.w1 = g.w2
+        CROSS JOIN tot
+        WHERE g.c12 >= 5""",
       "q_decontaminate" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
@@ -964,6 +1010,8 @@ object SparkEntry {
       "q_kg_bfs" -> OracleSql.qKgBfs(4),
       "q_kg_neighbor_jaccard" -> OracleSql.qKgNeighborJaccard(1, 10000),
       "q_kg_walks" -> OracleSql.qKgWalks(2, 3, 42L),
+      "q_kg_hits" -> OracleSql.qKgHits(5),
+      "q_kg_kcore" -> OracleSql.qKgKcore(2, 4),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

@@ -441,4 +441,126 @@ object Analytics {
     nbrs.unpersist()
     out
   }
+
+  /** HITS hubs & authorities over the directed canonical graph — the
+    * complementary salience signal to PageRank (an entity can be a weak
+    * authority but a strong hub: a survey-like document entity that
+    * points at many authorities).
+    *
+    * FIXED-POINT integer arithmetic, same rationale as [[pageRank]]:
+    * scores live in micro-units; each half-step sums the opposite score
+    * over edges and max-normalizes with floor division
+    * (`raw * 10^6 div max(raw)`), so the argmax node sits at exactly
+    * 10^6 every iteration and results are bit-reproducible across
+    * partitionings and engines. Overflow bound: `raw <= 10^6 * degree`
+    * and the scale step multiplies by 10^6, so degrees up to ~9*10^6
+    * fit in a Long — beyond that, pre-divide the norm instead (documented
+    * trade: quantization). The norm rides a broadcast single-row cross
+    * join (not a driver collect), so each superstep stays one job.
+    *
+    * Size-adaptive like [[pageRank]]: small edge sets iterate on the
+    * driver, big ones take the superstep loop — bit-identical outputs
+    * (asserted in KgAnalyticsSpec).
+    */
+  def hits(triples: DataFrame, iters: Int = 5,
+           maxLocalEdges: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val edges = triples
+      .select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= maxLocalEdges) {
+      val spark = triples.sparkSession
+      val local = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      edges.unpersist(blocking = false)
+      val nodeIds = (local.map(_._1) ++ local.map(_._2)).distinct
+      var hub = nodeIds.map(_ -> 1000000L).toMap
+      var auth = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        val aRaw = new scala.collection.mutable.HashMap[String, Long]()
+        local.foreach { case (s, d) =>
+          aRaw.update(d, aRaw.getOrElse(d, 0L) + hub(s)) }
+        val aMax = math.max(aRaw.values.max, 1L)
+        auth = nodeIds.map(n =>
+          n -> aRaw.getOrElse(n, 0L) * 1000000L / aMax).toMap
+        val hRaw = new scala.collection.mutable.HashMap[String, Long]()
+        local.foreach { case (s, d) =>
+          hRaw.update(s, hRaw.getOrElse(s, 0L) + auth(d)) }
+        val hMax = math.max(hRaw.values.max, 1L)
+        hub = nodeIds.map(n =>
+          n -> hRaw.getOrElse(n, 0L) * 1000000L / hMax).toMap
+      }
+      import spark.implicits._
+      return spark.createDataset(nodeIds.toSeq.map(n => (n, hub(n), auth(n))))
+        .toDF("entity_id", "hub", "auth")
+    }
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("entity_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one half-step: sum `score` over edges in direction (from -> to),
+    // max-normalize to micro-units; left join keeps sink/source nodes at 0
+    def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      val raw = edges
+        .join(score.withColumnRenamed("entity_id", from), from)
+        .groupBy(col(to).as("entity_id")).agg(sum("score").as("raw"))
+      val mx = raw.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      nodes.join(raw, Seq("entity_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("entity_id"),
+          expr("(coalesce(raw, 0L) * 1000000L) div mx").as("score"))
+        .localCheckpoint() // superstep: O(1)-deep plan, edges reused
+    }
+    var hub = nodes.withColumn("score", lit(1000000L))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    val out = nodes
+      .join(hub.withColumnRenamed("score", "hub"), "entity_id")
+      .join(auth.withColumnRenamed("score", "auth"), "entity_id")
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Bounded k-core peeling over the undirected canonical graph: `rounds`
+    * rounds of "drop every node with degree < k, then recount". The
+    * k-core (maximal subgraph where every node has degree >= k) is this
+    * loop's fixpoint; a FIXED round count keeps the operator a pure,
+    * engine-independent function of the input (a data-dependent stopping
+    * rule would make the oracle unmirrorable), and extra rounds past the
+    * fixpoint are no-ops — KgAnalyticsSpec asserts rounds/rounds+1
+    * invariance at test scale. Output: surviving entities with their
+    * final in-core degree.
+    *
+    * Shape per round: one two-phase degree aggregate + two semi-joins
+    * (src kept, dst kept) — all equi-joins on entity id; AQE splits
+    * hot-entity skew; localCheckpoint keeps the iterated plan O(1)-deep.
+    */
+  def kCore(triples: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore: k/rounds must be >= 1")
+    var edges = triples
+      .select(explode(array(
+        struct(col("subj_id").as("src"), col("obj_id").as("dst")),
+        struct(col("obj_id").as("src"), col("subj_id").as("dst")))).as("m"))
+      .select(col("m.src"), col("m.dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src").as("kept"))
+      edges = edges
+        .join(keep.withColumnRenamed("kept", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("kept", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src").as("entity_id"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }

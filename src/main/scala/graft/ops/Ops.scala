@@ -274,6 +274,92 @@ object TextStats {
         min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
         round(expr("percentile(n, 0.5)"), 6).as("p50_tokens"),
         round(expr("percentile(n, 0.9)"), 6).as("p90_tokens"))
+
+  /** Per-document top-k TF-IDF terms — the classic keyword/feature
+    * extraction pass over a training corpus (content tagging, topic
+    * labeling, index-time term weighting).
+    *
+    * idf follows the smoothed sklearn form ln((1+N)/(1+df)) but is fixed
+    * to integer micro-nats (the [[lmPerplexity]] exactness contract):
+    * `idf_micro = floor(ln((1+N)/(1+df))·10^6 + 0.5)` as BIGINT, so the
+    * score `tf * idf_micro` is an exact integer — rank order and values
+    * are bit-reproducible across partitionings and engines. Ties break
+    * on term text ascending.
+    *
+    * Shape: one tokenize pass -> per-(doc,term) count (two-phase hash
+    * agg) -> df is a reaggregation of THAT table (no second corpus
+    * scan) -> term-keyed equi-join tf⋈df (shuffle join at scale: the
+    * vocabulary of a 100 TB corpus is not broadcastable; AQE downgrades
+    * to broadcast when it is) -> per-doc top-k window. The window
+    * partitions by doc_id, so it shuffles once on doc_id and sorts only
+    * each doc's own term list.
+    */
+  def tfidfTop(docs: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"tfidfTop: topK must be >= 1, got $topK")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(F.lower_simple(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row -> broadcast
+    val idfMicro = floor(log((lit(1L) + col("n_docs")).cast("double") /
+      (lit(1L) + col("df")).cast("double")) * 1e6 + 0.5).cast("long")
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * idfMicro).as("score_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term").asc)))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("score_micro"))
+  }
+
+  /** Corpus-level PMI collocations: bigrams whose pointwise mutual
+    * information says the pair co-occurs far above unigram chance — the
+    * standard collocation/multi-word-expression miner (and the building
+    * block for PMI-based phrase joining in LLM data prep).
+    *
+    * pmi = ln(p(w1,w2) / (p(w1)p(w2))) = ln(c12·T·T / (B·c1·c2)) with T
+    * total unigrams, B total bigrams — fixed to integer micro-nats
+    * (floor(·10^6 + 0.5), the [[lmPerplexity]] contract) so output is
+    * exact. `minCount` drops rare pairs BEFORE the unigram joins (the
+    * classic PMI low-count pathology and 99% of the join volume at
+    * corpus scale).
+    *
+    * Shape: one tokenize pass feeds both count aggs; scoring is two
+    * term-keyed equi-joins of the surviving bigram table against the
+    * unigram counts plus a broadcast single-row totals frame.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), tokens(F.lower_simple(col("text"))).as("toks"))
+    val uni = toked.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // toks staged as a column before the gram lambda (CSE note in
+    // ngramCounts: an unbound reference inside transform() re-runs the
+    // regex per gram)
+    val big = toked.select(
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("g.w1"), col("g.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val totals = uni.agg(sum("c").as("t"))
+      .crossJoin(big.agg(sum("c12").as("b"))) // two 1-row frames
+    val pmiMicro = floor(log(
+      (col("c12").cast("double") * col("t") * col("t")) /
+        (col("b").cast("double") * col("c1") * col("c2"))) * 1e6 + 0.5)
+      .cast("long")
+    big.where(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        pmiMicro.as("pmi_micro"))
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,

@@ -167,6 +167,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(s(9L) == ((1L, rnd(avgOf(bz)), rnd(math.exp(avgOf(bz))))))
   }
 
+  test("tfidfTop: hand-computed micro-nat idf, score order, term tie-break") {
+    import spark.implicits._
+    // independent in-test twin of the micro-nat idf contract
+    def idf(n: Long, df: Long): Long =
+      math.floor(math.log((1 + n).toDouble / (1 + df).toDouble) * 1e6 + 0.5).toLong
+    // tf: d1 a:2 b:1; d2 a:1 c:1; d3 b:4.  df: a:2 b:2 c:1.  N=3
+    val in = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b b"))
+      .toDF("doc_id", "text")
+    val out = ops.TextStats.tfidfTop(in, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      (1L, 1L) -> (("a", 2L, 2L, 2 * idf(3, 2))),
+      (1L, 2L) -> (("b", 1L, 2L, idf(3, 2))),
+      (2L, 1L) -> (("c", 1L, 1L, idf(3, 1))),
+      (2L, 2L) -> (("a", 1L, 2L, idf(3, 2))),
+      (3L, 1L) -> (("b", 4L, 2L, 4 * idf(3, 2)))))
+    // equal scores break ties on term text ascending
+    val tie = ops.TextStats.tfidfTop(
+      Seq((1L, "x y"), (2L, "x"), (3L, "y")).toDF("doc_id", "text"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(tie((1L, 1L)) == "x" && tie((1L, 2L)) == "y")
+  }
+
+  test("pmiCollocations: hand-computed micro-nat PMI, count floor") {
+    import spark.implicits._
+    // unigrams a:3 b:3 (T=6); bigrams (a,b):3 (b,a):1 (B=4)
+    val in = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = ops.TextStats.pmiCollocations(in, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // pmi(a,b) = ln(3*6*6 / (4*3*3)) = ln(3) -> floor(ln(3)*1e6 + 0.5)
+    val pmiAb = math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    assert(out == Map(("a", "b") -> ((3L, 3L, 3L, pmiAb))))
+    // floor 1 keeps the reverse pair too, with pmi = ln(1*36/36) = 0
+    val all = ops.TextStats.pmiCollocations(in, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(all(("b", "a")) == math.floor(math.log(1.0 * 6 * 6 / (4.0 * 3 * 3)) * 1e6 + 0.5).toLong)
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")

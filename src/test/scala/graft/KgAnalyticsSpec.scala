@@ -74,6 +74,60 @@ class KgAnalyticsSpec extends AnyFunSuite {
     def toSortedSet: Seq[(String, Long)] = xs.toSeq.sorted
   }
 
+  test("hits: exact fixed-point hub/auth values after 1 and 2 iterations") {
+    // distinct non-self edges: A->B, A->C, B->C, C->A; hub0 = 10^6 each
+    // iter1 aRaw: A<-C 1e6, B<-A 1e6, C<-A+B 2e6; max 2e6
+    //   auth: A 500000, B 500000, C 1000000
+    // iter1 hRaw: A auth(B)+auth(C)=1.5e6, B auth(C)=1e6, C auth(A)=5e5; max 1.5e6
+    //   hub: A 1000000, B 666666, C 333333
+    val r1 = kg.Analytics.hits(triples, iters = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r1 == Map(
+      "A" -> ((1000000L, 500000L)),
+      "B" -> ((666666L, 500000L)),
+      "C" -> ((333333L, 1000000L))))
+    // iter2 aRaw: A<-C 333333, B<-A 1e6, C<-A+B 1666666; max 1666666
+    //   auth: A 199999, B 600000, C 1000000
+    // iter2 hRaw: A 1600000, B 1000000, C 199999; max 1600000
+    //   hub: A 1000000, B 625000, C 124999
+    val r2 = kg.Analytics.hits(triples, iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r2 == Map(
+      "A" -> ((1000000L, 199999L)),
+      "B" -> ((625000L, 600000L)),
+      "C" -> ((124999L, 1000000L))))
+  }
+
+  test("hits: driver-local and distributed paths are bit-identical") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(key(kg.Analytics.hits(triples, iters = 3)) ==
+      key(kg.Analytics.hits(triples, iters = 3, maxLocalEdges = 0L)))
+    // and partitioning-invariant on the distributed path
+    assert(key(kg.Analytics.hits(triples.repartition(8), iters = 3,
+        maxLocalEdges = 0L)) ==
+      key(kg.Analytics.hits(triples.coalesce(1), iters = 3)))
+  }
+
+  test("kCore: pendant peeled, fixpoint rounds are no-ops, empty past max core") {
+    import spark.implicits._
+    // toy graph + pendant D-A: undirected degrees A=3(B,C,D), B=2, C=2, D=1
+    val t = triples.unionByName(Seq(
+      ("d3", 0, 0, "D", "PER", "p", "A", "ORG")
+    ).toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type"))
+    // k=2: round 1 peels D, A's degree drops to 2 -> {A,B,C} all at 2
+    val m = kg.Analytics.kCore(t, k = 2, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+    // extra rounds past the fixpoint change nothing
+    val m3 = kg.Analytics.kCore(t, k = 2, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m3 == m)
+    // k above the max core empties the graph
+    assert(kg.Analytics.kCore(t, k = 3, rounds = 2).count() == 0)
+  }
+
   test("coMentions: doc-distinct pairs, ordered, thresholded") {
     val m = kg.Analytics.coMentions(triples, minDocs = 1).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
