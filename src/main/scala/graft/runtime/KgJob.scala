@@ -38,7 +38,8 @@ object KgJob {
     */
   final case class Commit(run_id: String, bucket: Int, docs: Long,
                           sents: Long, triples: Long, max_doc_id: String,
-                          committed_at: Long, counters_exact: Boolean)
+                          committed_at: Long, counters_exact: Boolean,
+                          files: Seq[String] = Seq.empty)
 
   def commitLog(spark: SparkSession, outDir: String): DataFrame = {
     val dir = new java.io.File(s"$outDir/_commits")
@@ -75,17 +76,26 @@ object KgJob {
     * no data scan (the written files are already on disk; their footers
     * carry the row counts a real table format would keep in its manifest).
     */
-  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+  private def parquetRowCount(spark: SparkSession, dir: String): Long =
+    parquetManifest(spark, dir)._2
+
+  /** Per-file manifest of a written bucket dir: (file names, exact row
+    * count) from parquet footers — metadata only, no Spark job. The file
+    * list is what the commit row records (an Iceberg manifest's data-file
+    * entries); names are dir-relative so the table stays relocatable.
+    */
+  private def parquetManifest(spark: SparkSession, dir: String): (Seq[String], Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).iterator
+    val perFile = fs.listStatus(p).iterator
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+        try (f.getPath.getName, r.getRecordCount) finally r.close()
+      }.toSeq.sortBy(_._1)
+    (perFile.map(_._1), perFile.map(_._2).sum)
   }
 
   /** Counts task attempts that were retries/speculative/failed — any of
@@ -187,9 +197,11 @@ object KgJob {
         triples.toDF().write.mode(SaveMode.Overwrite).parquet(dir)
         // listener events are posted asynchronously — drain before reading
         org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+        val (files, nTriples) = parquetManifest(spark, dir)
         appendCommit(spark, outDir, Commit(runId, b, docsAcc.value, sentsAcc.value,
-          parquetRowCount(spark, dir), maxAcc.value, System.currentTimeMillis(),
-          counters_exact = retries.dirty.get() == 0))
+          nTriples, maxAcc.value, System.currentTimeMillis(),
+          counters_exact = retries.dirty.get() == 0,
+          files = files.map(f => s"triples/bucket=$b/$f")))
       } finally spark.sparkContext.removeSparkListener(retries)
       processed += 1
     }
@@ -202,5 +214,80 @@ object KgJob {
     val dirs = done.toSeq.sorted.map(b => s"$outDir/triples/bucket=$b")
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*)
+  }
+
+  // ---- snapshot / time-travel / incremental reads over the commit log
+  // (the Iceberg snapshot surface on our parquet + commit-log realization:
+  // every commit row is one append snapshot; its `files` column is the
+  // manifest's data-file list) ----------------------------------------
+
+  /** Snapshot history: one row per commit, ordered into a deterministic
+    * total order by (committed_at, run_id, bucket) — ms timestamps can
+    * tie — with a dense 1-based `snapshot_id` and the running
+    * `cum_triples` the table held as of that snapshot.
+    */
+  def snapshots(spark: SparkSession, outDir: String): DataFrame = {
+    val log = commitLog(spark, outDir)
+    if (log.columns.isEmpty) return spark.emptyDataFrame
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("committed_at"), col("run_id"), col("bucket"))
+    log.withColumn("snapshot_id", row_number().over(w).cast("long"))
+      .withColumn("cum_triples", sum("triples").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("snapshot_id"), col("run_id"), col("bucket"), col("docs"),
+        col("sents"), col("triples"), col("cum_triples"), col("max_doc_id"),
+        col("committed_at"), col("counters_exact"), col("files"))
+  }
+
+  /** Manifested data files for snapshots in (fromExclusive, toInclusive],
+    * resolved against the table dir; fails loudly when a referenced file
+    * no longer exists (the snapshot was expired by a later overwrite of
+    * its bucket — Iceberg semantics: time travel needs retained files).
+    * Driver-side collect is O(commits) manifest rows — metadata scale,
+    * same order as a catalog's manifest-list read.
+    */
+  private def manifestFiles(spark: SparkSession, outDir: String,
+                            fromEx: Long, toInc: Long): Seq[String] = {
+    val snaps = snapshots(spark, outDir)
+    if (snaps.columns.isEmpty) return Seq.empty
+    val rows = snaps.where(col("snapshot_id") > fromEx &&
+        col("snapshot_id") <= toInc)
+      .select(col("snapshot_id"), col("files")).collect()
+    rows.flatMap { r =>
+      val sid = r.getLong(0)
+      r.getSeq[String](1).map { f =>
+        val path = s"$outDir/$f"
+        require(new java.io.File(path).exists(),
+          s"snapshot $sid references expired data file $f — " +
+            "the bucket was rewritten after this snapshot; read a newer one")
+        path
+      }
+    }.toSeq
+  }
+
+  /** Time travel: the triple table exactly as of `snapshotId` (1-based,
+    * from [[snapshots]]). Reads the manifested files, not the live bucket
+    * dirs, so a later rewrite of a bucket cannot silently leak into an
+    * old snapshot — it fails the require instead.
+    */
+  def triplesAsOf(spark: SparkSession, outDir: String, snapshotId: Long): DataFrame = {
+    val files = manifestFiles(spark, outDir, 0L, snapshotId)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Incremental (CDC) read: rows APPENDED by snapshots in
+    * (fromSnapshot, toSnapshot]. The table is append-only (each bucket
+    * commits once), so the delta is exactly the union of those commits'
+    * manifests — the input a downstream incremental consumer (index
+    * builder, embedding refresh) processes per poll.
+    */
+  def changesBetween(spark: SparkSession, outDir: String,
+                     fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"changesBetween: from $fromSnapshot > to $toSnapshot")
+    val files = manifestFiles(spark, outDir, fromSnapshot, toSnapshot)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
   }
 }

@@ -44,6 +44,43 @@ class ResumeSpec extends AnyFunSuite {
 
     // idempotence: a third run is a no-op
     assert(KgJob.run(spark, sf, resumable, "run_c", nBuckets = 8) == 0)
+
+    // ---- snapshot surface over the same kill/resume table ----
+    val snaps = KgJob.snapshots(spark, resumable).collect()
+    assert(snaps.length == 8)
+    val sids = snaps.map(_.getAs[Long]("snapshot_id")).sorted.toSeq
+    assert(sids == (1L to 8L)) // dense, 1-based
+    // the killed run's 3 commits strictly precede the resume's 5
+    val byRun = snaps.groupBy(_.getAs[String]("run_id"))
+      .view.mapValues(_.map(_.getAs[Long]("snapshot_id")).toSet).toMap
+    assert(byRun("run_a") == Set(1L, 2L, 3L) && byRun("run_b") == Set(4L, 5L, 6L, 7L, 8L))
+    // cum_triples is the running total and ends at the table size
+    val ordered = snaps.sortBy(_.getAs[Long]("snapshot_id"))
+    assert(ordered.map(_.getAs[Long]("triples")).scanLeft(0L)(_ + _).drop(1).toSeq
+      == ordered.map(_.getAs[Long]("cum_triples")).toSeq)
+    assert(ordered.last.getAs[Long]("cum_triples") == expected.length)
+
+    // time travel: as-of the kill point = exactly the 3 committed buckets;
+    // as-of the head = the full table
+    val mid = KgJob.triplesAsOf(spark, resumable, 3L)
+    assert(mid.count() == ordered(2).getAs[Long]("cum_triples"))
+    assert(KgJob.triplesAsOf(spark, resumable, 8L).collect()
+      .map(_.toString).sorted.toSeq == expected)
+
+    // CDC: (0,3] + (3,8] partitions the table exactly
+    val d1 = KgJob.changesBetween(spark, resumable, 0L, 3L).collect().map(_.toString)
+    val d2 = KgJob.changesBetween(spark, resumable, 3L, 8L).collect().map(_.toString)
+    assert((d1 ++ d2).sorted.toSeq == expected)
+    assert(KgJob.changesBetween(spark, resumable, 8L, 8L).count() == 0)
+
+    // expired snapshot fails loudly: delete one file referenced by snap 1
+    val f1 = snaps.find(_.getAs[Long]("snapshot_id") == 1L).get
+      .getAs[scala.collection.Seq[String]]("files").head
+    assert(new java.io.File(s"$resumable/$f1").delete())
+    val err = intercept[IllegalArgumentException] {
+      KgJob.triplesAsOf(spark, resumable, 8L)
+    }
+    assert(err.getMessage.contains("expired data file"))
   }
 
   test("bucket-partitioned input: pruned reads, single action per bucket") {
