@@ -669,6 +669,55 @@ object OracleSql {
     JOIN auth$iters a USING (entity_id)"""
   }
 
+  /** Integer-quantized Lloyd's k-means over the embeddings table,
+    * iterations unrolled as MATERIALIZED CTEs. Mirrors Similarity.kmeans
+    * exactly: milli-unit quantization (floor(x·1000 + 0.5) as BIGINT),
+    * integer squared-L2, truncated-mean centroid updates (`//` = Spark
+    * `div`, both truncate toward zero), init = k lowest vec_ids,
+    * (d2, cluster) lexicographic tie-break. */
+  def qKmeans(k: Int, iters: Int, dim: Int): String = {
+    def dist(centTbl: String) = s"""
+      SELECT v.vec_id, c.cluster,
+             list_sum([ (v.q[j] - c.c[j]) * (v.q[j] - c.c[j])
+                        FOR j IN generate_series(1, $dim) ]) AS d2
+      FROM qv v CROSS JOIN $centTbl c"""
+    def pick(dTbl: String) = s"""
+      SELECT vec_id, cluster, d2::BIGINT AS d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, cluster) AS rn FROM $dTbl) t WHERE rn = 1"""
+    val steps = (1 to iters).map { i =>
+      s"""cent$i AS MATERIALIZED (SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+           SELECT a.cluster, p.j AS pos, sum(v.q[p.j])::BIGINT // count(*) AS cv
+           FROM a${i - 1} a JOIN qv v USING (vec_id)
+           CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) p
+           GROUP BY 1, 2) g GROUP BY 1),
+    d$i AS (${dist(s"cent$i")}),
+    a$i AS MATERIALIZED (${pick(s"d$i")})"""
+    }.mkString(",\n    ")
+    s"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, [floor(x::DOUBLE * 1000 + 0.5)::BIGINT FOR x IN embedding] AS q
+      FROM embeddings),
+    cent0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, q AS c
+      FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k) t0),
+    d0 AS (${dist("cent0")}),
+    a0 AS MATERIALIZED (${pick("d0")}),
+    $steps
+    SELECT vec_id, cluster, d2 FROM a$iters"""
+  }
+
+  /** Adjacency-list export: per entity, out-degree and the sorted
+    * distinct out-neighbor list as a CSV string (scalar-column form of
+    * the GNN-export array). */
+  def qKgAdjacency: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes
+    SELECT subj_id AS entity_id, count(*) AS out_degree,
+           array_to_string(list_sort(list(obj_id)), ',') AS neighbors
+    FROM (SELECT DISTINCT subj_id, obj_id FROM ktriples
+          WHERE subj_id <> obj_id) de
+    GROUP BY 1"""
+
   /** Bounded k-core peeling, rounds unrolled as MATERIALIZED CTEs.
     * Mirrors Analytics.kCore exactly: symmetrized distinct edges, drop
     * nodes with degree < k each round (both endpoints must survive),

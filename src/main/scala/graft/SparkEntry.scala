@@ -147,6 +147,10 @@ object SparkEntry {
       val e = tbl(s, d, "embeddings")
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
+    // offline IVF-centroid trainer: integer-quantized Lloyd's k-means
+    // (see Similarity.kmeans exactness contract)
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeans(tbl(s, d, "embeddings"), k = 8, iters = 3)),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
     "q_agg_acc" -> ((s, d) => // Acc/Mean merge semantics (score.py:12-53)
@@ -351,6 +355,17 @@ object SparkEntry {
         walksPerStart = 2, walkLen = 3, seed = 42L)),
     "q_kg_hits" -> ((s, d) =>
       kg.Analytics.hits(canonicalTriples(s, d), iters = 5)),
+    // adjacency-list export (the GNN/embedding-trainer consumption shape):
+    // per entity, sorted distinct out-neighbors; serialized as a CSV string
+    // because the driver gate compares scalar columns (pandas can't sort
+    // array cells) — the real export would keep the array column
+    "q_kg_adjacency" -> ((s, d) =>
+      canonicalTriples(s, d)
+        .select(col("subj_id").as("entity_id"), col("obj_id"))
+        .where(col("entity_id") =!= col("obj_id")).distinct()
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("out_degree"),
+          array_join(sort_array(collect_set(col("obj_id"))), ",").as("neighbors"))),
     "q_kg_kcore" -> ((s, d) =>
       kg.Analytics.kCore(canonicalTriples(s, d), k = 2, rounds = 4)),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
@@ -772,6 +787,7 @@ object SparkEntry {
           FROM scored)
         WHERE rank <= 5"""
       },
+      "q_kmeans" -> OracleSql.qKmeans(8, 3, 64),
       "q_ann_ivf" -> {
         // same seeded centroids as Similarity.annIvf: nearest-cell
         // assignment per vector, nprobe=4 probed cells per query, exact
@@ -1011,6 +1027,7 @@ object SparkEntry {
       "q_kg_neighbor_jaccard" -> OracleSql.qKgNeighborJaccard(1, 10000),
       "q_kg_walks" -> OracleSql.qKgWalks(2, 3, 42L),
       "q_kg_hits" -> OracleSql.qKgHits(5),
+      "q_kg_adjacency" -> OracleSql.qKgAdjacency,
       "q_kg_kcore" -> OracleSql.qKgKcore(2, 4),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,

@@ -871,4 +871,62 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Lloyd's k-means over the embedding table — the offline centroid
+    * trainer the IVF docs above point at ("in production you'd train
+    * them offline"). Returns the final per-vector assignment
+    * (vec_id, cluster, d2).
+    *
+    * EXACTNESS CONTRACT (the integer analogue of the micro-nat rule):
+    * vectors are quantized once to milli-units (`floor(v·1000 + 0.5)` as
+    * BIGINT), distances are integer squared-L2, and centroid updates are
+    * integer truncated means (`sum div count`, Java semantics — DuckDB
+    * `//` matches). Float k-means depends on summation order (a shuffle
+    * reorders partial sums); integer sums don't, so assignments are
+    * bit-reproducible across partitionings and engines. Quantization
+    * error is bounded by 0.0005/component — irrelevant for cluster
+    * shapes, decisive for verifiability.
+    *
+    * Determinism: init = the k lowest-vec_id vectors (clusters 0..k-1);
+    * assignment ties break on lower cluster id; a cluster that loses all
+    * members simply drops out (no re-seeding — mirrored by the oracle).
+    *
+    * Scale shape per iteration: broadcast the k×d centroid table (tiny),
+    * one narrow pass computes every vector's nearest centroid (no
+    * shuffle on the data side), then ONE two-phase aggregate per
+    * (cluster, pos) rebuilds centroids — at 10^9 vectors the shuffle
+    * carries k·d rows. localCheckpoint keeps the iterated plan O(1)-deep.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeans: k/iters must be >= 1")
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        v => floor(v.cast("double") * 1000 + 0.5).cast("long")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = q.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cluster"), col("q").as("c"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = q
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cluster"),
+        aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+    var assigned = assign(cent)
+    for (i <- 1 to iters) {
+      cent = assigned.join(q, "vec_id")
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          expr("s div n").as("cv")))), x => x.getField("cv")).as("c"))
+        .localCheckpoint()
+      assigned = assign(cent)
+    }
+    q.unpersist(blocking = false)
+    assigned
+  }
 }

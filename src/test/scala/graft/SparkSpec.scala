@@ -112,6 +112,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.sameElements(brute))
   }
 
+  test("kmeans: hand-traced tiny run; partition-invariant on real embeddings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1-d points 0.0, 0.1, 1.0, 1.1 -> quantized 0, 100, 1000, 1100
+    // init (k=2): cluster 0 = [0], cluster 1 = [100]
+    // a0: 0->c0(d2=0), 100->c1(0), 1000->c1(810000 < 1000000), 1100->c1(1000000)
+    // cent1: c0=[0], c1=[(100+1000+1100)/3 = 733]
+    // a1: 0->c0(0), 100->c0(10000 < 400689), 1000->c1(71289), 1100->c1(134689)
+    val tiny = Seq((0L, Array(0.0f)), (1L, Array(0.1f)),
+      (2L, Array(1.0f)), (3L, Array(1.1f))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.kmeans(tiny, k = 2, iters = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(0L -> ((0L, 0L)), 1L -> ((0L, 10000L)),
+      2L -> ((1L, 71289L)), 3L -> ((1L, 134689L))))
+    // integer contract: repartitioning cannot move a single assignment
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = graft.ops.Similarity.kmeans(e.repartition(7), k = 4, iters = 2)
+      .collect().map(_.toString).sorted
+    val b = graft.ops.Similarity.kmeans(e.coalesce(1), k = 4, iters = 2)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("annIvfPq: recall vs brute, determinism, and exact-config equality") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
