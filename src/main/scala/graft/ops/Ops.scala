@@ -907,13 +907,20 @@ object Similarity {
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("long").as("cluster"), col("q").as("c"))
       .localCheckpoint()
+    // argmin via a PACKED long (d2*k + cluster): lexicographic
+    // (d2, cluster) order exactly, but min(long) stays a HashAggregate —
+    // min(struct) demotes to SortAggregate, a per-vec_id sort the N·k-row
+    // assignment input cannot afford at 10^9 vectors. Safe while
+    // d2 < Long.Max/k: milli-quantized unit-scale embeddings sit ~8
+    // orders below that.
     def assign(c: DataFrame): DataFrame = q
       .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("cluster"),
-        aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
-      .groupBy("vec_id").agg(min(struct(col("d2"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.d2").as("d2"))
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * k + col("cluster")).as("packed"))
+      .groupBy("vec_id").agg(min(col("packed")).as("m"))
+      .select(col("vec_id"), pmod(col("m"), lit(k.toLong)).as("cluster"),
+        expr(s"m div ${k}L").as("d2"))
     var assigned = assign(cent)
     for (i <- 1 to iters) {
       cent = assigned.join(q, "vec_id")
