@@ -39,7 +39,8 @@ object KgJob {
   final case class Commit(run_id: String, bucket: Int, docs: Long,
                           sents: Long, triples: Long, max_doc_id: String,
                           committed_at: Long, counters_exact: Boolean,
-                          files: Seq[String] = Seq.empty)
+                          files: Seq[String] = Seq.empty,
+                          op: String = "append")
 
   def commitLog(spark: SparkSession, outDir: String): DataFrame = {
     val dir = new java.io.File(s"$outDir/_commits")
@@ -208,12 +209,16 @@ object KgJob {
     processed
   }
 
-  /** All committed triples (union of bucket partitions). */
+  /** All committed triples — a manifest read (the latest snapshot), NOT a
+    * directory listing: retained files from superseded rewrite snapshots
+    * and orphans from a compaction that died before its commit landed
+    * must both be invisible to the live table.
+    */
   def triples(spark: SparkSession, outDir: String): DataFrame = {
-    val done = committedBuckets(spark, outDir)
-    val dirs = done.toSeq.sorted.map(b => s"$outDir/triples/bucket=$b")
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    val snaps = snapshots(spark, outDir)
+    if (snaps.columns.isEmpty) return spark.emptyDataFrame
+    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
+    triplesAsOf(spark, outDir, head)
   }
 
   // ---- snapshot / time-travel / incremental reads over the commit log
@@ -232,11 +237,14 @@ object KgJob {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("committed_at"), col("run_id"), col("bucket"))
     log.withColumn("snapshot_id", row_number().over(w).cast("long"))
-      .withColumn("cum_triples", sum("triples").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .select(col("snapshot_id"), col("run_id"), col("bucket"), col("docs"),
-        col("sents"), col("triples"), col("cum_triples"), col("max_doc_id"),
-        col("committed_at"), col("counters_exact"), col("files"))
+      // a rewrite carries the same rows in new files — only appends add
+      .withColumn("cum_triples",
+        sum(when(col("op") === "append", col("triples")).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("snapshot_id"), col("run_id"), col("bucket"), col("op"),
+        col("docs"), col("sents"), col("triples"), col("cum_triples"),
+        col("max_doc_id"), col("committed_at"), col("counters_exact"),
+        col("files"))
   }
 
   /** Manifested data files for snapshots in (fromExclusive, toInclusive],
@@ -247,19 +255,33 @@ object KgJob {
     * same order as a catalog's manifest-list read.
     */
   private def manifestFiles(spark: SparkSession, outDir: String,
-                            fromEx: Long, toInc: Long): Seq[String] = {
+                            fromEx: Long, toInc: Long,
+                            appendsOnly: Boolean = false): Seq[String] = {
     val snaps = snapshots(spark, outDir)
     if (snaps.columns.isEmpty) return Seq.empty
-    val rows = snaps.where(col("snapshot_id") > fromEx &&
-        col("snapshot_id") <= toInc)
-      .select(col("snapshot_id"), col("files")).collect()
+    val inRange = snaps.where(col("snapshot_id") > fromEx &&
+      col("snapshot_id") <= toInc)
+    // a rewrite REPLACES its bucket's manifest: a full as-of read takes
+    // each bucket's latest manifest <= the target snapshot; a CDC read
+    // takes only appends (a rewrite adds no rows)
+    val picked =
+      if (appendsOnly) inRange.where(col("op") === "append")
+      else {
+        val latest = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket")
+          .orderBy(col("snapshot_id").desc)
+        inRange.withColumn("rn", row_number().over(latest))
+          .where(col("rn") === 1)
+      }
+    val rows = picked.select(col("snapshot_id"), col("files")).collect()
     rows.flatMap { r =>
       val sid = r.getLong(0)
       r.getSeq[String](1).map { f =>
         val path = s"$outDir/$f"
         require(new java.io.File(path).exists(),
           s"snapshot $sid references expired data file $f — " +
-            "the bucket was rewritten after this snapshot; read a newer one")
+            "the bucket was rewritten and vacuumed after this snapshot; " +
+            "read a newer one")
         path
       }
     }.toSeq
@@ -286,8 +308,81 @@ object KgJob {
                      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(fromSnapshot <= toSnapshot,
       s"changesBetween: from $fromSnapshot > to $toSnapshot")
-    val files = manifestFiles(spark, outDir, fromSnapshot, toSnapshot)
+    val files = manifestFiles(spark, outDir, fromSnapshot, toSnapshot,
+      appendsOnly = true)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
+  }
+
+  /** Compact one bucket: rewrite its current manifest's rows into
+    * `targetFiles` file(s) and append a `rewrite` snapshot pointing at
+    * them. Crash-safe by WRITE ORDER, not locks: new files land under
+    * unique names first, the commit row (atomic rename) makes them live,
+    * and old files are NOT deleted — older snapshots stay readable until
+    * [[vacuum]]. A compaction that dies pre-commit leaves only orphan
+    * files, which manifest-based reads never see.
+    *
+    * At 10^12-doc scale this is the standard small-files maintenance
+    * pass: one bucket = one independent job, schedulable bucket-by-bucket
+    * behind the live pipeline.
+    */
+  def compactBucket(spark: SparkSession, outDir: String, bucket: Int,
+                    runId: String, targetFiles: Int = 1): Unit = {
+    require(committedBuckets(spark, outDir).contains(bucket),
+      s"compactBucket: bucket $bucket has no committed snapshot")
+    val snaps = snapshots(spark, outDir)
+    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
+    val cur = manifestFiles(spark, outDir, 0L, head)
+      .filter(_.contains(s"/bucket=$bucket/"))
+    val dir = s"$outDir/triples/bucket=$bucket"
+    val tmp = s"$outDir/_tmp_compact_${runId}_$bucket"
+    spark.read.parquet(cur: _*).coalesce(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val moved = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.map { case (f, i) =>
+        val name = s"compact-$runId-$i.parquet"
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dir, name).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        name
+      }.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    // exact row count of the NEW files only (the dir also holds retained
+    // old-snapshot files)
+    val nNew = moved.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
+      System.currentTimeMillis(), counters_exact = true,
+      files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "rewrite"))
+  }
+
+  /** Expire history: delete every data file not referenced by the LATEST
+    * manifest of its bucket. After this, time travel to superseded
+    * snapshots fails loudly (their files are gone) — Iceberg's
+    * expire_snapshots + remove_orphan_files in one pass. Returns the
+    * number of files deleted.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Int = {
+    val snaps = snapshots(spark, outDir)
+    if (snaps.columns.isEmpty) return 0
+    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
+    val keep = manifestFiles(spark, outDir, 0L, head)
+      .map(p => new java.io.File(p).getCanonicalPath).toSet
+    val buckets = committedBuckets(spark, outDir)
+    var deleted = 0
+    for (b <- buckets.toSeq.sorted) {
+      val dir = new java.io.File(s"$outDir/triples/bucket=$b")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !keep.contains(f.getCanonicalPath))
+        .foreach { f => if (f.delete()) deleted += 1 }
+    }
+    deleted
   }
 }

@@ -83,6 +83,38 @@ class ResumeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("expired data file"))
   }
 
+  test("compaction rewrites a bucket; vacuum expires superseded history") {
+    val sf = "/root/testdata/sf0.001"
+    val out = freshDir()
+    assert(KgJob.run(spark, sf, out, "run_c0", nBuckets = 4) == 4)
+    val before = KgJob.triples(spark, out).collect().map(_.toString).sorted.toSeq
+    val nFilesBefore = new java.io.File(s"$out/triples/bucket=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    KgJob.compactBucket(spark, out, 0, "cmp1")
+    val snaps = KgJob.snapshots(spark, out).collect()
+      .sortBy(_.getAs[Long]("snapshot_id"))
+    assert(snaps.length == 5)
+    val last = snaps.last
+    assert(last.getAs[String]("op") == "rewrite" &&
+      last.getAs[Int]("bucket") == 0)
+    assert(last.getAs[scala.collection.Seq[String]]("files").length == 1)
+    // live table identical through the rewrite; cum does not double-count
+    assert(KgJob.triples(spark, out).collect().map(_.toString).sorted.toSeq == before)
+    assert(last.getAs[Long]("cum_triples") == snaps(3).getAs[Long]("cum_triples"))
+    // CDC: a rewrite appends no rows
+    assert(KgJob.changesBetween(spark, out, 4L, 5L).count() == 0)
+    // pre-vacuum, the superseded snapshot is still readable (files retained)
+    assert(KgJob.triplesAsOf(spark, out, 4L).collect()
+      .map(_.toString).sorted.toSeq == before)
+    // vacuum deletes exactly the superseded bucket-0 files; live unchanged
+    assert(KgJob.vacuum(spark, out) == nFilesBefore)
+    assert(KgJob.triples(spark, out).collect().map(_.toString).sorted.toSeq == before)
+    val err = intercept[IllegalArgumentException] {
+      KgJob.triplesAsOf(spark, out, 4L)
+    }
+    assert(err.getMessage.contains("expired"))
+  }
+
   test("bucket-partitioned input: pruned reads, single action per bucket") {
     val sf = "/root/testdata/sf0.001"
     val in = freshDir(); val out = freshDir(); val viaGen = freshDir()
