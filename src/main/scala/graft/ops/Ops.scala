@@ -649,14 +649,20 @@ object Dedup {
     * (string order) equals the numeric min.
     */
   def dedupClusters(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                    bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                    bands: Int = 8, threshold: Double = 0.5): DataFrame =
     // materialize the pair set ONCE: connected components reads its edge
     // input several times (size probe, per-round joins or driver collect),
     // and each read would otherwise re-run the whole MinHash DAG. The pair
     // set is a small fraction of the corpus, so an eager localCheckpoint
     // is cheap at any scale.
-    val pairs = minhashDupPairs(docs, n, numHashes, bands, threshold)
-      .select("doc_a", "doc_b").localCheckpoint()
+    dedupClustersFromPairs(docs,
+      minhashDupPairs(docs, n, numHashes, bands, threshold))
+
+  /** [[dedupClusters]] over an already-computed dup-pair frame
+    * (doc_a, doc_b) — lets callers that also report the pairs themselves
+    * (or cache them per session) pay the MinHash DAG once. */
+  def dedupClustersFromPairs(docs: DataFrame, dupPairs: DataFrame): DataFrame = {
+    val pairs = dupPairs.select("doc_a", "doc_b").localCheckpoint()
     // 20 chars covers every non-negative Long (max 19 digits) — lpad
     // TRUNCATES overlong strings, so a 15-pad would silently corrupt
     // doc_id >= 10^15; negative ids are rejected because '-' breaks the
