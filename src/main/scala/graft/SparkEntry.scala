@@ -130,6 +130,9 @@ object SparkEntry {
     // collocation mining: corpus bigram PMI, count floor 5
     "q_pmi_colloc" -> ((s, d) =>
       TextStats.pmiCollocations(tbl(s, d, "documents"), minCount = 5)),
+    // tokenizer training: first 6 BPE merges learned from the corpus
+    "q_bpe_merges" -> ((s, d) =>
+      TextStats.bpeMerges(tbl(s, d, "documents"), rounds = 6)),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -660,6 +663,39 @@ object SparkEntry {
         JOIN uni u2 ON u2.w1 = g.w2
         CROSS JOIN tot
         WHERE g.c12 >= 5""",
+      // mirrors TextStats.bpeMerges: adjacent-pair counts weighted by
+      // word frequency (overlapping positions count), argmax with
+      // (cnt desc, l, r) tie-break, left-to-right NON-overlapping greedy
+      // rewrite via a singleton-list fold
+      "q_bpe_merges" -> {
+        val rounds = 6
+        val steps = (1 to rounds).map { i =>
+          s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS cnt
+               FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+                     FROM w${i - 1}) x
+               GROUP BY 1, 2),
+          b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+               ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+          w$i AS MATERIALIZED (SELECT w.n,
+               list_reduce([[s] FOR s IN w.syms], (acc, x) ->
+                 CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                      -- acc[:len(acc)-1]: DuckDB slices are 1-based and
+                      -- INCLUSIVE, so [:-1] would KEEP the last element
+                      THEN acc[:len(acc)-1] || [b.l || b.r]
+                      ELSE acc || x END) AS syms
+             FROM w${i - 1} w CROSS JOIN b$i b)"""
+        }.mkString(",\n          ")
+        val outs = (1 to rounds).map(i =>
+          s"""SELECT $i AS round, l AS "left", r AS "right", cnt::BIGINT AS cnt FROM b$i""")
+          .mkString("\n           UNION ALL ")
+        s"""
+        WITH wrd AS (SELECT w, count(*) AS n FROM
+               (SELECT unnest(${toks("lower(text)")}) AS w FROM documents) t
+             GROUP BY 1),
+        w0 AS MATERIALIZED (SELECT n, string_split(w, '') AS syms FROM wrd),
+        $steps
+        SELECT round, "left", "right", cnt FROM ($outs) m"""
+      },
       "q_decontaminate" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),

@@ -360,6 +360,64 @@ object TextStats {
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         pmiMicro.as("pmi_micro"))
   }
+
+  /** BPE tokenizer training (Sennrich et al. 2016): learn the first
+    * `rounds` byte-pair merges from the corpus. Returns the merge table
+    * (round, left, right, cnt) — the artifact a tokenizer ships.
+    *
+    * Classic BPE over the word-frequency table: words are split to
+    * characters; each round counts ADJACENT symbol pairs weighted by
+    * word frequency (overlapping positions count, e.g. "aaa" holds
+    * (a,a) twice), picks the global argmax with a total tie-break
+    * (cnt desc, left asc, right asc), and rewrites every word by the
+    * left-to-right NON-overlapping greedy merge — a freshly merged
+    * token never re-serves as a left side in the same scan. Both rules
+    * are mirrored in the oracle, so the learned merges are
+    * engine-independent.
+    *
+    * Scale shape: the word table (the classic BPE input; ~10^8 rows for
+    * a 100 TB corpus) is built once with a two-phase count; each round
+    * is one distributed pair-count aggregate + a driver-side argmax of
+    * ONE row (merge selection is inherently sequential — this is the
+    * honest minimum of driver coordination) + a narrow per-word rewrite,
+    * localCheckpointed so plans stay O(1)-deep.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"bpeMerges: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    // split to single characters; limit 0 drops java.split's trailing ""
+    var words = docs
+      .select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("w"), "", 0).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val best = words
+        .where(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) // every word is a single symbol — nothing to merge
+        return spark.createDataFrame(merges.toSeq)
+          .toDF("round", "left", "right", "cnt")
+      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((round, l, r, cnt))
+      words = words.select(col("n"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          // get() (0-based, null when empty) — element_at(-1) throws on
+          // the empty init under Spark 4's default ANSI mode
+          (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .localCheckpoint()
+    }
+    spark.createDataFrame(merges.toSeq).toDF("round", "left", "right", "cnt")
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,

@@ -207,6 +207,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(all(("b", "a")) == math.floor(math.log(1.0 * 6 * 6 / (4.0 * 3 * 3)) * 1e6 + 0.5).toLong)
   }
 
+  test("bpeMerges: hand-traced merges, overlap counting, early exhaustion") {
+    import spark.implicits._
+    // words: ab x3, cab x1. r1: (a,b)=3+1=4 beats (c,a)=1 -> merge 'ab'
+    // r2: only (c,ab)=1 remains -> merge 'cab'; r3: nothing left -> stop
+    val in = Seq((1L, "ab ab cab"), (2L, "ab")).toDF("doc_id", "text")
+    val m = ops.TextStats.bpeMerges(in, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "b", 4L), (2, "c", "ab", 1L)))
+    // counting is OVERLAPPING ((a,a) x3 in 'aaaa'), the rewrite is
+    // left-to-right NON-overlapping ('aaaa' -> [aa, aa])
+    val aa = ops.TextStats.bpeMerges(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(aa == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
