@@ -462,6 +462,36 @@ object OracleSql {
     SELECT entity_id, "rank" FROM pr$iters"""
   }
 
+  /** Personalized PageRank seeded from PER-typed canonical subjects;
+    * mirrors Analytics.personalizedPageRank exactly (seed-only teleport,
+    * rank_0 = 10^6 on seeds / 0 elsewhere). */
+  def qKgPprank(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ppr$i AS MATERIALIZED (SELECT n.entity_id,
+           CAST(n.sd * 150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS "rank"
+         FROM kn n LEFT JOIN (
+           SELECT e.dst AS entity_id, sum(p."rank" // d.odeg) AS s
+           FROM kedges e JOIN kdeg d ON d.src = e.src
+           JOIN ppr${i - 1} p ON p.entity_id = e.src GROUP BY 1) c USING (entity_id))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    kedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM ktriples
+               WHERE subj_id <> obj_id),
+    kdeg AS MATERIALIZED (SELECT src, count(*) AS odeg FROM kedges GROUP BY 1),
+    kseeds AS (SELECT DISTINCT subj_id AS entity_id FROM ktriples
+               WHERE subj_type = 'PER'),
+    kn AS MATERIALIZED (SELECT u.entity_id,
+           CASE WHEN s.entity_id IS NOT NULL THEN 1 ELSE 0 END AS sd
+         FROM (SELECT DISTINCT entity_id FROM
+               (SELECT src AS entity_id FROM kedges
+                UNION ALL SELECT dst FROM kedges) un) u
+         LEFT JOIN kseeds s USING (entity_id)),
+    ppr0 AS (SELECT entity_id, CAST(sd * 1000000 AS BIGINT) AS "rank" FROM kn),
+    $steps
+    SELECT entity_id, "rank" FROM ppr$iters"""
+  }
+
   def qKgComentions(minDocs: Long): String = s"""
     WITH RECURSIVE $triplesCanonicalCtes,
     kment AS (SELECT DISTINCT docId, e FROM

@@ -340,6 +340,13 @@ object SparkEntry {
       kg.Analytics.pageRank(canonicalTriples(s, d), iters = 10)),
     "q_kg_comentions" -> ((s, d) =>
       kg.Analytics.coMentions(canonicalTriples(s, d), minDocs = 2)),
+    "q_kg_pprank" -> ((s, d) => {
+      // relevance as seen from the PER-typed canonical subjects
+      val t = canonicalTriples(s, d)
+      kg.Analytics.personalizedPageRank(t,
+        t.where(col("subj_type") === "PER")
+          .select(col("subj_id").as("entity_id")), iters = 10)
+    }),
     "q_kg_twohop" -> ((s, d) =>
       // undirected: this grammar's objects never re-occur as subjects, so
       // the directed hop chain is empty by construction; the symmetrized
@@ -1070,6 +1077,7 @@ object SparkEntry {
       "q_triples_canonical" -> OracleSql.qTriplesCanonical,
       "q_kg_degrees" -> OracleSql.qKgDegrees,
       "q_kg_pagerank" -> OracleSql.qKgPagerank(10),
+      "q_kg_pprank" -> OracleSql.qKgPprank(10),
       "q_kg_comentions" -> OracleSql.qKgComentions(2),
       "q_kg_twohop" -> OracleSql.qKgTwoHop(undirected = true),
       "q_kg_pred_stats" -> OracleSql.qKgPredStats,

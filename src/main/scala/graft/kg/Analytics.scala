@@ -124,6 +124,72 @@ object Analytics {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass restarts ONLY at `seeds`
+    * (entity-centric relevance — "salience as seen from these PER
+    * entities"), same fixed-point integer contract as [[pageRank]]:
+    * rank_i(v) = (150000 if seed else 0) + 850·Σcontrib div 1000,
+    * rank_0 = 10^6 on seeds, 0 elsewhere. Same superstep shape, same
+    * size-adaptive driver-local fast path (bit-identical, spec-asserted).
+    */
+  def personalizedPageRank(triples: DataFrame, seeds: DataFrame,
+                           iters: Int = 10,
+                           maxLocalEdges: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
+    val edges = triples
+      .select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col("entity_id")).distinct()
+    if (edges.count() <= maxLocalEdges) {
+      val spark = triples.sparkSession
+      val local = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      edges.unpersist(blocking = false)
+      val sd = seedSet.collect().map(_.getString(0)).toSet
+      val odeg = local.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      val nodeIds = (local.map(_._1) ++ local.map(_._2)).distinct
+      var rank = nodeIds.map(n => n -> (if (sd(n)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val sums = new scala.collection.mutable.HashMap[String, Long]()
+        local.foreach { case (s, d) =>
+          sums.update(d, sums.getOrElse(d, 0L) + rank(s) / odeg(s))
+        }
+        rank = nodeIds.map(n =>
+          n -> ((if (sd(n)) 150000L else 0L) +
+            850L * sums.getOrElse(n, 0L) / 1000L)).toMap
+      }
+      import spark.implicits._
+      return spark.createDataset(nodeIds.toSeq.map(n => (n, rank(n))))
+        .toDF("entity_id", "rank")
+    }
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("entity_id"))
+      .distinct()
+      .join(seedSet.withColumn("sd", lit(1L)), Seq("entity_id"), "left")
+      .na.fill(0L, Seq("sd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("entity_id"),
+      (col("sd") * 1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("entity_id", "src"), "src")
+        .select(col("dst").as("entity_id"),
+          expr("rank div odeg").as("contrib"))
+        .groupBy("entity_id").agg(sum(col("contrib")).as("c"))
+      ranks = nodes.join(contribs, Seq("entity_id"), "left")
+        .select(col("entity_id"),
+          expr("sd * 150000L + (850L * coalesce(c, 0L)) div 1000L").as("rank"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    withDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
+
   /** Co-mention mining: entity pairs appearing in the SAME document (on
     * either side of any triple), with the number of distinct supporting
     * documents. The per-doc distinct mention set is built first (hash

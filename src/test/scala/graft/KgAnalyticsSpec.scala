@@ -74,6 +74,27 @@ class KgAnalyticsSpec extends AnyFunSuite {
     def toSortedSet: Seq[(String, Long)] = xs.toSeq.sorted
   }
 
+  test("personalizedPageRank: exact values, seed-only teleport, local==distributed") {
+    import org.apache.spark.sql.functions.col
+    val seeds = triples.where(col("subj_type") === "PER")
+      .select(col("subj_id").as("entity_id")) // {A}
+    // rank0: A=1e6, B=C=0.  iter1 sums: B=5e5, C=5e5, A=0
+    //   A = 150000, B = C = 850*500000//1000 = 425000
+    val r1 = kg.Analytics.personalizedPageRank(triples, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("A" -> 150000L, "B" -> 425000L, "C" -> 425000L))
+    // iter2 sums: B = 150000/2 = 75000, C = 75000+425000 = 500000, A = 425000
+    //   A = 150000+361250 = 511250, B = 63750, C = 425000
+    val r2 = kg.Analytics.personalizedPageRank(triples, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("A" -> 511250L, "B" -> 63750L, "C" -> 425000L))
+    val dist = kg.Analytics.personalizedPageRank(triples, seeds, iters = 3,
+      maxLocalEdges = 0L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val loc = kg.Analytics.personalizedPageRank(triples, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == loc)
+  }
+
   test("hits: exact fixed-point hub/auth values after 1 and 2 iterations") {
     // distinct non-self edges: A->B, A->C, B->C, C->A; hub0 = 10^6 each
     // iter1 aRaw: A<-C 1e6, B<-A 1e6, C<-A+B 2e6; max 2e6
