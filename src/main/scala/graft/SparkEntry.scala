@@ -233,6 +233,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => // batch gaps-and-islands sessionization
       ops.Sessions.sessionize(tbl(s, d, "events"),
         "user_id", "ts", "event_id", "value", gapSec = 43200L)),
+    "q_funnel" -> ((s, d) => // strict-order product funnel over events
+      ops.Sessions.funnel(tbl(s, d, "events"),
+        Seq("signup", "view", "click", "purchase"))),
+    "q_retention" -> ((s, d) => // cohort-by-first-day retention matrix
+      ops.Sessions.retention(tbl(s, d, "events"))),
     "q_bm25" -> ((s, d) => { // inverted-index BM25 relevance search
       import s.implicits._
       val queries = BmQueries.toDF("query_id", "term")
@@ -1002,6 +1007,34 @@ object SparkEntry {
                max(ts) AS session_end, count(*) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM s GROUP BY 1, 2""",
+      // mirrors Sessions.funnel: step k strictly after the user's first
+      // completion of step k-1
+      "q_funnel" -> """
+        WITH f1 AS MATERIALIZED (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+        f2 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN f1 p ON p.user_id = e.user_id AND e.ts > p.t
+               WHERE e.event_type = 'view' GROUP BY 1),
+        f3 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN f2 p ON p.user_id = e.user_id AND e.ts > p.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+        f4 AS MATERIALIZED (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN f3 p ON p.user_id = e.user_id AND e.ts > p.t
+               WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1 AS step, 'signup' AS event_type,
+                 (SELECT count(*) FROM f1) AS n_users
+          UNION ALL SELECT 2, 'view', (SELECT count(*) FROM f2)
+          UNION ALL SELECT 3, 'click', (SELECT count(*) FROM f3)
+          UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM f4)) u""",
+      // mirrors Sessions.retention: cohort = first active day
+      "q_retention" -> """
+        WITH fst AS (SELECT user_id, min(ts::DATE) AS cohort_date
+               FROM events GROUP BY 1),
+        act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+        SELECT cohort_date, date_diff('day', cohort_date, day) AS offset_days,
+               count(*) AS n_users
+        FROM act JOIN fst USING (user_id) GROUP BY 1, 2""",
       "q_bm25" -> {
         // constants interpolated from the SAME Scala doubles the engine
         // uses (shortest-round-trip repr), so both engines evaluate the

@@ -50,4 +50,52 @@ object Sessions {
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 6).as("sum_value"))
   }
+
+  /** Ordered-funnel analysis: how many users reach step k of `steps`,
+    * where step k must occur STRICTLY AFTER the user's first completion
+    * of step k-1 (the classic product-analytics funnel; strict order
+    * means a purchase logged before the click does not count the
+    * funnel's click->purchase edge).
+    *
+    * Shape per step: one per-user min-aggregate + one equi-join on the
+    * user key with a timestamp predicate — all hash joins on user_id,
+    * no window, no self cross join; the per-step count() actions are
+    * O(steps) tiny jobs. Deterministic: `min(ts)` needs no tiebreak.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val spark = events.sparkSession
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var cur = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+      .localCheckpoint() // each step and its count both read it
+    out += ((1, steps.head, cur.count()))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      cur = events.where(col(typeCol) === s)
+        .join(cur.select(col(userCol), col("t").as("prev_t")), userCol)
+        .where(col(tsCol) > col("prev_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+        .localCheckpoint()
+      out += ((i + 2, s, cur.count()))
+    }
+    spark.createDataFrame(out.toSeq).toDF("step", "event_type", "n_users")
+  }
+
+  /** Cohort retention matrix: users bucketed by first-activity day,
+    * counted on each later active day as an offset from their cohort —
+    * the (cohort, day-N) retention table. Two per-user aggregates + one
+    * user-keyed equi-join; day arithmetic is integer (exact).
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+      .join(first, userCol)
+      .groupBy(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) distinct upstream
+  }
 }

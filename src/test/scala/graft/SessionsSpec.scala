@@ -33,6 +33,47 @@ class SessionsSpec extends AnyFunSuite {
       ("u2", 1L) -> ((0L, 0L, 1L, 16.0))))
   }
 
+  test("funnel: strict order discriminates; out-of-order steps don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: full funnel in order
+      (1L, t(10), "signup"), (1L, t(20), "view"),
+      (1L, t(30), "click"), (1L, t(40), "purchase"),
+      // u2: click but never view -> stops at signup
+      (2L, t(10), "signup"), (2L, t(20), "click"),
+      // u3: view BEFORE signup -> the view doesn't count
+      (3L, t(20), "signup"), (3L, t(10), "view"),
+      // u4: signup -> view -> purchase (no click) -> stops at view
+      (4L, t(10), "signup"), (4L, t(20), "view"), (4L, t(30), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = ops.Sessions.funnel(ev, Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1 -> (("signup", 4L)), 2 -> (("view", 2L)),
+      3 -> (("click", 1L)), 4 -> (("purchase", 1L))))
+    // equal timestamp is NOT strictly after: a view at the signup instant
+    // does not advance the funnel
+    val tie = Seq((9L, t(10), "signup"), (9L, t(10), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val g2 = ops.Sessions.funnel(tie, Seq("signup", "view"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(g2 == Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("retention: cohort by first day, distinct users per offset") {
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      (1L, t(10)), (1L, t(day + 5)), (1L, t(day + 50)), // day0 + day1 (dup day1)
+      (2L, t(2 * day + 10))                             // later cohort, day0 only
+    ).toDF("user_id", "ts")
+    val got = ops.Sessions.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("1970-01-01", 0L) -> 1L, ("1970-01-01", 1L) -> 1L,
+      ("1970-01-03", 0L) -> 1L))
+  }
+
   test("sessionize: equal timestamps group into one session, deterministic") {
     import spark.implicits._
     val ev = Seq(
