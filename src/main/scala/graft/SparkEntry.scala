@@ -172,6 +172,24 @@ object SparkEntry {
       Similarity.kmeans(tbl(s, d, "embeddings"), k = 8, iters = 3)),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
+    "q_rollup" -> ((s, d) => // OLAP grouping sets: ROLLUP + grouping_id
+      tbl(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum((col("l_quantity") * 100).cast("long")).as("qty_cents"))),
+    "q_running_total" -> ((s, d) => { // deterministic cumulative sum
+      // integer cents: a float running sum's value depends on the window
+      // implementation's summation order (DuckDB uses segment trees),
+      // so only an integer cumulative is engine-independent
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tbl(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("running_cents", sum("cents").over(w))
+        .drop("cents")
+    }),
     "q_agg_acc" -> ((s, d) => // Acc/Mean merge semantics (score.py:12-53)
       tbl(s, d, "lineitem").groupBy("l_returnflag")
         .agg(round(avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)), 6).as("acc"),
@@ -950,6 +968,22 @@ object SparkEntry {
                round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 6) AS acc,
                count(*) AS n
         FROM lineitem GROUP BY 1""",
+      // mirrors q_rollup: Spark grouping_id() for rollup(a,b) is
+      // grouping(a)*2 + grouping(b)
+      "q_rollup" -> """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+      "q_running_total" -> """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS running_cents
+        FROM orders""",
       "q_topk_orders" -> """
         SELECT o_custkey, rn, o_orderkey FROM (
           SELECT o_custkey, o_orderkey,
