@@ -66,6 +66,10 @@ object Sessions {
              userCol: String = "user_id", tsCol: String = "ts",
              typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
+    // the rewrite introduces t/prev_t working columns (asofJoin's
+    // reserved-name contract): collisions would resolve silently wrong
+    require(!events.columns.exists(Set("t", "prev_t")),
+      s"funnel: input must not contain reserved columns t/prev_t")
     val spark = events.sparkSession
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var cur = events.where(col(typeCol) === steps.head)
@@ -90,6 +94,8 @@ object Sessions {
     */
   def retention(events: DataFrame, userCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
+    require(!events.columns.exists(Set("cohort_date", "day")),
+      s"retention: input must not contain reserved columns cohort_date/day")
     val first = events.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("cohort_date"))
     events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()

@@ -130,6 +130,36 @@ class KgAnalyticsSpec extends AnyFunSuite {
       key(kg.Analytics.hits(triples.coalesce(1), iters = 3)))
   }
 
+  test("kCore: randomized equivalence vs an in-test fixpoint peeler") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (0 until 120).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+      .filter { case (a, b) => a != b }.distinct
+    val t = edges.zipWithIndex.map { case ((a, b), i) =>
+      (s"d$i", 0, 0, s"N$a", "ORG", "p", s"N$b", "ORG")
+    }.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    // in-test twin: iterate undirected peeling to the true fixpoint
+    def fixpoint(k: Int): Map[String, Int] = {
+      var und = edges.flatMap { case (a, b) => Seq((s"N$a", s"N$b"), (s"N$b", s"N$a")) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size }
+        val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+        val nxt = und.filter { case (a, b) => keep(a) && keep(b) }
+        changed = nxt.size != und.size
+        und = nxt
+      }
+      und.groupBy(_._1).map { case (v, es) => v -> es.size }
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = kg.Analytics.kCore(t, k = k, rounds = 16).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(got == fixpoint(k), s"k=$k")
+    }
+  }
+
   test("kCore: pendant peeled, fixpoint rounds are no-ops, empty past max core") {
     import spark.implicits._
     // toy graph + pendant D-A: undirected degrees A=3(B,C,D), B=2, C=2, D=1
