@@ -133,6 +133,10 @@ object SparkEntry {
     // tokenizer training: first 6 BPE merges learned from the corpus
     "q_bpe_merges" -> ((s, d) =>
       TextStats.bpeMerges(tbl(s, d, "documents"), rounds = 6)),
+    // deterministic HLL distinct-token sketch (register-max merge —
+    // exactly checkable; see TextStats.hllTokenDistinct)
+    "q_hll_distinct" -> ((s, d) =>
+      TextStats.hllTokenDistinct(tbl(s, d, "documents"))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -693,6 +697,38 @@ object SparkEntry {
         JOIN uni u2 ON u2.w1 = g.w2
         CROSS JOIN tot
         WHERE g.c12 >= 5""",
+      // mirrors TextStats.hllTokenDistinct: same poly_hash (unsigned fold
+      // via HUGEINT, the q_kg_walks twin), same integer register math;
+      // only the final division and the linear-counting ln are floats
+      // (round-6 absorbs their <=1-ulp spread)
+      "q_hll_distinct" -> {
+        val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          "[unicode(c)::HUGEINT for c in string_split(w, '')]), " +
+          "(h, c) -> (h * 31 + c) % 18446744073709551616)"
+        s"""
+        WITH tok AS (SELECT lang, unnest(${toks("lower(text)")}) AS w FROM documents),
+        hh0 AS (SELECT lang, $u AS u0 FROM tok),
+        -- staged: mixSql textually inlines its argument ~32x, so it gets
+        -- the COLUMN u0, never the list_reduce expression (the round-3
+        -- oracle-blowup lesson)
+        hh AS (SELECT lang, (${OracleSql.mixSql("u0")})::HUGEINT AS u FROM hh0),
+        rg AS (SELECT lang, (u % 64)::BIGINT AS b,
+                 CASE WHEN (u // 64) = 0 THEN 59
+                      ELSE 59 - length(bin((u // 64)::BIGINT)) END AS rho
+               FROM hh),
+        mx AS (SELECT lang, b, max(rho) AS r FROM rg GROUP BY 1, 2),
+        per AS (SELECT lang, 64 - count(*) AS v_zero,
+                  (sum(1::BIGINT << (40 - least(r, 40)))
+                   + (64 - count(*)) * (1::BIGINT << 40))::BIGINT AS s_scaled
+                FROM mx GROUP BY 1),
+        ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM tok GROUP BY 1)
+        SELECT lang, n_exact, v_zero, s_scaled,
+               round(CASE WHEN ${TextStats.HllC} / s_scaled::DOUBLE <= 160.0
+                               AND v_zero > 0
+                          THEN 64.0 * ln(64.0 / v_zero)
+                          ELSE ${TextStats.HllC} / s_scaled::DOUBLE END, 6) AS hll_est
+        FROM per JOIN ex USING (lang)"""
+      },
       // mirrors TextStats.bpeMerges: adjacent-pair counts weighted by
       // word frequency (overlapping positions count), argmax with
       // (cnt desc, l, r) tie-break, left-to-right NON-overlapping greedy

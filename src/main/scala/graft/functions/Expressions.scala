@@ -16,6 +16,7 @@ object F {
   def word_shape(c: Column): Column = column(WordShapeExpr(expression(c)))
   def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
+  def mix64(c: Column): Column = column(Mix64(expression(c)))
   def simhash64(c: Column): Column = column(Simhash64(expression(c)))
   def hyperplane_sig(c: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneSig(expression(c), planes))
@@ -188,6 +189,20 @@ object PolyHash {
     while (i < str.length) { h = 31 * h + str.charAt(i); i += 1 }
     h
   }
+}
+
+/** splitmix64 finalizer over a long column — the avalanche mix sketches
+  * (HLL register selection) need on top of the structure-preserving
+  * [[PolyHash]]. Delegates to RuCorpus.mix, whose DuckDB twin
+  * (OracleSql.mixSql) is verified bit-exact including inputs >= 2^63.
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.corpus.RuCorpus.mix(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.corpus.RuCorpus.mix($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** Random-hyperplane LSH signature over a float-array column: bit b set

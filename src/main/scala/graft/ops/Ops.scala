@@ -361,6 +361,60 @@ object TextStats {
         pmiMicro.as("pmi_micro"))
   }
 
+  /** HyperLogLog constant for m = 64 registers and the 2^40-scaled
+    * harmonic sum: alpha_64 * m^2 * 2^40. Public so the oracle inlines
+    * the IDENTICAL double (shortest round-trip repr). */
+  val HllC: Double = 0.7213 / (1 + 1.079 / 64) * 4096 * math.pow(2, 40)
+
+  /** Per-language HyperLogLog distinct-token estimate (Flajolet et al.
+    * 2007; m = 64 registers) — the approximate-distinct sketch done so
+    * it is still EXACTLY checkable: the register update is a max (order-
+    * and retry-independent, so any partitioning/merge tree yields the
+    * SAME registers), rho comes from integer bit-length of the poly_hash
+    * value, and the harmonic sum is computed as the exact integer
+    * Σ 2^(59−r) — the only floats are one division and the linear-
+    * counting ln at the final projection, absorbed by round-6.
+    *
+    * Columns: v_zero (empty registers) and s_scaled (the integer sum)
+    * are exact; hll_est carries the estimate (small-range linear
+    * counting below 2.5m); n_exact is the true distinct count kept for
+    * error inspection at test scale — drop it at 100 TB (it is the
+    * expensive exact aggregation the sketch replaces; the sketch path
+    * itself shuffles at most lang × 64 register rows).
+    */
+  def hllTokenDistinct(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("lang"),
+      explode(tokens(F.lower_simple(col("text")))).as("w"))
+    val regs = tok
+      // splitmix64 finalizer: PolyHash is structure-preserving (similar
+      // strings share high bits), HLL register selection needs avalanche
+      .select(col("lang"), F.mix64(F.poly_hash(col("w"))).as("h"))
+      // bucket = low 6 bits (two's-complement & matches unsigned mod 64),
+      // w58 = the remaining 58 bits via unsigned shift
+      .select(col("lang"), expr("h & 63L").as("b"),
+        expr("shiftrightunsigned(h, 6)").as("w58"))
+      .select(col("lang"), col("b"),
+        when(col("w58") === 0L, lit(59))
+          .otherwise(lit(59) - length(bin(col("w58")))).as("rho"))
+      .groupBy("lang", "b").agg(max("rho").as("r"))
+    val per = regs.groupBy("lang")
+      .agg((lit(64L) - count(lit(1))).as("v_zero"),
+        // rho capped at 40 INSIDE the sum (a 2^-40 harmonic term is
+        // negligible and the cap keeps Σ 2^(40-r) + 64·2^40 < 2^47 —
+        // the uncapped 2^59 scale overflows Long at 64 empty registers)
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - least(r, 40))")).as("s_present"))
+      .select(col("lang"), col("v_zero"),
+        (col("s_present") + col("v_zero") * expr("shiftleft(CAST(1 AS BIGINT), 40)"))
+          .as("s_scaled"))
+    val raw = lit(HllC) / col("s_scaled").cast("double")
+    val est = when(raw <= 160.0 && col("v_zero") > 0,
+      lit(64.0) * log(lit(64.0) / col("v_zero"))).otherwise(raw)
+    val exact = tok.groupBy("lang").agg(countDistinct(col("w")).as("n_exact"))
+    per.join(exact, "lang")
+      .select(col("lang"), col("n_exact"), col("v_zero"), col("s_scaled"),
+        round(est, 6).as("hll_est"))
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn the first
     * `rounds` byte-pair merges from the corpus. Returns the merge table
     * (round, left, right, cnt) — the artifact a tokenizer ships.

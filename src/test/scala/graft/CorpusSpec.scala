@@ -207,6 +207,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(all(("b", "a")) == math.floor(math.log(1.0 * 6 * 6 / (4.0 * 3 * 3)) * 1e6 + 0.5).toLong)
   }
 
+  test("hllTokenDistinct: partition-invariant registers, sane estimates") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 2 == 0) "aa" else "bb",
+        (0 until 20).map(j => s"tok${(i * 7 + j * 13) % 500}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // register max is order-independent: any partitioning, same sketch
+    val a = ops.TextStats.hllTokenDistinct(docs.repartition(13)).collect()
+      .map(_.toString).sorted.toSeq
+    val b = ops.TextStats.hllTokenDistinct(docs.coalesce(1)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    // estimates land within the m=64 error regime (sigma ~ 1.04/8 = 13%)
+    val rows = ops.TextStats.hllTokenDistinct(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    rows.foreach { case (lang, (exact, est)) =>
+      assert(math.abs(est - exact) / exact < 0.5,
+        s"$lang: est $est vs exact $exact")
+    }
+  }
+
   test("bpeMerges: hand-traced merges, overlap counting, early exhaustion") {
     import spark.implicits._
     // words: ab x3, cab x1. r1: (a,b)=3+1=4 beats (c,a)=1 -> merge 'ab'
