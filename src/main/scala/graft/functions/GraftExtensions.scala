@@ -31,6 +31,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
     ("poly_hash", info("poly_hash", "64-bit polynomial rolling hash"),
       (es: Seq[Expression]) => PolyHash(es.head)),
+    ("mix64", info("mix64", "splitmix64 finalizer over a long"),
+      (es: Seq[Expression]) => Mix64(es.head)),
     ("simhash64", info("simhash64", "64-bit simhash over token FNV hashes"),
       (es: Seq[Expression]) => Simhash64(es.head)),
     ("lower_simple", info("lower_simple",

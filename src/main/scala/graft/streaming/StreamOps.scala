@@ -43,6 +43,18 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("key"), col("n"))
 
+  /** Stream-static enrichment: join a streaming feed against a STATIC
+    * dimension table (e.g. the alias -> canonical-entity dictionary).
+    * Stateless — Spark re-plans the static side per micro-batch, so a
+    * dictionary refresh (new parquet snapshot under the same path) is
+    * picked up without restarting the query; the broadcast hint keeps
+    * the per-batch plan a BroadcastHashJoin (dictionary-scale side never
+    * shuffles the stream). Left join: unmatched stream rows pass through
+    * with nulls, nothing is silently dropped.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Cross-batch exact dedup on a document stream: the FIRST doc with a
     * given content hash passes, later copies are dropped — including
     * copies arriving in later micro-batches, which a per-batch

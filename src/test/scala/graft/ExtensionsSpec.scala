@@ -17,6 +17,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
     val sh = spark.sql("SELECT simhash64('abc def abc') AS sh").head().getLong(0)
     assert(sh == graft.ops.Simhash.of("abc def abc"))
+    val mx = spark.sql("SELECT mix64(poly_hash('abc')) AS m").head().getLong(0)
+    assert(mx == graft.corpus.RuCorpus.mix(graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))))
   }
 
   test("IvfCell/IvfProbe: first-index ties, zero vectors, nprobe clamp") {

@@ -316,6 +316,26 @@ class StreamSpec extends AnyFunSuite {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
+  test("stream-static enrichment joins the dictionary per micro-batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("газпром", "E1"), ("сбер", "E2")).toDF("alias", "entity_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.enrich(
+      mem.toDF().toDF("doc_id", "alias"), dim, "alias")
+    val q = out.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "газпром"), (2L, "неизвестно"))
+      q.processAllAvailable()
+      mem.addData((3L, "сбер")) // second batch joins the same static dim
+      q.processAllAvailable()
+      val got = spark.table("enr").select("doc_id", "entity_id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSet
+      assert(got == Set((1L, "E1"), (2L, "-"), (3L, "E2")))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts finalize windows and drop late events") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
