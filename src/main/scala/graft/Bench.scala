@@ -241,9 +241,15 @@ object Bench {
     * failed in past rounds (BENCH_r01/r02 parsed=null) and its time window
     * can kill the run mid-way — write progressively so SOMETHING useful
     * survives any cutoff.
+    *
+    * Round 5: writes BENCH_LAST.json, NOT BENCH_SELF.json. BENCH_SELF.json
+    * is the POLICY-managed artifact (the day's best complete run, copied by
+    * hand per BASELINE.md) — round 4's driver window overwrote it with a
+    * contended run, destroying the day's best evidence in the working tree
+    * (VERDICT r4 nit #2). The bench itself now never touches it.
     */
   private def writeSelf(json: String): Unit =
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
 
@@ -255,7 +261,7 @@ object Bench {
                        fixed: Double, refFixed: Double,
                        cpuSec: Double, runSec: Double, gcSec: Double,
                        refCpuSec: Double, refRunSec: Double, refGcSec: Double,
-                       stealFrac: Double = 0.0) {
+                       stealFrac: Double = 0.0, probeGf: Double = 0.0) {
     def thr: Double = triples / math.max(sec - fixed, sec * 0.5)
     def thrRaw: Double = triples / sec
     def refThr: Double = refSents / math.max(refSec - refFixed, refSec * 0.5)
@@ -313,6 +319,11 @@ object Bench {
       System.err.println(f"BENCHMARK-PHASE ${(System.nanoTime() - wall0) / 1e9}%.0fs $what")
     def legAt(totalCores: Int, toyDocs: Long, rDocs: Long, reps: Int = 1): Leg = {
       mark(s"leg start cores=$totalCores")
+      // in-bracket FMA probe (third retry covariate, round-4 VERDICT #1):
+      // sampled IMMEDIATELY before the leg's session, single-threaded,
+      // no Spark — a leg that starts inside a co-tenant epoch reads a
+      // collapsed probe even when /proc/stat steal and cpu_util stay green
+      val legProbeGf = HwCeiling.quickGflops1()
       // 1 rep x MORE interleaved sessions (budget-bound): host-steal
       // epochs last minutes — longer than back-to-back reps — so widening
       // the min-reduction across time-separated sessions beats repeating
@@ -331,7 +342,7 @@ object Bench {
             val (n, t, f, c, r, g) = measure(s, tally, toyDocs, reps)
             val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, reps)
             val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
-            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg, sf)
+            return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg, sf, legProbeGf)
           } finally s.stop()
         } else s.stop()
       } catch { case _: Throwable => }
@@ -343,7 +354,7 @@ object Bench {
         val (n, t, f, c, r, g) = measure(s, tally, toyDocs, reps)
         val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, reps)
         val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
-        Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg, sf)
+        Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg, sf, legProbeGf)
       } finally s.stop()
     }
     def leg(totalCores: Int): Leg = legAt(totalCores, scaleDocs, refDocs)
@@ -366,23 +377,66 @@ object Bench {
     // scheduling gaps put it at ~0.86-0.89 — NOT contamination);
     // epoch-hit legs collapse well below (a 17.7 s leg ran ~0.5)
     val utilRetryBelow = 0.75
+    // Third + fourth covariates (round-4 VERDICT #1: the 45.96 s poisoned
+    // low leg passed steal 0.0011 AND cpu_util 0.99 because the epoch
+    // inflated CPU SECONDS themselves — 74.7 -> 243.5 across legs of
+    // identical work). Both are external contamination measures, never the
+    // reported metric:
+    //  - leg-twin cpu_sec: identical (cores, docs) work costs near-constant
+    //    CPU seconds on a healthy box; an attempt whose cpuSec exceeds the
+    //    run's best same-config attempt by >1.5x measured the HOST.
+    //  - in-bracket FMA probe: a leg whose immediately-preceding
+    //    single-thread register-FMA probe reads <0.45x the run's best
+    //    probe started inside an epoch (healthy 3.1-3.9 GF; poisoned 0.5).
+    val cpuTwinRetryRatio = 1.5
+    val probeRetryFrac = 0.45
+    // best (lowest) cpu_sec seen per identical-work config, toy and ref
+    val cpuFloor = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    val refCpuFloor = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    var probeBest = 0.0
     var legRetries = 0
-    val maxLegRetries = 3
+    val maxLegRetries = 4
     def cleanLegAt(cores: Int, toyDocs: Long, rDocs: Long, wallCap: Double, reps: Int = 1): Leg = {
+      val toyKey = (cores, toyDocs); val refKey = (cores, rDocs)
+      // cpu_sec excess vs the run's best same-config attempt (1.0 = at or
+      // below the floor; only defined once a twin exists)
+      def cpuExcess(l: Leg): Double = {
+        val t = cpuFloor.get(toyKey).map(f => l.cpuSec / math.max(f, 1e-9)).getOrElse(1.0)
+        val r = refCpuFloor.get(refKey).map(f => l.refCpuSec / math.max(f, 1e-9)).getOrElse(1.0)
+        math.max(t, r)
+      }
+      def probeDrop(l: Leg): Double =
+        if (probeBest > 0) l.probeGf / probeBest else 1.0
       def contaminated(l: Leg): Boolean =
         l.stealFrac > stealRetryAt ||
-          math.min(l.cpuUtil, l.refCpuUtil) < utilRetryBelow
+          math.min(l.cpuUtil, l.refCpuUtil) < utilRetryBelow ||
+          cpuExcess(l) > cpuTwinRetryRatio ||
+          probeDrop(l) < probeRetryFrac
+      // floors update from every attempt (min-only, so a poisoned attempt
+      // can only RAISE the bar for calling later attempts poisoned, never
+      // lower it)
+      def record(l: Leg): Unit = {
+        cpuFloor(toyKey) = math.min(cpuFloor.getOrElse(toyKey, Double.MaxValue), l.cpuSec)
+        refCpuFloor(refKey) = math.min(refCpuFloor.getOrElse(refKey, Double.MaxValue), l.refCpuSec)
+        probeBest = math.max(probeBest, l.probeGf)
+      }
       val a = legAt(cores, toyDocs, rDocs, reps)
-      if (contaminated(a) && legRetries < maxLegRetries &&
+      val aContam = contaminated(a) // evaluate BEFORE a's own floors land
+      record(a)
+      if (aContam && legRetries < maxLegRetries &&
           (System.nanoTime() - wall0) / 1e9 < wallCap) {
         legRetries += 1
         mark(f"leg retry cores=$cores steal=${a.stealFrac}%.3f " +
-          f"util=${math.min(a.cpuUtil, a.refCpuUtil)}%.2f")
+          f"util=${math.min(a.cpuUtil, a.refCpuUtil)}%.2f " +
+          f"cpu_excess=${cpuExcess(a)}%.2f probe=${a.probeGf}%.2f")
         val b = legAt(cores, toyDocs, rDocs, reps)
-        // keep the less-contaminated attempt: steal dominates, util breaks ties
-        val aBad = (a.stealFrac, 1.0 - math.min(a.cpuUtil, a.refCpuUtil))
-        val bBad = (b.stealFrac, 1.0 - math.min(b.cpuUtil, b.refCpuUtil))
-        if (Ordering[(Double, Double)].lt(bBad, aBad)) b else a
+        record(b)
+        // keep the less-contaminated attempt: steal dominates, then
+        // cpu_sec-vs-twin excess, then util. All covariates, never the
+        // reported wall time — the retried attempt is kept even if slower.
+        def bad(l: Leg) =
+          (l.stealFrac, cpuExcess(l), 1.0 - math.min(l.cpuUtil, l.refCpuUtil))
+        if (Ordering[(Double, Double, Double)].lt(bad(b), bad(a))) b else a
       } else a
     }
     // time-interleaved sessions per leg (lo,hi,lo,hi); the recorded figure
@@ -470,7 +524,10 @@ object Bench {
       // the GRADED scaling evidence. Past the budget, degrade to
       // single-shot timings (every query still gets a recorded number;
       // the trigger is elapsed wall only, never the measured values).
-      val catalogBudget = 100.0
+      // adaptive now that the catalog runs LAST: it gets whatever wall
+      // remains under the ~600 s proven-safe envelope (elapsed-wall only,
+      // never metric-conditioned)
+      val catalogBudget = math.max(30.0, 560.0 - (System.nanoTime() - wall0) / 1e9)
       val cat0 = System.nanoTime()
       val rs = sorted.map { case (name, fn) =>
         def once(): Double = {
@@ -514,12 +571,17 @@ object Bench {
       }
       ts.foreach(_.join())
     }
+    // Round 5 ordering (round-4 VERDICT #1): ALL graded scaling pairs run
+    // BEFORE the informational catalog — a contention epoch landing in the
+    // catalog can no longer eat the third main pair's wall budget. Main
+    // pairs stay separated in time by the interleaved mid pairs (steal
+    // epochs last minutes; back-to-back pairs used to all land in one).
+    mainPair()
+    midPair()
     mainPair()
     midPair()
     mainPair()
     val results = runCatalog()
-    mainPair()
-    midPair()
     val sessions = sessionsBuf.toSeq
     val midSessions = midBuf.toSeq
     val hwPost = HwCeiling.sample(cpusLow, cpus)
@@ -614,6 +676,13 @@ object Bench {
         f""""steal_frac_low_sessions":${fracs(los.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(his.map(_.stealFrac))},""" +
         f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,""" +
+        f""""cpu_twin_retry_ratio":$cpuTwinRetryRatio%.2f,"probe_retry_frac":$probeRetryFrac%.2f,""" +
+        f""""cpu_sec_low_sessions":${secsOf(los.map(_.cpuSec).toSeq)},""" +
+        f""""cpu_sec_high_sessions":${secsOf(his.map(_.cpuSec).toSeq)},""" +
+        f""""ref_cpu_sec_low_sessions":${secsOf(los.map(_.refCpuSec).toSeq)},""" +
+        f""""ref_cpu_sec_high_sessions":${secsOf(his.map(_.refCpuSec).toSeq)},""" +
+        f""""probe_gf_low_sessions":${secsOf(los.map(_.probeGf).toSeq)},""" +
+        f""""probe_gf_high_sessions":${secsOf(his.map(_.probeGf).toSeq)},""" +
         f""""efficiency_pairs":${effList(pairEffs)},"efficiency_median":${median(pairEffs)}%.3f,""" +
         f""""efficiency_minmix":$effMinmix%.3f,"efficiency_minmix_raw":$effMinmixRaw%.3f,""" +
         f""""sec_low_sessions":${secs(los.map(_.sec))},"sec_high_sessions":${secs(his.map(_.sec))},""" +
@@ -700,6 +769,10 @@ object Bench {
         f""""pairs_skipped":$midSkipped,""" +
         f""""steal_frac_low_sessions":${fracs(midLos.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(midHis.map(_.stealFrac))},""" +
+        f""""cpu_sec_low_sessions":${secs(midLos.map(_.cpuSec))},""" +
+        f""""cpu_sec_high_sessions":${secs(midHis.map(_.cpuSec))},""" +
+        f""""probe_gf_low_sessions":${secs(midLos.map(_.probeGf))},""" +
+        f""""probe_gf_high_sessions":${secs(midHis.map(_.probeGf))},""" +
         f""""hw_flops_eff":${hwMid.eff}%.3f,"hw_simd_eff":${hwMid.simdEff}%.3f,""" +
         f""""efficiency_vs_hw":${midEffRaw / saneHw(hwMid.eff)}%.3f,""" +
         f""""ref_efficiency_vs_hw":${midRefEffRaw / saneHw(hwMid.simdEff)}%.3f,""" +

@@ -191,6 +191,26 @@ object HwCeiling {
       if (simdCpuLow > 0) simdCpuHigh / simdCpuLow else cpuFreqEff
   }
 
+  /** Quick single-thread scalar-FMA probe (~0.7 s, best-of-2): the
+    * in-bracket covariate Bench samples immediately before each scaling
+    * leg. Healthy values on this box are 3.1-3.9 GF/thread; a co-tenant
+    * epoch that evades /proc/stat steal accounting AND cpu_util (round-4's
+    * 45.96 s leg passed both at probe 0.5 GF) still collapses this number,
+    * because a descheduled or frequency-starved core simply executes fewer
+    * register FMAs per wall second. Purely external: no Spark, no memory
+    * traffic, independent of the measured workload.
+    */
+  def quickGflops1(): Double = {
+    val iters = 60000000L
+    sink.addAndGet(flopKernel(iters / 8).toLong) // JIT
+    val best = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      sink.addAndGet(flopKernel(iters).toLong)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    iters * 16.0 / best / 1e9
+  }
+
   /** one bracketing sample at the two leg thread-counts (~8 s) */
   def sample(low: Int, high: Int): Sample = {
     val (sLo, sLoCpu) = gflopsPerThread2(low)
