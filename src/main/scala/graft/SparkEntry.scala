@@ -74,6 +74,21 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Learned BPE merge table for a test dir's documents, cached per
+    * (session, dir): the trainer runs eagerly (one driver argmax per
+    * round) and returns a `rounds`-row LocalRelation, so the cached value
+    * is free to reuse — q_bpe_merges, q_bpe_encode and q_pack_bpe all
+    * consume the same table.
+    */
+  private val bpeMergesCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  def bpeMerges6(s: SparkSession, dir: String): DataFrame = {
+    val perDir = bpeMergesCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      TextStats.bpeMerges(tbl(s, d, "documents"), rounds = 6))
+  }
+
   /** Flagship: the full KG-construction pipeline (sentenize -> batched
     * NER+morph+syntax inference -> dep-pattern triples -> entity linking ->
     * canonicalization) on the deterministic interleaved corpus.
@@ -131,8 +146,15 @@ object SparkEntry {
     "q_pmi_colloc" -> ((s, d) =>
       TextStats.pmiCollocations(tbl(s, d, "documents"), minCount = 5)),
     // tokenizer training: first 6 BPE merges learned from the corpus
-    "q_bpe_merges" -> ((s, d) =>
-      TextStats.bpeMerges(tbl(s, d, "documents"), rounds = 6)),
+    "q_bpe_merges" -> ((s, d) => bpeMerges6(s, d)),
+    // tokenizer APPLY: encode the corpus with the learned merge table —
+    // one row per subword piece with a deterministic dense piece id
+    "q_bpe_encode" -> ((s, d) =>
+      TextStats.bpeEncode(tbl(s, d, "documents"), bpeMerges6(s, d))),
+    // sequence packing costed in REAL learned-BPE pieces (the budget a
+    // training run actually spends), not regex words
+    "q_pack_bpe" -> ((s, d) =>
+      ops.Corpus.packBpe(tbl(s, d, "documents"), bpeMerges6(s, d), 512, 8)),
     // deterministic HLL distinct-token sketch (register-max merge —
     // exactly checkable; see TextStats.hllTokenDistinct)
     "q_hll_distinct" -> ((s, d) =>
@@ -530,6 +552,40 @@ object SparkEntry {
     // `pairs(doc_a, doc_b, jaccard)` — shared by q_minhash_dups and the
     // connected-components clustering oracle
     def minhashPairsCtes: String = minhashPairsCtesFrom("documents")
+    // BPE trainer chain mirroring TextStats.bpeMerges: adjacent-pair
+    // counts weighted by word frequency (overlapping positions count),
+    // argmax with (cnt desc, l, r) tie-break, left-to-right
+    // NON-overlapping greedy rewrite via a singleton-list fold. The word
+    // string rides through the fold so wN doubles as the APPLIED vocab
+    // for the encode/pack oracles. Ends at b1..bN (per-round winners)
+    // and wN (word -> final piece array).
+    def bpeCtes(rounds: Int): String = {
+      val steps = (1 to rounds).map { i =>
+        s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS cnt
+             FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+                   FROM w${i - 1}) x
+             GROUP BY 1, 2),
+        b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        w$i AS MATERIALIZED (SELECT w.w, w.n,
+             list_reduce([[s] FOR s IN w.syms], (acc, x) ->
+               CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                    -- acc[:len(acc)-1]: DuckDB slices are 1-based and
+                    -- INCLUSIVE, so [:-1] would KEEP the last element
+                    THEN acc[:len(acc)-1] || [b.l || b.r]
+                    ELSE acc || x END) AS syms
+           FROM w${i - 1} w CROSS JOIN b$i b)"""
+      }.mkString(",\n        ")
+      s"""wrd AS (SELECT w, count(*) AS n FROM
+             (SELECT unnest(${toks("lower(text)")}) AS w FROM documents) t
+           GROUP BY 1),
+        w0 AS MATERIALIZED (SELECT w, n, string_split(w, '') AS syms FROM wrd),
+        $steps"""
+    }
+    def bpeOuts(rounds: Int): String =
+      (1 to rounds).map(i =>
+        s"""SELECT $i AS round, l AS "left", r AS "right", cnt::BIGINT AS cnt FROM b$i""")
+        .mkString("\n           UNION ALL ")
     def minhashPairsCtesFrom(src: String) = s"""
         t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $src),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
@@ -733,35 +789,39 @@ object SparkEntry {
       // word frequency (overlapping positions count), argmax with
       // (cnt desc, l, r) tie-break, left-to-right NON-overlapping greedy
       // rewrite via a singleton-list fold
-      "q_bpe_merges" -> {
-        val rounds = 6
-        val steps = (1 to rounds).map { i =>
-          s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS cnt
-               FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
-                     FROM w${i - 1}) x
-               GROUP BY 1, 2),
-          b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
-               ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-          w$i AS MATERIALIZED (SELECT w.n,
-               list_reduce([[s] FOR s IN w.syms], (acc, x) ->
-                 CASE WHEN acc[-1] = b.l AND x[1] = b.r
-                      -- acc[:len(acc)-1]: DuckDB slices are 1-based and
-                      -- INCLUSIVE, so [:-1] would KEEP the last element
-                      THEN acc[:len(acc)-1] || [b.l || b.r]
-                      ELSE acc || x END) AS syms
-             FROM w${i - 1} w CROSS JOIN b$i b)"""
-        }.mkString(",\n          ")
-        val outs = (1 to rounds).map(i =>
-          s"""SELECT $i AS round, l AS "left", r AS "right", cnt::BIGINT AS cnt FROM b$i""")
-          .mkString("\n           UNION ALL ")
-        s"""
-        WITH wrd AS (SELECT w, count(*) AS n FROM
-               (SELECT unnest(${toks("lower(text)")}) AS w FROM documents) t
-             GROUP BY 1),
-        w0 AS MATERIALIZED (SELECT n, string_split(w, '') AS syms FROM wrd),
-        $steps
-        SELECT round, "left", "right", cnt FROM ($outs) m"""
-      },
+      "q_bpe_merges" -> s"""
+        WITH ${bpeCtes(6)}
+        SELECT round, "left", "right", cnt FROM (${bpeOuts(6)}) m""",
+      // mirrors TextStats.bpeEncode: w6 (the trainer chain's final word
+      // table, word string kept through the fold) IS the applied vocab;
+      // corpus words join it, pieces explode with 0-based seq, piece ids
+      // are row_number over the sorted distinct-piece set
+      "q_bpe_encode" -> s"""
+        WITH ${bpeCtes(6)},
+        cw AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+               FROM (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents) d),
+        corpus AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS w FROM cw),
+        wp AS (SELECT c.doc_id, c.pos, v.syms FROM corpus c JOIN w6 v USING (w)),
+        pe AS (SELECT doc_id, pos, syms,
+                      unnest(generate_series(1, len(syms))) AS j FROM wp),
+        px AS (SELECT doc_id, pos, (j - 1)::BIGINT AS seq, syms[j] AS piece FROM pe),
+        ids AS (SELECT piece, row_number() OVER (ORDER BY piece) AS piece_id
+                FROM (SELECT DISTINCT unnest(syms) AS piece FROM w6) q)
+        SELECT doc_id, pos, seq, piece, piece_id FROM px JOIN ids USING (piece)""",
+      // mirrors Corpus.packBpe: per-word piece counts off the applied
+      // vocab, summed per doc, then the packSequences window rule
+      "q_pack_bpe" -> s"""
+        WITH ${bpeCtes(6)},
+        ws AS (SELECT w, len(syms)::BIGINT AS k FROM w6),
+        cw AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+               FROM (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents) d),
+        corpus AS (SELECT doc_id, tk[i] AS w FROM cw),
+        counts AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens
+                   FROM corpus JOIN ws USING (w) GROUP BY 1),
+        t AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM counts),
+        c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+        SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens FROM c""",
       "q_decontaminate" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),

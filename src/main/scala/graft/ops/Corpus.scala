@@ -50,15 +50,45 @@ object Corpus {
     * global sort).
     */
   def packSequences(docs: DataFrame, budget: Int = 512,
-                    shards: Int = 8): DataFrame = {
+                    shards: Int = 8): DataFrame =
+    packSequencesByCounts(
+      docs.select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** [[packSequences]] core over a precomputed (doc_id, n_tokens) frame —
+    * the packing rule is tokenizer-agnostic; callers choose the counter
+    * (regex tokens above, learned-BPE pieces in [[packBpe]]).
+    */
+  def packSequencesByCounts(counts: DataFrame, budget: Int = 512,
+                            shards: Int = 8): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"),
+    counts.select(col("doc_id"),
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
-        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"),
         expr(s"cum_before div $budget").as("pack_id"), col("n_tokens"))
+  }
+
+  /** Sequence packing by REAL tokenizer counts: docs are costed in learned
+    * BPE pieces (the budget a training run actually spends), not regex
+    * words. Counts come off the distinct-word vocab ([[TextStats.bpeVocab]]
+    * `size(syms)` projection + one word-keyed equi-join + per-doc sum) —
+    * the piece stream itself is never exploded, so at 100 TB this adds one
+    * vocab join to [[packSequences]]'s single shard-key shuffle.
+    */
+  def packBpe(docs: DataFrame, merges: DataFrame, budget: Int = 512,
+              shards: Int = 8): DataFrame = {
+    val sizes = TextStats.bpeVocab(docs, merges)
+      .select(col("w"), size(col("syms")).cast("long").as("k"))
+    val counts = docs
+      .select(col("doc_id"),
+        explode(TextStats.tokens(graft.functions.F.lower_simple(col("text")))).as("w"))
+      .join(sizes, "w")
+      .groupBy("doc_id").agg(sum("k").as("n_tokens"))
+    packSequencesByCounts(counts, budget, shards)
   }
 
   /** End-to-end curation pipeline — the composed training-data flow a

@@ -472,6 +472,72 @@ object TextStats {
     }
     spark.createDataFrame(merges.toSeq).toDF("round", "left", "right", "cnt")
   }
+
+  /** BPE ENCODE — the apply side of [[bpeMerges]]: tokenize the corpus
+    * with a learned merge table. Emits one row per subword piece:
+    * (doc_id, pos, seq, piece, piece_id) where `pos` is the word's index
+    * in the document, `seq` the piece's index within the word, and
+    * `piece_id` a deterministic dense id (pieces sorted ascending) — the
+    * token-id stream a training pipeline packs.
+    *
+    * Semantics match the trainer exactly: merges apply in round order,
+    * each as one left-to-right NON-overlapping greedy rewrite (a freshly
+    * merged token never re-serves as a left side in the same scan) — so
+    * `bpeEncode(docs, bpeMerges(docs, r))` reproduces the trainer's final
+    * word table, and the DuckDB oracle mirrors both with the same fold.
+    *
+    * Scale shape (100 TB): merges are collected driver-side (the table is
+    * `rounds` rows by construction — bounded, like the trainer's one-row
+    * argmax) and baked into the plan as literals; the fold runs over the
+    * DISTINCT-WORD vocab (~10^8 rows at 100 TB, each word encoded once,
+    * one projection per merge — never over the corpus), and the corpus
+    * pays one word-keyed equi-join (vocab NOT assumed broadcastable; AQE
+    * picks broadcast when it is). The piece-id table is provably tiny —
+    * every piece is either a single character or one merge's output, so
+    * |pieces| <= |alphabet| + rounds — hence the single-partition
+    * row_number window and the broadcast id join are O(alphabet) no
+    * matter the corpus size. Reference apply-side analogue: the wordpiece
+    * encode path (slovnet/bert.py:12-43) applies a shipped subword vocab
+    * the same way this applies the shipped merge table.
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val vocab = bpeVocab(docs, merges)
+    val pieceIds = vocab.select(explode(col("syms")).as("piece")).distinct()
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy("piece")).cast("long"))
+    val corpus = docs.select(col("doc_id"),
+      posexplode(tokens(F.lower_simple(col("text"))))).toDF("doc_id", "pos", "w")
+    corpus.join(vocab, "w")
+      .select(col("doc_id"), col("pos"), posexplode(col("syms")))
+      .toDF("doc_id", "pos", "seq", "piece")
+      .join(broadcast(pieceIds), "piece")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("seq").cast("long").as("seq"), col("piece"), col("piece_id"))
+  }
+
+  /** Distinct-word → piece-array table: the merge fold of [[bpeEncode]],
+    * exposed so count-only consumers ([[Corpus.packBpe]]) project
+    * `size(syms)` off the vocab and never explode pieces at corpus scale.
+    * Persisted: every caller has at least two consumers of the fold.
+    */
+  def bpeVocab(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("round").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(ms.nonEmpty, "bpeVocab: empty merge table — train with bpeMerges first")
+    // encode each DISTINCT word once; corpus rows join back by word
+    var vocab = docs
+      .select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .distinct()
+      .select(col("w"), split(col("w"), "", 0).as("syms"))
+    for ((l, r) <- ms) {
+      vocab = vocab.select(col("w"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+    }
+    vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,

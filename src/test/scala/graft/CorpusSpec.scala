@@ -244,6 +244,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(aa == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeEncode: train->encode round trip — hand trace, merge coverage, reconstruction; packBpe") {
+    import spark.implicits._
+    val in = Seq((1L, "ab ab cab"), (2L, "ab"), (3L, "abc abd")).toDF("doc_id", "text")
+    // trace: r1 (a,b)=6 -> 'ab'; r2 tie cnt=1, (ab,c) wins l-asc -> 'abc';
+    // r3 (ab,d) wins over (c,ab) -> 'abd'
+    val merges = ops.TextStats.bpeMerges(in, rounds = 3)
+    val enc = ops.TextStats.bpeEncode(in, merges)
+    val rows = enc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // pieces sorted asc: ab=1, abc=2, abd=3, c=4
+    assert(rows == Seq(
+      (1L, 0L, 0L, "ab", 1L), (1L, 1L, 0L, "ab", 1L),
+      (1L, 2L, 0L, "c", 4L), (1L, 2L, 1L, "ab", 1L),
+      (2L, 0L, 0L, "ab", 1L),
+      (3L, 0L, 0L, "abc", 2L), (3L, 1L, 0L, "abd", 3L)))
+    // every trained merge's OUTPUT actually appears as an emitted piece
+    val pieces = rows.map(_._4).toSet
+    merges.collect().foreach(m =>
+      assert(pieces.contains(m.getString(1) + m.getString(2)),
+        s"merge ${m.getString(1)}+${m.getString(2)} never applied"))
+    // fixture corpus: concat(pieces in seq order) reconstructs every word
+    val m6 = ops.TextStats.bpeMerges(docs, rounds = 6)
+    val recon = ops.TextStats.bpeEncode(docs, m6)
+      .groupBy("doc_id", "pos")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seq"), col("piece")))),
+        x => x.getField("piece")), "").as("word"))
+    val src = docs.select(col("doc_id"),
+      posexplode(ops.TextStats.tokens(functions.F.lower_simple(col("text")))))
+      .toDF("doc_id", "pos", "w")
+    assert(recon.join(src, Seq("doc_id", "pos"))
+      .where(col("word") =!= col("w")).count() == 0)
+    assert(recon.count() == src.count())
+    // packBpe: doc1 = 4 pieces, doc2 = 1, doc3 = 2; budget 2, 1 shard
+    val p = ops.Corpus.packBpe(in, merges, budget = 2, shards = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(p == Map(1L -> ((0L, 4L)), 2L -> ((2L, 1L)), 3L -> ((2L, 2L))))
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
