@@ -705,7 +705,15 @@ object OracleSql {
     * integer squared-L2, truncated-mean centroid updates (`//` = Spark
     * `div`, both truncate toward zero), init = k lowest vec_ids,
     * (d2, cluster) lexicographic tie-break. */
-  def qKmeans(k: Int, iters: Int, dim: Int): String = {
+  def qKmeans(k: Int, iters: Int, dim: Int): String =
+    s"""
+    WITH ${qKmeansCtes(k, iters, dim)}
+    SELECT vec_id, cluster, d2 FROM a$iters"""
+
+  /** The k-means iteration chain as reusable CTE text (ends in
+    * `a<iters>(vec_id, cluster, d2)`) — q_semdedup re-derives the same
+    * assignments before its cluster-blocked pair stage. */
+  def qKmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def dist(centTbl: String) = s"""
       SELECT v.vec_id, c.cluster,
              list_sum([ (v.q[j] - c.c[j]) * (v.q[j] - c.c[j])
@@ -724,8 +732,7 @@ object OracleSql {
     d$i AS (${dist(s"cent$i")}),
     a$i AS MATERIALIZED (${pick(s"d$i")})"""
     }.mkString(",\n    ")
-    s"""
-    WITH qv AS MATERIALIZED (
+    s"""qv AS MATERIALIZED (
       SELECT vec_id, [floor(x::DOUBLE * 1000 + 0.5)::BIGINT FOR x IN embedding] AS q
       FROM embeddings),
     cent0 AS MATERIALIZED (
@@ -733,8 +740,7 @@ object OracleSql {
       FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k) t0),
     d0 AS (${dist("cent0")}),
     a0 AS MATERIALIZED (${pick("d0")}),
-    $steps
-    SELECT vec_id, cluster, d2 FROM a$iters"""
+    $steps"""
   }
 
   /** Adjacency-list export: per entity, out-degree and the sorted

@@ -196,6 +196,10 @@ object SparkEntry {
     // (see Similarity.kmeans exactness contract)
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeans(tbl(s, d, "embeddings"), k = 8, iters = 3)),
+    // SemDeDup composite: kmeans clusters -> cluster∧LSH-blocked cosine
+    // pairs -> CC survivors (ops/Corpus.semanticDedup)
+    "q_semdedup" -> ((s, d) =>
+      ops.Corpus.semanticDedup(tbl(s, d, "embeddings"), 0.4)),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
     "q_rollup" -> ((s, d) => // OLAP grouping sets: ROLLUP + grouping_id
@@ -431,16 +435,15 @@ object SparkEntry {
     "q_kg_hits" -> ((s, d) =>
       kg.Analytics.hits(canonicalTriples(s, d), iters = 5)),
     // adjacency-list export (the GNN/embedding-trainer consumption shape):
-    // per entity, sorted distinct out-neighbors; serialized as a CSV string
-    // because the driver gate compares scalar columns (pandas can't sort
-    // array cells) — the real export would keep the array column
+    // Analytics.adjacency keeps the ARRAY column + per-entity degree cap
+    // (the real export); the CSV serialization here is GATE-ONLY — the
+    // driver compares scalar columns (pandas can't sort array cells).
+    // maxDegree default (10000) far exceeds any sf0.01 degree, so the
+    // gate sees the uncapped lists; the cap behavior has its own spec.
     "q_kg_adjacency" -> ((s, d) =>
-      canonicalTriples(s, d)
-        .select(col("subj_id").as("entity_id"), col("obj_id"))
-        .where(col("entity_id") =!= col("obj_id")).distinct()
-        .groupBy("entity_id")
-        .agg(count(lit(1)).as("out_degree"),
-          array_join(sort_array(collect_set(col("obj_id"))), ",").as("neighbors"))),
+      kg.Analytics.adjacency(canonicalTriples(s, d))
+        .select(col("entity_id"), col("out_degree"),
+          array_join(col("neighbors"), ",").as("neighbors"))),
     "q_kg_kcore" -> ((s, d) =>
       kg.Analytics.kCore(canonicalTriples(s, d), k = 2, rounds = 4)),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
@@ -966,6 +969,39 @@ object SparkEntry {
         WHERE rank <= 5"""
       },
       "q_kmeans" -> OracleSql.qKmeans(8, 3, 64),
+      // SemDeDup: the q_kmeans CTE chain re-derives the assignments, the
+      // q_embed_dups blocking gains the same-cluster term, and the
+      // q_dedup_cluster recursive min-label fixpoint yields survivors
+      "q_semdedup" -> {
+        val tables = (0 until 4).map(t =>
+          s"b$t AS (SELECT vec_id, cluster, (${lshBucketSql(8, 64, 42L + t)}) AS bucket FROM ec)")
+        val cands = (0 until 4).map(t =>
+          s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$t a " +
+            s"JOIN b$t b ON a.cluster = b.cluster AND a.bucket = b.bucket " +
+            s"AND a.vec_id < b.vec_id")
+        s"""
+        WITH RECURSIVE ${OracleSql.qKmeansCtes(8, 3, 64)},
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        ec AS MATERIALIZED (
+          SELECT e.vec_id, e.emb, a.cluster FROM e JOIN a3 a USING (vec_id)),
+        ${tables.mkString(",\n        ")},
+        cand AS (${cands.mkString(" UNION ")}),
+        spairs AS MATERIALIZED (
+          SELECT c.id_a, c.id_b FROM cand c
+          JOIN ec ea ON ea.vec_id = c.id_a
+          JOIN ec eb ON eb.vec_id = c.id_b
+          WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.4),
+        sedges AS (SELECT id_a AS a, id_b AS b FROM spairs
+                   UNION ALL SELECT id_b, id_a FROM spairs),
+        sr(v, m) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e2.a, sr.m FROM sedges e2 JOIN sr ON sr.v = e2.b),
+        scc AS (SELECT v AS vec_id, min(m) AS sem_cluster FROM sr GROUP BY v)
+        SELECT a.vec_id, a.cluster, scc.sem_cluster,
+               scc.sem_cluster = a.vec_id AS keep
+        FROM a3 a JOIN scc USING (vec_id)"""
+      },
       "q_ann_ivf" -> {
         // same seeded centroids as Similarity.annIvf: nearest-cell
         // assignment per vector, nprobe=4 probed cells per query, exact

@@ -540,6 +540,13 @@ object Analytics {
       val spark = triples.sparkSession
       val local = edges.collect().map(r => (r.getString(0), r.getString(1)))
       edges.unpersist(blocking = false)
+      import spark.implicits._
+      // no (non-self) edges: empty graph, empty result — matches the
+      // distributed path and pageRank/personalizedPageRank on the same
+      // input (and keeps aRaw.values.max from throwing on an empty map)
+      if (local.isEmpty)
+        return spark.emptyDataset[(String, Long, Long)]
+          .toDF("entity_id", "hub", "auth")
       val nodeIds = (local.map(_._1) ++ local.map(_._2)).distinct
       var hub = nodeIds.map(_ -> 1000000L).toMap
       var auth = Map.empty[String, Long]
@@ -557,7 +564,6 @@ object Analytics {
         hub = nodeIds.map(n =>
           n -> hRaw.getOrElse(n, 0L) * 1000000L / hMax).toMap
       }
-      import spark.implicits._
       return spark.createDataset(nodeIds.toSeq.map(n => (n, hub(n), auth(n))))
         .toDF("entity_id", "hub", "auth")
     }
@@ -628,5 +634,44 @@ object Analytics {
     }
     edges.groupBy(col("src").as("entity_id"))
       .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Adjacency-list export — the GNN / embedding-trainer consumption
+    * shape: per entity, the TRUE distinct out-degree plus the sorted
+    * distinct out-neighbor ARRAY, capped at `maxDegree` entries
+    * (`truncated` flags capped rows). Hub rows are unbounded in a
+    * 10^12-doc corpus (a celebrity entity can reach 10^8 distinct
+    * neighbors — one row must not hold gigabytes), so the cap is part of
+    * the export contract, not an optimization; consumers route
+    * `truncated` hubs to a dedicated neighbor sampler.
+    *
+    * Determinism: the kept slice is the lexicographically FIRST
+    * `maxDegree` neighbors (rank over the sorted distinct edge list), so
+    * output is reproducible across partitionings.
+    *
+    * Shape: one distinct on (entity, neighbor), then ONE entity-keyed
+    * window pass assigns rank + full degree — the cap filter runs BEFORE
+    * collect_list, so no agg buffer ever materializes an uncapped hub
+    * list (the difference between this and `sort_array(collect_set(...))
+    * [1:maxDegree]`, which builds the 10^8-element set first). Both
+    * window functions share the entity_id partitioning: one shuffle, one
+    * sort.
+    */
+  def adjacency(triples: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 1, s"adjacency: maxDegree must be >= 1, got $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val de = triples
+      .select(col("subj_id").as("entity_id"), col("obj_id"))
+      .where(col("entity_id") =!= col("obj_id"))
+      .distinct()
+    val byEntity = Window.partitionBy("entity_id")
+    de.select(col("entity_id"), col("obj_id"),
+        row_number().over(byEntity.orderBy("obj_id")).as("rn"),
+        count(lit(1)).over(byEntity).as("deg"))
+      .where(col("rn") <= maxDegree)
+      .groupBy("entity_id")
+      .agg(first("deg").as("out_degree"),
+        sort_array(collect_list("obj_id")).as("neighbors"))
+      .withColumn("truncated", col("out_degree") > lit(maxDegree.toLong))
   }
 }

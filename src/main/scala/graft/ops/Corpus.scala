@@ -131,6 +131,47 @@ object Corpus {
     packSequences(sampled, budget, shards)
   }
 
+  /** SemDeDup-style SEMANTIC dedup over the embedding table (Abbas et
+    * al. 2023, arXiv:2303.09540), composed from the already-certified
+    * stages the way [[curate]] composes its pipeline:
+    *
+    *   1. k-means clusters the embeddings ([[Similarity.kmeans]] —
+    *      integer-quantized, bit-reproducible assignments)
+    *   2. near-dup pairs restricted to SAME-CLUSTER candidates
+    *      ([[Dedup.embeddingDupPairsInClusters]] — cluster id ∧ LSH
+    *      bucket blocking, exact-cosine verify)
+    *   3. connected components over the pair graph, one survivor per
+    *      component = min vec_id ([[Dedup.dedupClustersFromPairs]])
+    *
+    * Returns every vector with its k-means `cluster`, its semantic-dup
+    * component `sem_cluster` (its own id when isolated) and the
+    * survivor `keep` flag; `emb.join(result.where($"keep"), "vec_id")`
+    * is the semantically-deduped corpus.
+    *
+    * Scale shape: the kmeans assignment is one narrow broadcast-centroid
+    * pass per iteration; the pair self-join is bounded by
+    * cluster∧bucket block sizes (choose k ≈ √N per the paper); CC runs
+    * only over paired vectors. The assignment is localCheckpointed —
+    * it feeds both the blocking join and the final output join, and
+    * must not re-run the Lloyd's iterations.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4, k: Int = 8,
+                    iters: Int = 3, bits: Int = 8, dim: Int = 64,
+                    tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val assign = Similarity.kmeans(emb, k, iters)
+      .select(col("vec_id"), col("cluster")).localCheckpoint()
+    val pairs = Dedup.embeddingDupPairsInClusters(
+      emb, assign, threshold, bits, dim, tables, seed)
+    val cc = Dedup.dedupClustersFromPairs(
+      emb.select(col("vec_id").as("doc_id")),
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    assign.join(
+        cc.select(col("doc_id").as("vec_id"),
+          col("cluster_id").as("sem_cluster"), col("keep")),
+        "vec_id")
+      .select(col("vec_id"), col("cluster"), col("sem_cluster"), col("keep"))
+  }
+
   /** Domain-mixture accounting: docs/tokens per (lang, source) plus each
     * cell's share of total tokens — the table a mixture-weight tuner
     * reads. One partial-agg shuffle to a tiny frame; the share window

@@ -282,9 +282,15 @@ object TextStats {
     * idf follows the smoothed sklearn form ln((1+N)/(1+df)) but is fixed
     * to integer micro-nats (the [[lmPerplexity]] exactness contract):
     * `idf_micro = floor(ln((1+N)/(1+df))·10^6 + 0.5)` as BIGINT, so the
-    * score `tf * idf_micro` is an exact integer — rank order and values
-    * are bit-reproducible across partitionings and engines. Ties break
-    * on term text ascending.
+    * score `tf * idf_micro` is an exact integer — bit-reproducible across
+    * PARTITIONINGS unconditionally (the sums and joins downstream of the
+    * floor are pure integer). Cross-ENGINE exactness has one caveat: the
+    * floor itself reads a double ln, so a last-ulp difference between
+    * JVM Math.log and another libm can flip the integer when
+    * ln(...)·10^6 lands within an ulp of a half-integer boundary —
+    * astronomically rare per value but probabilistic, not proven, unlike
+    * the purely integer contracts elsewhere (same caveat as the round-6
+    * float columns). Ties break on term text ascending.
     *
     * Shape: one tokenize pass -> per-(doc,term) count (two-phase hash
     * agg) -> df is a reaggregation of THAT table (no second corpus
@@ -323,7 +329,10 @@ object TextStats {
     * pmi = ln(p(w1,w2) / (p(w1)p(w2))) = ln(c12·T·T / (B·c1·c2)) with T
     * total unigrams, B total bigrams — fixed to integer micro-nats
     * (floor(·10^6 + 0.5), the [[lmPerplexity]] contract) so output is
-    * exact. `minCount` drops rare pairs BEFORE the unigram joins (the
+    * exact across partitionings; cross-engine it carries the same
+    * ln-boundary caveat as [[tfidfTop]] (a last-ulp libm difference can
+    * flip the floored integer at knife-edge values — probabilistic, not
+    * proven). `minCount` drops rare pairs BEFORE the unigram joins (the
     * classic PMI low-count pathology and 99% of the join volume at
     * corpus scale).
     *
@@ -790,6 +799,42 @@ object Dedup {
         F.hyperplane_sig(col("embedding"), Similarity.planes(bits, dim, seed + t)))
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(F.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** [[embeddingDupPairs]] with the candidate set further restricted to
+    * SAME-CLUSTER pairs: a k-means assignment frame (vec_id, cluster)
+    * joins the hyperplane-LSH bucket as the blocking key, so candidates
+    * must share BOTH a semantic cluster and an LSH bucket before the
+    * exact-cosine verify — the pair-generation stage of SemDeDup (Abbas
+    * et al. 2023, arXiv:2303.09540). At 100 TB the cluster term is what
+    * makes the self-join tractable: bucket populations are corpus-wide
+    * under plain LSH, but cluster∧bucket blocks are bounded by the
+    * cluster size, and clusters are sized by choosing k (the paper runs
+    * k ≈ √N). On a corpus whose k-means clusters are well separated
+    * (inter-cluster cosine < threshold) the restriction loses NO pairs —
+    * asserted against [[embeddingDupPairs]] in SemDedupSpec.
+    */
+  def embeddingDupPairsInClusters(emb: DataFrame, assign: DataFrame,
+                                  threshold: Double, bits: Int = 8,
+                                  dim: Int = 64, tables: Int = 4,
+                                  seed: Long = 42L): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+    val cand = (0 until tables).map { t =>
+      val b = base.withColumn("bucket",
+        F.hyperplane_sig(col("embedding"), Similarity.planes(bits, dim, seed + t)))
+      b.as("a").join(b.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     }.reduce(_ unionAll _).distinct()
     cand

@@ -40,14 +40,50 @@ object KgJob {
                           sents: Long, triples: Long, max_doc_id: String,
                           committed_at: Long, counters_exact: Boolean,
                           files: Seq[String] = Seq.empty,
-                          op: String = "append")
+                          op: String = "append",
+                          seq: Long = 0L,
+                          change_files: Seq[String] = Seq.empty)
 
+  /** Raw commit rows. Schema-tolerant across format generations: commit
+    * files written before the manifest columns existed (no `files`/`op`)
+    * or before the monotonic `seq` are merged (`mergeSchema`) and
+    * defaulted — op='append', files=[], seq=0 — so a mixed-era `_commits`
+    * dir stays readable instead of hard-failing or NPE-ing in
+    * manifestFiles. Legacy seq=0 rows keep their original
+    * (committed_at, run_id, bucket) order; seq-era rows sort after them.
+    */
   def commitLog(spark: SparkSession, outDir: String): DataFrame = {
     val dir = new java.io.File(s"$outDir/_commits")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.getPath)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else {
+      var log = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      if (!log.columns.contains("op")) log = log.withColumn("op", lit("append"))
+      if (!log.columns.contains("files"))
+        log = log.withColumn("files", array().cast("array<string>"))
+      if (!log.columns.contains("seq")) log = log.withColumn("seq", lit(0L))
+      if (!log.columns.contains("change_files"))
+        log = log.withColumn("change_files", array().cast("array<string>"))
+      log.withColumn("op", coalesce(col("op"), lit("append")))
+        .withColumn("files",
+          coalesce(col("files"), array().cast("array<string>")))
+        .withColumn("seq", coalesce(col("seq"), lit(0L)))
+        .withColumn("change_files",
+          coalesce(col("change_files"), array().cast("array<string>")))
+    }
+  }
+
+  /** Next commit sequence number: max over the existing log + 1 (Iceberg
+    * sequence-number semantics). Single-writer per table dir (the bucket
+    * loop, compaction, vacuum and upsert all run driver-side, serially),
+    * so a read-increment is race-free; the read is one metadata-scale
+    * parquet scan of `_commits`.
+    */
+  private def nextSeq(spark: SparkSession, outDir: String): Long = {
+    val log = commitLog(spark, outDir)
+    if (log.columns.isEmpty) 1L
+    else log.agg(coalesce(max("seq"), lit(0L))).first().getLong(0) + 1L
   }
 
   def committedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
@@ -60,8 +96,12 @@ object KgJob {
     * part file into `_commits/` under a unique name (rename is atomic on
     * the same filesystem — the staged-commit protocol from SURVEY.md §7.6).
     */
-  private def appendCommit(spark: SparkSession, outDir: String, c: Commit): Unit = {
+  private def appendCommit(spark: SparkSession, outDir: String, c0: Commit): Unit = {
     import spark.implicits._
+    // stamp the monotonic sequence number at commit time — snapshot order
+    // derives from it, not from wall-clock committed_at (a clock step
+    // backwards between commits can no longer interleave snapshot ids)
+    val c = c0.copy(seq = nextSeq(spark, outDir))
     val tmp = s"$outDir/_tmp_commit_${c.run_id}_${c.bucket}"
     Seq(c).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
@@ -227,24 +267,28 @@ object KgJob {
   // manifest's data-file list) ----------------------------------------
 
   /** Snapshot history: one row per commit, ordered into a deterministic
-    * total order by (committed_at, run_id, bucket) — ms timestamps can
-    * tie — with a dense 1-based `snapshot_id` and the running
-    * `cum_triples` the table held as of that snapshot.
+    * total order by (seq, committed_at, run_id, bucket) — the persisted
+    * monotonic `seq` is primary (Iceberg sequence-number semantics: a
+    * wall clock stepping backwards between commits cannot reorder
+    * snapshot ids); committed_at/run_id/bucket only break ties among
+    * legacy pre-seq rows (all seq=0). Dense 1-based `snapshot_id` plus
+    * the running `cum_triples` the table held as of that snapshot.
     */
   def snapshots(spark: SparkSession, outDir: String): DataFrame = {
     val log = commitLog(spark, outDir)
     if (log.columns.isEmpty) return spark.emptyDataFrame
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("committed_at"), col("run_id"), col("bucket"))
+      .orderBy(col("seq"), col("committed_at"), col("run_id"), col("bucket"))
     log.withColumn("snapshot_id", row_number().over(w).cast("long"))
-      // a rewrite carries the same rows in new files — only appends add
+      // a rewrite carries the same rows in new files and an upsert is a
+      // keyed replace — only appends add to the cumulative append count
       .withColumn("cum_triples",
         sum(when(col("op") === "append", col("triples")).otherwise(0L)).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .select(col("snapshot_id"), col("run_id"), col("bucket"), col("op"),
-        col("docs"), col("sents"), col("triples"), col("cum_triples"),
-        col("max_doc_id"), col("committed_at"), col("counters_exact"),
-        col("files"))
+      .select(col("snapshot_id"), col("seq"), col("run_id"), col("bucket"),
+        col("op"), col("docs"), col("sents"), col("triples"),
+        col("cum_triples"), col("max_doc_id"), col("committed_at"),
+        col("counters_exact"), col("files"), col("change_files"))
   }
 
   /** Manifested data files for snapshots in (fromExclusive, toInclusive],
@@ -298,11 +342,12 @@ object KgJob {
     else spark.read.parquet(files: _*)
   }
 
-  /** Incremental (CDC) read: rows APPENDED by snapshots in
-    * (fromSnapshot, toSnapshot]. The table is append-only (each bucket
-    * commits once), so the delta is exactly the union of those commits'
-    * manifests — the input a downstream incremental consumer (index
-    * builder, embedding refresh) processes per poll.
+  /** Incremental (CDC) read, APPEND-ONLY view: rows appended by append
+    * snapshots in (fromSnapshot, toSnapshot] — the union of those
+    * commits' manifests. Rewrites add no rows and UPSERTS are NOT
+    * reflected here (their inserts/retracts are keyed changes, not
+    * appends); a consumer that must see upserts reads [[changelog]],
+    * which emits typed insert/delete rows for every snapshot kind.
     */
   def changesBetween(spark: SparkSession, outDir: String,
                      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
@@ -360,6 +405,141 @@ object KgJob {
     appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
       System.currentTimeMillis(), counters_exact = true,
       files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "rewrite"))
+  }
+
+  /** MERGE/upsert one bucket: replace the bucket's rows matching
+    * `updates` on `keys` with the update rows, keep everything else, and
+    * append an `upsert` snapshot — the keyed-update path an incremental
+    * KG consumer needs when entity re-canonicalization rewrites old
+    * triples (a new alias merges two canonical ids: every triple keyed
+    * by the old id is retracted and re-inserted under the new one).
+    *
+    * New bucket content = (current ⟕anti updates on keys) ⊎ updates —
+    * one left_anti equi-join plus a union, written as a FULL bucket
+    * rewrite so as-of reads stay one manifest lookup (same latest-
+    * manifest-per-bucket rule as compaction; Iceberg copy-on-write
+    * MERGE, the right trade for analytical read patterns at 10^12-doc
+    * scale — merge-on-read delta files would tax every downstream scan).
+    *
+    * Crash-safe by the compaction write order: data files first, the
+    * CDC change file second, the atomic commit rename last; a pre-commit
+    * death leaves only orphans that manifest reads never see. Old files
+    * are retained — time travel to the pre-image works until [[vacuum]].
+    *
+    * CDC: the retracted pre-image rows and inserted rows are RECORDED AT
+    * WRITE TIME to `_changes/` (the writer already has both sides in
+    * hand — recomputing them later would mean diffing two full bucket
+    * snapshots per poll) and surfaced by [[changelog]] as typed
+    * delete/insert rows. `_changes/` files are never vacuumed with the
+    * data files; they are the durable changelog.
+    */
+  def upsertBucket(spark: SparkSession, outDir: String, bucket: Int,
+                   runId: String, updates: DataFrame,
+                   keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsertBucket: keys must be non-empty")
+    require(committedBuckets(spark, outDir).contains(bucket),
+      s"upsertBucket: bucket $bucket has no committed snapshot")
+    val snaps = snapshots(spark, outDir)
+    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
+    val cur = manifestFiles(spark, outDir, 0L, head)
+      .filter(_.contains(s"/bucket=$bucket/"))
+    val old = spark.read.parquet(cur: _*)
+    require(old.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsertBucket: updates schema ${updates.columns.sorted.mkString(",")} " +
+        s"!= table schema ${old.columns.sorted.mkString(",")}")
+    keys.foreach(k => require(old.columns.contains(k),
+      s"upsertBucket: key column $k not in table schema"))
+    val u = updates.select(old.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+    val uKeys = u.select(keys.map(col): _*).distinct()
+    val retracted = old.join(uKeys, keys, "left_semi").localCheckpoint()
+    val newContent = old.join(uKeys, keys, "left_anti").unionByName(u)
+
+    val dir = s"$outDir/triples/bucket=$bucket"
+    val tmp = s"$outDir/_tmp_upsert_${runId}_$bucket"
+    newContent.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val moved = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.map { case (f, i) =>
+        val name = s"upsert-$runId-$i.parquet"
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dir, name).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        name
+      }.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+    // CDC pair, recorded before the commit makes the snapshot live
+    val changes = retracted.withColumn("change_type", lit("delete"))
+      .unionByName(u.withColumn("change_type", lit("insert")))
+    val ctmp = s"$outDir/_tmp_changes_${runId}_$bucket"
+    changes.coalesce(1).write.mode(SaveMode.Overwrite).parquet(ctmp)
+    val cname = s"changes-$runId-$bucket.parquet"
+    val cdst = new java.io.File(s"$outDir/_changes/$cname")
+    cdst.getParentFile.mkdirs()
+    val cpart = new java.io.File(ctmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cpart.toPath, cdst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ctmp))
+
+    val nNew = moved.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
+      System.currentTimeMillis(), counters_exact = true,
+      files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "upsert",
+      change_files = Seq(s"_changes/$cname")))
+  }
+
+  /** Typed changelog over (fromSnapshot, toSnapshot]: every row change
+    * with its `change_type` ('insert' | 'delete') and `snapshot_id`.
+    * Append snapshots emit their manifest rows as inserts; upsert
+    * snapshots emit their recorded retract+insert pair; rewrites emit
+    * nothing (same rows, new files). This is the feed for a consumer
+    * that maintains a downstream mirror (index, embedding store) under
+    * keyed updates — [[changesBetween]] stays the cheaper append-only
+    * contract. Cost: one manifest read plus a scan of exactly the
+    * changed files — no snapshot diffing.
+    */
+  def changelog(spark: SparkSession, outDir: String,
+                fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"changelog: from $fromSnapshot > to $toSnapshot")
+    val snaps = snapshots(spark, outDir)
+    if (snaps.columns.isEmpty) return spark.emptyDataFrame
+    val rows = snaps.where(col("snapshot_id") > fromSnapshot &&
+        col("snapshot_id") <= toSnapshot)
+      .select("snapshot_id", "op", "files", "change_files").collect()
+    val parts = rows.toSeq.flatMap { r =>
+      val sid = r.getLong(0)
+      r.getString(1) match {
+        case "append" =>
+          val fs = r.getSeq[String](2).map { f =>
+            val p = s"$outDir/$f"
+            require(new java.io.File(p).exists(),
+              s"snapshot $sid references expired data file $f — read a newer one")
+            p
+          }
+          if (fs.isEmpty) None
+          else Some(spark.read.parquet(fs: _*)
+            .withColumn("change_type", lit("insert"))
+            .withColumn("snapshot_id", lit(sid)))
+        case "upsert" =>
+          val cfs = r.getSeq[String](3).map(f => s"$outDir/$f")
+          cfs.foreach(p => require(new java.io.File(p).exists(),
+            s"snapshot $sid changelog file missing: $p"))
+          if (cfs.isEmpty) None
+          else Some(spark.read.parquet(cfs: _*)
+            .withColumn("snapshot_id", lit(sid)))
+        case _ => None // rewrite: same rows, new files
+      }
+    }
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_ unionByName _)
   }
 
   /** Expire history: delete every data file not referenced by the LATEST

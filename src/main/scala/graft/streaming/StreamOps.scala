@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** A timestamped pipeline event (a doc/triple arrival) for the streaming
   * operators below. `key` is the grouping dimension (source feed, bucket,
@@ -45,15 +45,41 @@ object StreamOps {
 
   /** Stream-static enrichment: join a streaming feed against a STATIC
     * dimension table (e.g. the alias -> canonical-entity dictionary).
-    * Stateless — Spark re-plans the static side per micro-batch, so a
-    * dictionary refresh (new parquet snapshot under the same path) is
-    * picked up without restarting the query; the broadcast hint keeps
-    * the per-batch plan a BroadcastHashJoin (dictionary-scale side never
-    * shuffles the stream). Left join: unmatched stream rows pass through
-    * with nulls, nothing is silently dropped.
+    * Stateless — Spark re-PLANS (and for a file source re-reads the
+    * already-resolved files of) the static side per micro-batch. Note
+    * this is NOT a dictionary refresh: a file-based `dim` resolves its
+    * file listing (InMemoryFileIndex) once at DataFrame creation, so
+    * parquet files added or replaced under the same path after the query
+    * starts are generally not seen (a replaced file can even fail the
+    * batch with FileNotFoundException). To pick up new dictionary
+    * snapshots without a restart, re-read the dim inside `foreachBatch`
+    * (see [[enrichRefreshing]]). The broadcast hint keeps the per-batch
+    * plan a BroadcastHashJoin (dictionary-scale side never shuffles the
+    * stream). Left join: unmatched stream rows pass through with nulls,
+    * nothing is silently dropped.
     */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** [[enrich]] with per-batch dictionary refresh: `loadDim` is invoked
+    * inside every `foreachBatch` tick, so a new dimension snapshot
+    * (e.g. a fresh parquet dir, or the latest manifest read of a
+    * KgJob table) is resolved from scratch each micro-batch — the
+    * refresh behavior `enrich`'s static plan cannot give. The per-batch
+    * cost is one metadata-scale re-resolution + broadcast of a
+    * dictionary-sized table; `emit` receives the enriched batch
+    * (exactly-once if `emit` writes idempotently by `batchId`).
+    */
+  def enrichRefreshing(stream: DataFrame, loadDim: () => DataFrame,
+                       key: String, checkpointDir: String)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batch.join(broadcast(loadDim()), Seq(key), "left"), batchId)
+      }
+      .start()
 
   /** Cross-batch exact dedup on a document stream: the FIRST doc with a
     * given content hash passes, later copies are dropped — including

@@ -400,4 +400,33 @@ class KgAnalyticsSpec extends AnyFunSuite {
       .as[(String, Int, Int, String)].collect().toSet
     assert(srows == Set(("X", 0, 0, "X"), ("X", 0, 1, "Y")))
   }
+
+  test("adjacency: uncapped lists, hub capped to first-k slice, true degree kept") {
+    import spark.implicits._
+    // hub H with 50 distinct out-neighbors (plus duplicates and a
+    // self-loop that must vanish); normal node A with 2
+    val hubEdges = (0 until 50).map(i => ("dH", 0, 0, "H", "PER", "p", f"n$i%03d", "ORG"))
+    val dupAndSelf = Seq(
+      ("dH", 1, 0, "H", "PER", "q", "n000", "ORG"), // dup neighbor, other pred
+      ("dH", 2, 0, "H", "PER", "p", "H", "PER"),    // self-loop dropped
+      ("dA", 0, 0, "A", "PER", "p", "B", "ORG"),
+      ("dA", 1, 0, "A", "PER", "p", "C", "ORG"))
+    val t = (hubEdges ++ dupAndSelf).toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+
+    // uncapped: full sorted distinct lists, nothing truncated
+    val full = kg.Analytics.adjacency(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getSeq[String](2).toSeq, r.getBoolean(3))).toMap
+    assert(full("H") == ((50L, (0 until 50).map(i => f"n$i%03d"), false)))
+    assert(full("A") == ((2L, Seq("B", "C"), false)))
+
+    // capped: hub keeps the lexicographically FIRST 10 with its TRUE
+    // degree and the truncated flag; A is untouched
+    val capped = kg.Analytics.adjacency(t, maxDegree = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getSeq[String](2).toSeq, r.getBoolean(3))).toMap
+    assert(capped("H") == ((50L, (0 until 10).map(i => f"n$i%03d"), true)))
+    assert(capped("A") == full("A"))
+  }
 }

@@ -183,4 +183,76 @@ class ResumeSpec extends AnyFunSuite {
     assert(chaosLog.exists(!_.getBoolean(2)), "retried bucket must be flagged inexact")
     assert(cleanLog.forall(_.getBoolean(2)))
   }
+
+  test("upsert mid-history: pre-image time travel + typed changelog delta") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = freshDir()
+    assert(KgJob.run(spark, sf, out, "run_u0", nBuckets = 4) == 4)
+    // canonical projection for every comparison: Spark's USING-join
+    // reorders columns keys-first, so raw Row.toString across stages
+    // would compare different column orders
+    val cols = Seq("docId", "spanOrder", "sentIdx", "subjId", "subjType",
+      "pred", "objId", "objType")
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val before = norm(KgJob.triples(spark, out))
+
+    // the re-canonicalization scenario: two existing triples of bucket 0
+    // get their subjId merged into a new canonical id, plus one brand-new
+    // triple (MERGE's insert path) — keyed on everything that is NOT
+    // being rewritten
+    val keys = Seq("docId", "spanOrder", "sentIdx", "pred", "objId")
+    val old0 = spark.read.parquet(s"$out/triples/bucket=0")
+    // victims drawn from keys that occur exactly once, so the retract set
+    // is exactly the two chosen rows (a shared key would retract more)
+    val uniq = old0.groupBy(keys.map(col): _*).count()
+      .where(col("count") === 1).drop("count")
+    val victims = old0.join(uniq, keys, "left_semi")
+      .orderBy("docId", "spanOrder", "sentIdx", "pred", "objId")
+      .limit(2).localCheckpoint()
+    assert(victims.count() == 2)
+    val renamed = victims.withColumn("subjId", lit("Q_MERGED"))
+    val fresh = renamed.limit(1)
+      .withColumn("docId", lit("doc_upsert_new"))
+      .withColumn("objId", lit("Q_NEW_OBJ"))
+    val updates = renamed.unionByName(fresh).localCheckpoint()
+
+    KgJob.upsertBucket(spark, out, 0, "up1", updates, keys)
+
+    val snaps = KgJob.snapshots(spark, out).collect()
+      .sortBy(_.getAs[Long]("snapshot_id"))
+    assert(snaps.length == 5)
+    val last = snaps.last
+    assert(last.getAs[String]("op") == "upsert" && last.getAs[Int]("bucket") == 0)
+    assert(last.getAs[scala.collection.Seq[String]]("change_files").length == 1)
+
+    // time travel to the pre-upsert head shows the pre-image exactly
+    assert(norm(KgJob.triplesAsOf(spark, out, 4L)) == before)
+
+    // live table = before - victims + updates (multiset arithmetic)
+    val expected = ((before diff norm(victims)) ++ norm(updates)).sorted
+    assert(norm(KgJob.triples(spark, out)) == expected)
+
+    // typed changelog between the two snapshots: the retract+insert pair
+    val log = KgJob.changelog(spark, out, 4L, 5L).localCheckpoint()
+    assert(log.collect().forall(_.getAs[Long]("snapshot_id") == 5L))
+    assert(norm(log.where(col("change_type") === "delete")) == norm(victims))
+    assert(norm(log.where(col("change_type") === "insert")) == norm(updates))
+    val nChanges = log.count()
+    // the append-only CDC view is (documented) blind to upserts
+    assert(KgJob.changesBetween(spark, out, 4L, 5L).count() == 0)
+    // full changelog from genesis = 4 bucket appends + the upsert pair
+    assert(KgJob.changelog(spark, out, 0L, 5L).count() ==
+      before.length + nChanges)
+
+    // vacuum expires the pre-image files; time travel fails loudly but
+    // the _changes/ changelog survives (it is not a data file)
+    assert(KgJob.vacuum(spark, out) > 0)
+    val err = intercept[IllegalArgumentException] {
+      KgJob.triplesAsOf(spark, out, 4L)
+    }
+    assert(err.getMessage.contains("expired"))
+    assert(KgJob.changelog(spark, out, 4L, 5L).count() == nChanges)
+  }
 }
