@@ -136,6 +136,49 @@ add("1. Первый пункт повестки.")
 add("2. Второй пункт. 3. Третий пункт.")
 add("А)\tвариант один. Б) вариант два.")
 
+# --- H2. combinatorial citation / list-item family (round 5, VERDICT #7):
+#        every citation sokr crossed with the follower shapes that flip the
+#        sentence-join decision — digit (joins for ALL sokrs), digit inside
+#        a closing paren, capital word (joins UNLESS the sokr is
+#        digit-only: "с."/"п." before a capital is a sentence end),
+#        end-of-text, comma continuation — so the DIGIT_ONLY_SOKRS rule is
+#        pinned per-sokr, not just on the two hand-picked cases.
+CITE_SOKRS = ["с", "п", "стр", "табл", "рис", "гл", "разд", "ст", "илл", "изд"]
+CITE_FOLLOWERS = [
+    "45 и далее",           # digit → join for every sokr
+    "7) настоящего акта",   # digit then closer → still a citation
+    "Вывод очевиден",       # capital → split iff sokr is digit-only
+    "",                     # end of text → dangling sokr
+    "12, а также прочее",   # digit + comma continuation
+]
+for sokr in CITE_SOKRS:
+    for follow in CITE_FOLLOWERS:
+        tail = f" {follow}" if follow else ""
+        add(f"Смотри {sokr}.{tail}.")
+        add(f"Это описано в {sokr}.{tail}. Конец раздела.")
+# chained citations: two sokrs in one clause, digit vs capital after each
+for s1, s2 in [("гл", "с"), ("разд", "п"), ("табл", "стр"), ("рис", "илл")]:
+    add(f"См. {s1}. 3, {s2}. 14 настоящего тома.")
+    add(f"Ссылка на {s1}. 2 дана выше. {s2.capitalize()}. Далее новый текст.")
+    add(f"В {s1}. 5 и {s2}. 9 приведены данные. Итоги ниже.")
+
+# list items: numbering markers x bodies x separators — each marker's dot
+# or closer must NOT glue items together, and lowercase bodies must not
+# split mid-item.
+LIST_MARKERS = ["1.", "2)", "10.", "а)", "б)", "А)", "IV."]
+LIST_BODIES = [
+    "подготовить отчёт до пятницы",
+    "см. п. 4 регламента",
+    "утвердить бюджет на 2021 г.",
+]
+for m in LIST_MARKERS:
+    for body in LIST_BODIES:
+        add(f"{m} {body}.")
+        add(f"Повестка: {m} {body}. Решение принято.")
+for sep in ["\n", " "]:
+    add(f"1. Первый пункт.{sep}2. Второй пункт.{sep}3. Третий пункт.")
+    add(f"а) один вариант.{sep}б) другой вариант.")
+
 # --- I. pairwise concatenations of a stride-sampled subset: multi-sentence
 #        interactions between families (boundary of case i feeding case j)
 base = list(cases)
