@@ -62,7 +62,7 @@ object Explain {
     "q_acc_agg" -> "positional zip + one partial/final avg agg; dictionary side broadcast",
     "q_agg_acc" -> "grouped accuracy agg, two-phase HashAggregate",
     "q_bpe_encode" -> "merge table applied over DISTINCT words (one projection per merge); corpus pays a single word-keyed join; piece-id table O(alphabet+rounds)",
-    "q_bucketed_join" -> "bucketed tables co-located: SortMergeJoin with ZERO Exchange on either side",
+    "q_bucketed_join" -> "bucketed tables: at sf0.01 the dim side is broadcast (zero shuffle on the fact side); with broadcast disabled the buckets co-locate a ZERO-Exchange SortMergeJoin (SparkSpec 'bucketed tables' case pins that plan)",
     "q_dedup_cluster" -> "LSH pairs localCheckpointed + session-cached once; CC restricted to paired docs; left-join re-attaches isolated docs",
     "q_distinct_sort" -> "distinct rels vocab: two-phase agg + single small sort",
     "q_entities" -> "alias same-as edges -> adaptive CC (driver UF under 2M edges, large-small-star above) -> canonical id join",

@@ -1,6 +1,6 @@
 package graft.runtime
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kg.Kg
 import graft.nlp.Pipeline
@@ -375,26 +375,51 @@ object KgJob {
                     runId: String, targetFiles: Int = 1): Unit = {
     require(committedBuckets(spark, outDir).contains(bucket),
       s"compactBucket: bucket $bucket has no committed snapshot")
-    val snaps = snapshots(spark, outDir)
-    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
-    val cur = manifestFiles(spark, outDir, 0L, head)
-      .filter(_.contains(s"/bucket=$bucket/"))
-    val dir = s"$outDir/triples/bucket=$bucket"
+    val cur = headBucketFiles(spark, outDir, bucket)
     val tmp = s"$outDir/_tmp_compact_${runId}_$bucket"
-    spark.read.parquet(cur: _*).coalesce(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val src = spark.read.parquet(cur: _*)
+    // coalesce (no shuffle) when shrinking; repartition when the target
+    // exceeds the scan's partition count (coalesce cannot grow)
+    val shaped = if (src.rdd.getNumPartitions >= targetFiles)
+      src.coalesce(targetFiles) else src.repartition(targetFiles)
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (moved, nNew) =
+      publishBucketFiles(spark, outDir, bucket, tmp, s"compact-$runId")
+    appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
+      System.currentTimeMillis(), counters_exact = true,
+      files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "rewrite"))
+  }
+
+  /** Data files of `bucket` referenced by the LATEST manifest. */
+  private def headBucketFiles(spark: SparkSession, outDir: String,
+                              bucket: Int): Seq[String] = {
+    val head = snapshots(spark, outDir).agg(max("snapshot_id"))
+      .first().getLong(0)
+    manifestFiles(spark, outDir, 0L, head)
+      .filter(_.contains(s"/bucket=$bucket/"))
+  }
+
+  /** Move the parquet parts under `tmp` into the bucket dir under
+    * deterministic names, delete `tmp`, and return (names, exact row
+    * count of the NEW files only — the dir also holds retained
+    * old-snapshot files). Shared publish tail of every rewrite path
+    * (compact / z-order / upsert); the atomic per-file moves keep the
+    * crash-safety order (data first, commit rename last).
+    */
+  private def publishBucketFiles(spark: SparkSession, outDir: String,
+                                 bucket: Int, tmp: String,
+                                 namePrefix: String): (Seq[String], Long) = {
+    val dir = s"$outDir/triples/bucket=$bucket"
     val moved = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.map { case (f, i) =>
-        val name = s"compact-$runId-$i.parquet"
+        val name = s"$namePrefix-$i.parquet"
         java.nio.file.Files.move(f.toPath,
           new java.io.File(dir, name).toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         name
       }.toSeq
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    // exact row count of the NEW files only (the dir also holds retained
-    // old-snapshot files)
     val nNew = moved.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$dir/$f"),
@@ -402,6 +427,113 @@ object KgJob {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum
+    (moved, nNew)
+  }
+
+  /** Sampled range-bin boundaries for one column, RangePartitioner-style:
+    * deterministic seed, boundaries drawn as evenly spaced order
+    * statistics of a bounded sample (driver memory O(bins·64), never the
+    * column). Strings sort by UTF-8 byte order to match Spark's binary
+    * UTF8String comparison, so the bin of a row agrees with how `>=`
+    * orders it executor-side.
+    */
+  private[graft] def sampleBoundaries(df: DataFrame, c: String,
+                                        bits: Int): Seq[String] = {
+    val nBins = 1 << bits
+    val vals = df.select(col(c).cast("string")).where(col(c).isNotNull)
+    val n = vals.count()
+    if (n == 0) return Seq.empty
+    val frac = math.min(1.0, (nBins * 64L).toDouble / n)
+    val sample = vals.sample(withReplacement = false, frac, seed = 42L)
+      .collect().map(_.getString(0))
+    if (sample.isEmpty) return Seq.empty
+    val sorted = sample.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
+    (1 until nBins).map { i =>
+      sorted(math.min(((i.toLong * sorted.length) / nBins).toInt,
+        sorted.length - 1))
+    }.distinct
+  }
+
+  /** Range-bin id of `c` against sampled `boundaries`: the count of
+    * boundaries <= value, as a codegen'd aggregate over the broadcast
+    * literal array — O(bins) comparisons per row, no join, no UDF.
+    */
+  private[graft] def rangeBin(c: String, boundaries: Seq[String]): Column =
+    if (boundaries.isEmpty) lit(0L)
+    else aggregate(
+      typedLit(boundaries), lit(0L),
+      (acc, b) => acc + when(col(c).cast("string") >= b, 1L).otherwise(0L))
+
+  /** Morton/Z-value: interleave the low `bits` bits of each bin id so a
+    * sort on the result clusters ALL dimensions at once. Built from
+    * builtin bitwise ops — a static, whole-stage-codegen expression tree
+    * of 2·bits·k nodes.
+    */
+  private[graft] def interleaveBits(bins: Seq[Column], bits: Int): Column = {
+    val k = bins.length
+    var z: Column = lit(0L)
+    for (j <- 0 until bits; i <- 0 until k) {
+      val bit = shiftright(bins(i).cast("long"), j).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, j * k + (k - 1 - i)))
+    }
+    z
+  }
+
+  /** Z-ORDER compaction: rewrite a bucket clustered on the Morton curve
+    * over `zCols`, so parquet file/row-group min-max ranges become
+    * selective on EVERY z column at once — the data-layout prerequisite
+    * for scan pruning at 10^12 rows (a triple store is read by subj
+    * lookups AND by pred scans; a single-column sort serves only one).
+    * Delta's OPTIMIZE ZORDER shape, re-expressed on this manifest layer:
+    *
+    *  - per column: sampled range-bin boundaries (bounded sample,
+    *    broadcast as a literal array — no global sort per column, which
+    *    would single-partition a window);
+    *  - z-value: bit-interleave of the bin ids (codegen expression tree);
+    *  - layout: `repartitionByRange(targetFiles, zval)` + sort within
+    *    partitions — one range shuffle, each output file owns a
+    *    contiguous z-range;
+    *  - commit: a normal `rewrite` snapshot (same rows, new files), so
+    *    time travel / CDC / vacuum semantics are untouched.
+    */
+  def compactBucketZOrder(spark: SparkSession, outDir: String, bucket: Int,
+                          runId: String, zCols: Seq[String],
+                          targetFiles: Int = 4, bits: Int = 8): Unit = {
+    require(zCols.nonEmpty, "compactBucketZOrder: zCols must be non-empty")
+    require(targetFiles >= 1 && bits >= 1 && bits * zCols.length <= 63,
+      s"compactBucketZOrder: need 1 <= bits*k <= 63, got bits=$bits k=${zCols.length}")
+    require(committedBuckets(spark, outDir).contains(bucket),
+      s"compactBucketZOrder: bucket $bucket has no committed snapshot")
+    val cur = headBucketFiles(spark, outDir, bucket)
+    val df = spark.read.parquet(cur: _*)
+    zCols.foreach(c => require(df.columns.contains(c),
+      s"compactBucketZOrder: column $c not in table schema"))
+    require(!df.columns.contains("__zval"),
+      "compactBucketZOrder: __zval is reserved")
+    // left-align each column's bins to the shared bit width: a
+    // low-cardinality column (e.g. ~10 predicates vs thousands of
+    // subjects) otherwise leaves its high bits zero and the curve
+    // degenerates to a single-column sort — its most significant
+    // EFFECTIVE bit must land at position bits-1 to interleave at the
+    // same granularity as the wide column
+    val bins = zCols.map { c =>
+      val bnd = sampleBoundaries(df, c, bits)
+      val effBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, bnd.length.toLong)))
+      shiftleft(rangeBin(c, bnd), bits - effBits)
+    }
+    val tmp = s"$outDir/_tmp_zorder_${runId}_$bucket"
+    df.withColumn("__zval", interleaveBits(bins, bits))
+      .repartitionByRange(targetFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (moved, nNew) =
+      publishBucketFiles(spark, outDir, bucket, tmp, s"zorder-$runId")
     appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
       System.currentTimeMillis(), counters_exact = true,
       files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "rewrite"))
@@ -439,10 +571,7 @@ object KgJob {
     require(keys.nonEmpty, "upsertBucket: keys must be non-empty")
     require(committedBuckets(spark, outDir).contains(bucket),
       s"upsertBucket: bucket $bucket has no committed snapshot")
-    val snaps = snapshots(spark, outDir)
-    val head = snaps.agg(max("snapshot_id")).first().getLong(0)
-    val cur = manifestFiles(spark, outDir, 0L, head)
-      .filter(_.contains(s"/bucket=$bucket/"))
+    val cur = headBucketFiles(spark, outDir, bucket)
     val old = spark.read.parquet(cur: _*)
     require(old.columns.sorted.sameElements(updates.columns.sorted),
       s"upsertBucket: updates schema ${updates.columns.sorted.mkString(",")} " +
@@ -454,19 +583,10 @@ object KgJob {
     val retracted = old.join(uKeys, keys, "left_semi").localCheckpoint()
     val newContent = old.join(uKeys, keys, "left_anti").unionByName(u)
 
-    val dir = s"$outDir/triples/bucket=$bucket"
     val tmp = s"$outDir/_tmp_upsert_${runId}_$bucket"
     newContent.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val moved = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.map { case (f, i) =>
-        val name = s"upsert-$runId-$i.parquet"
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(dir, name).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        name
-      }.toSeq
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val (moved, nNew) =
+      publishBucketFiles(spark, outDir, bucket, tmp, s"upsert-$runId")
 
     // CDC pair, recorded before the commit makes the snapshot live
     val changes = retracted.withColumn("change_type", lit("delete"))
@@ -482,13 +602,6 @@ object KgJob {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ctmp))
 
-    val nNew = moved.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dir/$f"),
-        spark.sparkContext.hadoopConfiguration)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
     appendCommit(spark, outDir, Commit(runId, bucket, 0L, 0L, nNew, "",
       System.currentTimeMillis(), counters_exact = true,
       files = moved.map(f => s"triples/bucket=$bucket/$f"), op = "upsert",
