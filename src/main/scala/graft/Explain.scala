@@ -54,6 +54,7 @@ object Explain {
     "q_kmeans" -> "broadcast k x d centroids, narrow packed-long argmin assign (HashAggregate, not SortAggregate), k x d update shuffle per iter",
     "q_bpe_merges" -> "distributed pair counts + fold-based greedy rewrite; one-row argmax per round (inherent to BPE)",
     "q_hll_distinct" -> "mix64 registers, lang x 64 sketch shuffle; order/retry independent",
+    "q_cms_topk" -> "Count-Min registers: constant 4096-row shuffle + broadcast register join; n_exact is test-scale-only inspection",
     "q_kg_pprank" -> "seed-restart supersteps, lineage-truncated",
     "q_funnel" -> "per-step min-agg + user-keyed equi-join chain; no windows, no self-cross-join",
     "q_retention" -> "two per-user aggs + one equi-join",

@@ -159,6 +159,9 @@ object SparkEntry {
     // exactly checkable; see TextStats.hllTokenDistinct)
     "q_hll_distinct" -> ((s, d) =>
       TextStats.hllTokenDistinct(tbl(s, d, "documents"))),
+    // Count-Min heavy hitters (register-sum merge — exactly checkable;
+    // the hot-entity/salting-hint sketch; see TextStats.cmsTopK)
+    "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(tbl(s, d, "documents"))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -787,6 +790,37 @@ object SparkEntry {
                           THEN 64.0 * ln(64.0 / v_zero)
                           ELSE ${TextStats.HllC} / s_scaled::DOUBLE END, 6) AS hll_est
         FROM per JOIN ex USING (lang)"""
+      },
+      // mirrors TextStats.cmsTopK: 4 suffix-keyed hash rows
+      // (w || chr(1) || i — the q_kg_walks composite-key twin pattern),
+      // power-of-two width so HUGEINT % 1024 equals the engine's signed
+      // & 1023; registers are plain counts, estimate = min across rows —
+      // all integers, hash-checkable
+      "q_cms_topk" -> {
+        def u(i: Int) = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          s"[unicode(c)::HUGEINT for c in string_split(w || chr(1) || '$i', '')]), " +
+          "(h, c) -> (h * 31 + c) % 18446744073709551616)"
+        val mCtes = (0 until TextStats.CmsDepth).map { i =>
+          s"""u$i AS (SELECT w, ${u(i)} AS u0 FROM tok),
+        m$i AS MATERIALIZED (SELECT w,
+          ((${OracleSql.mixSql("u0")})::HUGEINT % ${TextStats.CmsWidth})::BIGINT AS j
+          FROM u$i)"""
+        }.mkString(",\n        ")
+        val regSel = (0 until TextStats.CmsDepth).map(i =>
+          s"SELECT $i AS i, j, count(*) AS cnt FROM m$i GROUP BY 2")
+          .mkString(" UNION ALL ")
+        val candSel = (0 until TextStats.CmsDepth).map(i =>
+          s"SELECT DISTINCT $i AS i, w, j FROM m$i").mkString(" UNION ALL ")
+        s"""
+        WITH tok AS (SELECT unnest(${toks("lower(text)")}) AS w FROM documents),
+        $mCtes,
+        regs AS MATERIALIZED ($regSel),
+        cand AS ($candSel),
+        est AS (SELECT c.w, min(r.cnt) AS est FROM cand c
+                JOIN regs r USING (i, j) GROUP BY 1),
+        ex AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY 1)
+        SELECT w, n_exact, est FROM est JOIN ex USING (w)
+        ORDER BY est DESC, w ASC LIMIT 30"""
       },
       // mirrors TextStats.bpeMerges: adjacent-pair counts weighted by
       // word frequency (overlapping positions count), argmax with

@@ -424,6 +424,69 @@ object TextStats {
         round(est, 6).as("hll_est"))
   }
 
+  /** Count-Min sketch width (power of two, so the engine's signed
+    * `& (w-1)` equals the oracle's unsigned `% w` — the HLL register
+    * trick) and depth. 4 x 1024 longs = 32 KB per sketch: constant-size
+    * regardless of key cardinality, mergeable by addition. */
+  val CmsWidth = 1024
+  val CmsDepth = 4
+
+  /** The depth cells a token `w` updates: row i hashes
+    * mix64(poly_hash(w || chr(1) || i)) — per-row independence comes
+    * from the suffix-keyed hash (the q_kg_walks composite-key twin
+    * pattern; no Long arithmetic, so ANSI mode cannot overflow), and the
+    * power-of-two width makes signed `&` equal unsigned `%`. */
+  private def cmsCells: Seq[Column] = (0 until CmsDepth).map { i =>
+    struct(lit(i).as("i"),
+      F.mix64(F.poly_hash(concat(col("w"), lit("\u0001" + i))))
+        .bitwiseAND(lit((CmsWidth - 1).toLong)).as("j"))
+  }
+
+  /** Count-Min register table over the corpus tokens (Cormode &
+    * Muthukrishnan 2005): `depth` independent hash rows of `width`
+    * counters; cell (i, j) counts token occurrences with
+    * mix64(mix64(poly_hash(w)) + i) & (width-1) == j.
+    *
+    * The shuffle is two-phase-aggregated to at most depth x width cells
+    * per partition — the sketch's whole point at 100 TB: heavy-hitter
+    * detection WITHOUT a distinct-key shuffle (the exact groupBy this
+    * replaces shuffles one row per distinct token; the sketch shuffles a
+    * constant 4096 rows and the result broadcasts anywhere). Register
+    * updates are additions, so any partitioning/merge order yields the
+    * SAME table — exactly hash-checkable, like the HLL sketch above.
+    */
+  def cmsRegisters(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+    tok.select(explode(array(cmsCells: _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters via the Count-Min sketch: estimate(w) = min over the
+    * depth rows of the register each hash of w lands in — an
+    * OVERESTIMATE of the true count, never an under (the property
+    * SketchSpec pins). Returns the top-k candidates by estimate with the
+    * exact count alongside for error inspection at test scale.
+    *
+    * Scale shape: the register table is 32 KB — broadcast — so the
+    * estimate is a per-row projection against a broadcast map; the only
+    * wide operation left is the candidate-set distinct. At 100 TB the
+    * deployment drops `n_exact` (it IS the expensive exact aggregation
+    * the sketch replaces) and keeps est >= threshold as the salting
+    * hint: hot entities found without ever shuffling token keys.
+    */
+  def cmsTopK(docs: DataFrame, k: Int = 30): DataFrame = {
+    val regs = cmsRegisters(docs)
+    val tok = docs.select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+    val exact = tok.groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val est = exact.select(col("w"), col("n_exact"),
+        explode(array(cmsCells: _*)).as("c"))
+      .select(col("w"), col("n_exact"), col("c.i").as("i"), col("c.j").as("j"))
+      .join(broadcast(regs), Seq("i", "j"))
+      .groupBy("w", "n_exact").agg(min("cnt").as("est"))
+    est.orderBy(col("est").desc, col("w").asc).limit(k)
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn the first
     * `rounds` byte-pair merges from the corpus. Returns the merge table
     * (round, left, right, cnt) — the artifact a tokenizer ships.

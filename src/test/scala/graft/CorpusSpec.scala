@@ -228,6 +228,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("cmsTopK: overestimate property, partition-invariant registers, row sums") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i =>
+      (i.toLong, "ru",
+        // skewed: 'hot' appears every row, a long tail appears rarely
+        "hot " + (0 until 10).map(j => s"w${(i * 3 + j * 11) % 400}").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // register addition is order-independent: any partitioning, same table
+    val a = ops.TextStats.cmsRegisters(docs.repartition(13)).collect()
+      .map(_.toString).sorted.toSeq
+    val b = ops.TextStats.cmsRegisters(docs.coalesce(1)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    // every row of the sketch conserves the total token count
+    val totalToks = 300L * 11
+    val rowSums = ops.TextStats.cmsRegisters(docs)
+      .groupBy("i").agg(org.apache.spark.sql.functions.sum("cnt").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rowSums.size == ops.TextStats.CmsDepth)
+    rowSums.foreach { case (i, s) => assert(s == totalToks, s"row $i sum $s") }
+    // the Count-Min guarantee: estimate >= exact, never under; and the
+    // true heavy hitter surfaces at the top
+    val top = ops.TextStats.cmsTopK(docs, k = 30).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    assert(top.head.getString(0) == "hot" && top.head.getLong(1) == 300L)
+  }
+
   test("bpeMerges: hand-traced merges, overlap counting, early exhaustion") {
     import spark.implicits._
     // words: ab x3, cab x1. r1: (a,b)=3+1=4 beats (c,a)=1 -> merge 'ab'
