@@ -91,7 +91,9 @@ object Explain {
     "q_topk_orders" -> "window top-k with WindowGroupLimit pushdown (rank filter reaches the window operator)",
     "q_triples" -> "dep-pattern extraction over parsed sents; pattern match row-local after the fused stage",
     "q_uas_las" -> "positional zip of gold vs pred heads + one agg",
-    "q_vocab_encode" -> "broadcast vocab get-or-unk projection; row-local"
+    "q_vocab_encode" -> "broadcast vocab get-or-unk projection; row-local",
+    "q_bloom_decontaminate" -> "Bloom k-probe pre-filter inside codegen on the UN-distincted shingle stream: the distinct's Exchange shrinks from corpus-sized to hit-sized; trailing broadcast semi-join strips false positives (result-identical to q_decontaminate)",
+    "q_length_quantiles" -> "histogram quantile sketch: one narrow two-phase agg over O(maxLen/width) buckets + few-row window; no corpus-scale sort"
   )
 
   def main(args: Array[String]): Unit = {

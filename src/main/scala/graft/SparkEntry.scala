@@ -170,6 +170,14 @@ object SparkEntry {
       Dedup.decontaminate(docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0), 3)
     }),
+    "q_bloom_decontaminate" -> ((s, d) => {
+      // same split/result as q_decontaminate; the Bloom pre-filter moves
+      // the corpus-side filtering below the distinct's Exchange (exactness
+      // guaranteed by no-false-negatives + the trailing exact semi-join)
+      val docs = tbl(s, d, "documents")
+      Dedup.bloomDecontaminate(docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0), 3)
+    }),
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1)),
     "q_minhash_dups" -> ((s, d) =>
@@ -295,6 +303,10 @@ object SparkEntry {
       ops.Search.bm25TopK(tbl(s, d, "documents"), queries, k = 5)
     }),
     "q_length_stats" -> ((s, d) => ops.TextStats.lengthStats(tbl(s, d, "documents"))),
+    // bounded-state histogram quantiles (the 100 TB stand-in for exact
+    // percentile): one narrow agg over O(maxLen/width) buckets
+    "q_length_quantiles" -> ((s, d) =>
+      ops.TextStats.lengthQuantiles(tbl(s, d, "documents"))),
 
     "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
       ops.Skew.saltedCount(
@@ -614,6 +626,14 @@ object SparkEntry {
           SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
           FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
           WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.1)"""
+    val decontSql = s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+        SELECT doc_id, count(*) AS n_hits
+        FROM train JOIN bench USING (shingle) GROUP BY 1"""
     Map(
       "q_tok_count" ->
         s"SELECT doc_id, len(${toks("text")}) AS n_tokens FROM documents",
@@ -859,14 +879,10 @@ object SparkEntry {
         c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
         SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens FROM c""",
-      "q_decontaminate" -> s"""
-        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
-        g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
-        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
-        SELECT doc_id, count(*) AS n_hits
-        FROM train JOIN bench USING (shingle) GROUP BY 1""",
+      "q_decontaminate" -> decontSql,
+      // Bloom variant is RESULT-identical (no false negatives + exact
+      // verify join) — the oracle is the same exact-decontamination SQL
+      "q_bloom_decontaminate" -> decontSql,
       "q_jaccard_pairs" -> s"""
         WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
@@ -1271,6 +1287,17 @@ object SparkEntry {
                round(quantile_cont(n, 0.5), 6) AS p50_tokens,
                round(quantile_cont(n, 0.9), 6) AS p90_tokens
         FROM t GROUP BY 1""",
+      // histogram quantile sketch: all-integer (bucket counts, cumulative
+      // window, threshold compare), so exactly mirrorable
+      "q_length_quantiles" -> """
+        WITH b AS (SELECT CAST(floor(length(text) / 64) AS BIGINT) AS bucket FROM documents),
+        c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM c),
+        n AS (SELECT count(*) AS total FROM b),
+        q AS (SELECT unnest([50, 90, 99]) AS p)
+        SELECT p, (min(bucket) + 1) * 64 AS cutoff_chars,
+               CAST(min(cum) AS BIGINT) AS cum_docs
+        FROM cum, n, q WHERE cum * 100 >= p * total GROUP BY 1""",
       "q_json_roundtrip" ->
         "SELECT event_id, event_type, round(value, 6) AS value FROM events",
       "q_pipeline_tokens" -> s"""

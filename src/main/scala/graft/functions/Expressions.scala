@@ -25,6 +25,8 @@ object F {
   def ivf_probe(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     column(IvfProbe(expression(c), centroids, nprobe))
   def lower_simple(c: Column): Column = column(LowerSimple(expression(c)))
+  def bloom_contains(c: Column, words: Array[Long], k: Int): Column =
+    column(BloomContains(expression(c), words, k))
 }
 
 /** Per-codepoint SIMPLE Unicode lowercasing, straight over the UTF-8
@@ -312,6 +314,82 @@ object IvfProbe {
     val sims = Array.tabulate(cs.length)(c => (IvfCell.cos(v, cs(c)), c))
     val top = sims.sortBy { case (d, c) => (-d, c) }.take(math.min(nprobe, cs.length))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(top.map(_._2))
+  }
+}
+
+/** Bloom-filter membership probe over a long-hash column. The bit array
+  * (`words`, m = 64·words.length bits, power of two) is built once on the
+  * driver from the SMALL side's hashes and rides into generated code via
+  * `addReferenceObj` — one shared array per executor, no giant literal in
+  * the plan. k probe positions come from double hashing (Kirsch &
+  * Mitzenmacher 2006: pos_i = h1 + i·h2 works as well as k independent
+  * hashes), h1/h2 derived from the input through the same mix64 finalizer
+  * the sketches use.
+  *
+  * Guarantee the callers build on: NO false negatives — every hash that
+  * was fed to [[Bloom64.build]] probes true. False positives (~(1-e^(-kn/m))^k)
+  * only admit extra rows into whatever exact verify runs next.
+  */
+case class BloomContains(child: Expression, words: Array[Long], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    Bloom64.contains(words, k, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bloom64.contains($ref, $k, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Bloom64 {
+  private def mix(z0: Long): Long = { // splitmix64 finalizer (public domain)
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sized so m = nextPow2(n*bitsPerElement) — power-of-two m lets the
+    * probe mask instead of mod. ~16 bits/element with k=5 gives fpp ~5e-4;
+    * vs a broadcast-join hashtable (~16 bytes + table overhead per key)
+    * that is a 10–20x memory cut, which is what keeps a 100M-n-gram eval
+    * union broadcastable on a 1000-executor cluster.
+    */
+  def build(hashes: Array[Long], bitsPerElement: Int = 16, k: Int = 5): Array[Long] = {
+    val wantBits = math.max(64L, hashes.length.toLong * bitsPerElement)
+    var m = 64L
+    while (m < wantBits) m <<= 1
+    require(m <= (1L << 36), s"bloom of $m bits (> 8 GiB) — shard the build")
+    val words = new Array[Long]((m >>> 6).toInt)
+    var i = 0
+    while (i < hashes.length) {
+      val h1 = mix(hashes(i))
+      val h2 = mix(h1) | 1L
+      var j = 0
+      while (j < k) {
+        val pos = ((h1 + j * h2) & (m - 1)).toInt
+        words(pos >>> 6) |= (1L << (pos & 63))
+        j += 1
+      }
+      i += 1
+    }
+    words
+  }
+
+  /** static so generated code can call it; words.length is a power of two */
+  def contains(words: Array[Long], k: Int, h: Long): Boolean = {
+    val m = words.length.toLong << 6
+    val h1 = mix(h)
+    val h2 = mix(h1) | 1L
+    var j = 0
+    while (j < k) {
+      val pos = ((h1 + j * h2) & (m - 1)).toInt
+      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      j += 1
+    }
+    true
   }
 }
 

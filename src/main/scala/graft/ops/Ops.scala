@@ -275,6 +275,39 @@ object TextStats {
         round(expr("percentile(n, 0.5)"), 6).as("p50_tokens"),
         round(expr("percentile(n, 0.9)"), 6).as("p90_tokens"))
 
+  /** Histogram quantile sketch over document CHAR length — the scale path
+    * [[lengthStats]]'s docstring promises: exact `percentile` holds every
+    * value of the group in memory and sorts it; this holds one counter
+    * per fixed-width bucket, so the state is O(maxLen/width) regardless
+    * of corpus size and the whole plan is one narrow partial-agg
+    * (corpus-scale, map-side combine on a handful of distinct buckets)
+    * plus a few-row window. Deterministic and purely integer — unlike
+    * t-digest/KLL it is exactly reproducible across partitionings AND
+    * mirrorable in the oracle.
+    *
+    * For each percentile p: the smallest bucket whose cumulative count
+    * covers p% of docs (cum·100 >= p·total), reported as the bucket's
+    * exclusive char upper bound. Error is bounded by `width` chars, the
+    * knob the caller trades for state.
+    */
+  def lengthQuantiles(docs: DataFrame, width: Int = 64,
+                      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(width > 0 && ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val b = docs.select(floor(length(col("text")) / width).cast("long").as("bucket"))
+    val c = b.groupBy("bucket").agg(count(lit(1)).as("cnt")) // O(buckets) rows from here on
+    val cum = c.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = b.agg(count(lit(1)).as("total")) // 1 row
+    val pf = docs.sparkSession.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(pf))
+      .where(col("cum") * 100 >= col("p") * col("total"))
+      .groupBy("p") // first qualifying bucket; cum is monotone so min(cum) rides along
+      .agg(((min(col("bucket")) + 1) * width).as("cutoff_chars"),
+        min(col("cum")).as("cum_docs"))
+      .orderBy("p")
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword/feature
     * extraction pass over a training corpus (content tagging, topic
     * labeling, index-time term weighting).
@@ -715,12 +748,18 @@ object Dedup {
     * text is dead weight: an 8-byte long cuts the distinct + self-join
     * shuffle ~5x vs UTF-8 shingle strings. A 2^-64-per-pair collision can
     * only merge two shingles (nudges one intersection count by 1). */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    shingleHashStream(docs, n).distinct()
+
+  /** Un-deduplicated (doc, shingle-hash) stream — one row per shingle
+    * POSITION. Callers that can discard most shingles map-side (the Bloom
+    * pre-filter) want to do so BEFORE paying the distinct's shuffle.
+    */
+  private def shingleHashStream(docs: DataFrame, n: Int): DataFrame = {
     val t = docs.select(col("doc_id"), TextStats.tokens(F.lower_simple(col("text"))).as("toks"))
     t.select(col("doc_id"),
         explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
           i => xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("shingle"))
-      .distinct()
   }
 
   /** Benchmark decontamination (the classic n-gram collision rule — GPT-3
@@ -735,6 +774,44 @@ object Dedup {
     val d = shingleHashes(docs, n)
     val b = broadcast(shingleHashes(bench, n).select("shingle").distinct())
     d.join(b, "shingle") // d is distinct (doc, shingle) → count = distinct hits
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Bloom-prefiltered decontamination. Returns EXACTLY
+    * [[decontaminate]](docs, bench, n): the Bloom admits every true
+    * collision (no false negatives, see [[graft.functions.Bloom64]]) and
+    * the exact broadcast semi-join behind it strips the ~fpp false
+    * positives before counting.
+    *
+    * What the Bloom changes is WHERE the corpus gets filtered. Plain
+    * [[decontaminate]] pays a corpus-scale Exchange for the distinct
+    * (doc, shingle) table before the join can discard the ~100% of
+    * shingles that never collide with the eval suite. Here the k-probe
+    * bitset test runs inside whole-stage codegen on the UN-distincted
+    * shingle stream — at 100 TB the distinct and the join only ever see
+    * bench-colliding (plus ~5e-4 false-positive) shingles, so the
+    * Exchange shrinks from corpus-sized to hit-sized. The bit array is
+    * also the cheap way to ship the bench side: ~16 bits/element vs the
+    * broadcast hashtable's ~16 bytes + overhead per key.
+    *
+    * The driver-side collect of the bench hashes is eval-suite scale
+    * (GPT-3-style decontamination unions KBs–MBs of benchmarks; guarded
+    * at 50M n-grams = ~100 MB Bloom — same size-conditioned pattern as
+    * the alias-dictionary broadcast in kg/Kg.scala).
+    */
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame, n: Int,
+                         bitsPerElement: Int = 16, k: Int = 5): DataFrame = {
+    val benchHashes = shingleHashes(bench, n).select("shingle").distinct()
+    // limit(N+1) bounds the collect (no sort: the set, not the order,
+    // feeds the Bloom; > N rows only ever reaches the require below)
+    val hs = benchHashes.limit(50000001).collect().map(_.getLong(0))
+    require(hs.length <= 50000000,
+      "bench side exceeds 50M distinct n-grams — shard the Bloom build")
+    val words = graft.functions.Bloom64.build(hs, bitsPerElement, k)
+    shingleHashStream(docs, n)
+      .where(F.bloom_contains(col("shingle"), words, k)) // map-side, codegen'd
+      .distinct()
+      .join(broadcast(benchHashes), "shingle") // exact verify kills false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 

@@ -117,6 +117,41 @@ class CorpusSpec extends AnyFunSuite {
       (5L, 0L, 2L, 1L), (5L, 4L, 6L, 1L)))
   }
 
+  test("bloomDecontaminate: result-identical to exact; no false negatives; filters") {
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(ops.Dedup.decontaminate(train, bench, 3))
+    assert(exact.nonEmpty, "fixture should contain bench collisions")
+    assert(toMap(ops.Dedup.bloomDecontaminate(train, bench, 3)) == exact)
+    // the guarantee the equality rests on: every built hash probes true
+    val hs = ops.Dedup.shingleHashes(bench, 3).select("shingle")
+      .collect().map(_.getLong(0))
+    val words = functions.Bloom64.build(hs)
+    hs.foreach(h => assert(functions.Bloom64.contains(words, 5, h)))
+    // and the filter actually filters: ~16 bits/elem + k=5 -> fpp ~5e-4
+    val probes = 20000
+    val fp = (1 to probes).count(i =>
+      functions.Bloom64.contains(words, 5, corpus.RuCorpus.mix(0x5DEECE66DL * i)))
+    assert(fp < probes / 50, s"false-positive count $fp of $probes too high")
+  }
+
+  test("lengthQuantiles: cutoff is the tight bucket bound around the exact quantile") {
+    val lens = docs.select(length(col("text"))).collect().map(_.getInt(0)).sorted
+    val n = lens.length
+    val out = ops.TextStats.lengthQuantiles(docs, 64, Seq(50, 90, 99)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(50, 90, 99))
+    out.foreach { case (p, (cutoff, cum)) =>
+      assert(cum * 100 >= p.toLong * n, s"p$p cum $cum misses threshold")
+      // nearest-rank exact percentile lives in the reported bucket
+      val exact = lens(math.max(0, math.ceil(n * p / 100.0).toInt - 1))
+      assert(exact >= cutoff - 64 && exact < cutoff,
+        s"p$p exact $exact outside bucket [${cutoff - 64}, $cutoff)")
+    }
+  }
+
   test("curate: every stage drops exactly its target; survivors get packed") {
     import spark.implicits._
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
