@@ -98,7 +98,12 @@ object Corpus {
     *   2. near-dup clustering over the GATED corpus; only cluster
     *      survivors (min doc_id) continue
     *   3. decontamination: any 3-gram shingle collision with the `bench`
-    *      frame drops the doc (left_anti — docs with zero hits pass)
+    *      frame drops the doc (left_anti — docs with zero hits pass);
+    *      the Bloom-prefiltered variant (result-identical, see
+    *      [[Dedup.bloomDecontaminate]]) so the stage's distinct Exchange
+    *      only carries bench-colliding shingles. NOTE: the Bloom build
+    *      collects the bench n-gram hashes when curate() is CALLED (one
+    *      small eager job on the bench frame), not at execution time
     *   4. deterministic stratified sampling by language (ppm hash gate)
     *   5. greedy sequence packing into fixed token budgets
     *
@@ -124,7 +129,7 @@ object Corpus {
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
-      Dedup.decontaminate(survivors, bench, 3).select("doc_id"),
+      Dedup.bloomDecontaminate(survivors, bench, 3).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val sampled = clean.join(
       stratifiedSample(clean, rates).select("doc_id"), Seq("doc_id"))
