@@ -29,6 +29,7 @@ object Explain {
     "q_video_frames" -> "real multi-frame GIF decode (non-GIF codecs are documented stubs)",
     "q_morph_feats" -> "MapType explode over the fused NLP pipeline stage",
     "q_stratified_sample" -> "row-local ppm hash gate, pushdown-able predicate",
+    "q_dsir" -> "DSIR: 1024-bucket broadcast lambda table, per-doc integer micro-nat sums, TakeOrdered Gumbel-top-k",
     "q_pack_sequences" -> "per-shard window cumsum, exactly one shuffle",
     "q_domain_mix" -> "partial-agg shuffle collapses to a tiny per-domain frame",
     "q_pii_scrub" -> "pure codegen regex projection, zero shuffle",

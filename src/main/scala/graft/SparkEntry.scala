@@ -162,6 +162,14 @@ object SparkEntry {
     // Count-Min heavy hitters (register-sum merge — exactly checkable;
     // the hot-entity/salting-hint sketch; see TextStats.cmsTopK)
     "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(tbl(s, d, "documents"))),
+    // DSIR importance resampling (Xie et al. 2023): target = the
+    // doc_id%23 in-domain slice, raw = the rest; Gumbel-top-k draw of
+    // the 20 most target-like-weighted docs (see TextStats.dsirSelect)
+    "q_dsir" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      TextStats.dsirSelect(docs.where(col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 23 === 0), 20)
+    }),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -841,6 +849,43 @@ object SparkEntry {
         ex AS (SELECT w, count(*) AS n_exact FROM tok GROUP BY 1)
         SELECT w, n_exact, est FROM est JOIN ex USING (w)
         ORDER BY est DESC, w ASC LIMIT 30"""
+      },
+      // mirrors TextStats.dsirLogWeights/dsirSelect: hashed unigram +
+      // bigram features (the poly_hash→mix64 column-staged twin), add-one
+      // smoothed micro-nat bucket log-ratios over the FULL 1024-bucket
+      // domain, integer per-doc sums, md5-ppm deterministic Gumbel-top-k
+      "q_dsir" -> {
+        val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          "[unicode(c)::HUGEINT for c in string_split(feat, '')]), " +
+          "(h, c) -> (h * 31 + c) % 18446744073709551616)"
+        val m = TextStats.DsirBuckets
+        s"""
+        WITH tk AS (SELECT doc_id, ${toks("lower(text)")} AS toks FROM documents),
+        ft AS (SELECT doc_id, unnest(toks) AS feat FROM tk
+               UNION ALL
+               SELECT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk) x),
+        u0t AS (SELECT doc_id, $u AS u0 FROM ft),
+        hb AS MATERIALIZED (SELECT doc_id,
+               ((${OracleSql.mixSql("u0")})::HUGEINT % $m)::BIGINT AS b FROM u0t),
+        tc AS (SELECT b, count(*) AS ctn FROM hb WHERE doc_id % 23 = 0 GROUP BY 1),
+        rc AS (SELECT b, count(*) AS crn FROM hb WHERE doc_id % 23 <> 0 GROUP BY 1),
+        tot AS (SELECT (SELECT sum(ctn) FROM tc) AS ttot,
+                       (SELECT sum(crn) FROM rc) AS rtot),
+        lam AS (SELECT g.b,
+                 (floor(ln((coalesce(ctn, 0) + 1)::DOUBLE / (ttot + $m)::DOUBLE) * 1e6 + 0.5)
+                - floor(ln((coalesce(crn, 0) + 1)::DOUBLE / (rtot + $m)::DOUBLE) * 1e6 + 0.5))::BIGINT AS lam
+                FROM (SELECT unnest(generate_series(0, ${m - 1})) AS b) g
+                LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b CROSS JOIN tot),
+        w AS (SELECT doc_id, count(*) AS n_feats, sum(lam)::BIGINT AS logw_micro
+              FROM hb JOIN lam USING (b) WHERE doc_id % 23 <> 0 GROUP BY 1),
+        gk AS (SELECT doc_id, n_feats, logw_micro,
+                 floor(-ln(-ln(((('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
+                   % 1000000)::DOUBLE + 0.5) / 1e6)) * 1e6 + 0.5)::BIGINT AS gumbel_micro
+               FROM w)
+        SELECT doc_id, n_feats, logw_micro, gumbel_micro,
+               (logw_micro + gumbel_micro) AS sel_key
+        FROM gk ORDER BY sel_key DESC, doc_id ASC LIMIT 20"""
       },
       // mirrors TextStats.bpeMerges: adjacent-pair counts weighted by
       // word frequency (overlapping positions count), argmax with

@@ -520,6 +520,102 @@ object TextStats {
     est.orderBy(col("est").desc, col("w").asc).limit(k)
   }
 
+  /** Hashed-feature buckets for [[dsirLogWeights]]: power of two so the
+    * signed `&` mask equals the oracle's unsigned HUGEINT `%` (the
+    * [[CmsWidth]] trick). */
+  val DsirBuckets = 1024
+
+  /** Per-doc hashed n-gram feature stream (unigrams + adjacent bigrams,
+    * the DSIR paper's feature model): one bucket id per feature,
+    * mix64(poly_hash(feat)) & (m-1). The token array is materialized
+    * BEFORE the bigram lambda (the [[ngramCounts]] CSE note: Catalyst
+    * does not CSE into HOF lambdas, an unbound reference re-runs the
+    * tokenizer regex per gram). */
+  private def dsirFeats(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      tokens(F.lower_simple(col("text"))).as("toks"))
+    t.select(col("doc_id"), explode(concat(
+        col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("feat"))
+      .select(col("doc_id"),
+        F.mix64(F.poly_hash(col("feat")))
+          .bitwiseAND(lit((DsirBuckets - 1).toLong)).as("b"))
+  }
+
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al. 2023, arXiv:2302.03169), the published recipe for
+    * picking pretraining data that "looks like" a target domain at
+    * CommonCrawl scale. Two hashed-ngram bag-of-buckets models are fit
+    * (add-one smoothed multinomials over [[DsirBuckets]] buckets, one on
+    * the target corpus, one on the raw corpus) and every raw doc is
+    * scored with its importance log-weight
+    * log w(x) = Σ_feats [ln p_target(b) − ln p_raw(b)].
+    *
+    * EXACTNESS CONTRACT: the two per-bucket log-probs are fixed to
+    * integer micro-nats (the [[lmPerplexity]] contract) on the m-row
+    * bucket table BEFORE the per-doc sum, so the doc score is an integer
+    * sum — exact under any partition order and mirrorable in the oracle
+    * (same ln-boundary caveat as [[tfidfTop]]).
+    *
+    * Physical shape at 10^12 docs: one tokenize pass per corpus feeds a
+    * two-phase count agg that collapses to ≤m rows; the λ table is an
+    * m-row BROADCAST (the model is 1024 longs — this is why DSIR scales
+    * where a full LM ratio would not); scoring is a map-side broadcast
+    * join + per-doc partial agg. No corpus-scale shuffle of anything but
+    * the doc-keyed combine. Docs with zero tokens have no features and
+    * are absent (the [[lmPerplexity]] contract).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val m = DsirBuckets
+    val cr = dsirFeats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = dsirFeats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    // 1-row totals; broadcast cross joins keep each a single job
+    val tot = cr.agg(sum("cr").as("rtot"))
+      .crossJoin(ct.agg(sum("ct").as("ttot")))
+    // full 0..m-1 bucket table: a raw feature hashing into a bucket the
+    // TARGET never hit still needs the smoothing-floor ratio (and
+    // vice versa), so λ is total on the bucket domain
+    val buckets = raw.sparkSession.range(m).toDF("b")
+    def lamOf(cnt: Column, total: Column) =
+      floor(log((coalesce(cnt, lit(0L)) + lit(1L)).cast("double") /
+        (total + lit(m.toLong)).cast("double")) * 1e6 + 0.5).cast("long")
+    val lam = buckets
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lamOf(col("ct"), col("ttot")) - lamOf(col("cr"), col("rtot")))
+          .as("lam"))
+    dsirFeats(raw)
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lam").as("logw_micro"))
+  }
+
+  /** DSIR selection: draw `k` docs with probability ∝ exp(log-weight)
+    * via the Gumbel-top-k trick — top-k of logw + Gumbel noise IS a
+    * weighted sample without replacement (Vieira 2014). The noise is
+    * DETERMINISTIC: u ∈ (0,1) derives from the md5 ppm gate hash
+    * ([[Corpus.stratifiedSample]]'s reproducibility rationale — a task
+    * retry with rand() would silently change the sample), and the Gumbel
+    * −ln(−ln u) is micro-nat fixed so the sort key is an integer.
+    * Selection = one TakeOrdered(k), no global sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int = 20): DataFrame = {
+    val ppm = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000L
+    val gum = floor(-log(-log((ppm.cast("double") + 0.5) / 1e6)) * 1e6 + 0.5)
+      .cast("long")
+    dsirLogWeights(raw, target)
+      .withColumn("gumbel_micro", gum)
+      .withColumn("sel_key", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn the first
     * `rounds` byte-pair merges from the corpus. Returns the merge table
     * (round, left, right, cnt) — the artifact a tokenizer ships.

@@ -387,4 +387,56 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("dsirSelect: deterministic, partition-invariant, exact Gumbel-top-k") {
+    val raw = docs.where(col("doc_id") % 23 =!= 0)
+    val tgt = docs.where(col("doc_id") % 23 === 0)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val sel = ops.TextStats.dsirSelect(raw, tgt, 20).collect().map(tup)
+    assert(sel.length == 20)
+    val sel2 = ops.TextStats.dsirSelect(raw.repartition(13), tgt.repartition(7), 20)
+      .collect().map(tup)
+    assert(sel.sameElements(sel2), "selection must be partition-invariant")
+    // gumbel is the md5-ppm Gumbel and sel_key = logw + gumbel, exactly
+    def ppm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    def gumbel(id: Long): Long = {
+      val u = (ppm(id) + 0.5) / 1e6
+      math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+    }
+    sel.foreach { case (id, _, logw, gum, key) =>
+      assert(gum == gumbel(id)); assert(key == logw + gum)
+    }
+    // the selected set IS the brute-force top-k of logw + gumbel over
+    // every scored doc (Gumbel-top-k = weighted sample w/o replacement)
+    val brute = ops.TextStats.dsirLogWeights(raw, tgt).collect()
+      .map(r => (r.getLong(2) + gumbel(r.getLong(0)), r.getLong(0)))
+      .sortBy { case (k, id) => (-k, id) }.take(20).map(_._2)
+    assert(sel.map(_._1).sameElements(brute))
+  }
+
+  test("dsirLogWeights: target-like docs outweigh off-domain docs") {
+    import spark.implicits._
+    val tgt = (1L to 40L)
+      .map(i => (i, "quantum lattice gauge theory renormalization flow"))
+      .toDF("doc_id", "text")
+    val rawLike = (100L to 119L)
+      .map(i => (i, "lattice gauge flow quantum renormalization"))
+    val rawOff = (200L to 219L)
+      .map(i => (i, "cheap flights hotel booking deals tonight"))
+    val raw = (rawLike ++ rawOff).toDF("doc_id", "text")
+    val w = ops.TextStats.dsirLogWeights(raw, tgt).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.size == 40)
+    rawLike.foreach { case (i, _) =>
+      rawOff.foreach { case (j, _) =>
+        assert(w(i) > w(j), s"target-like doc $i (${w(i)}) should outweigh " +
+          s"off-domain doc $j (${w(j)})")
+      }
+    }
+  }
 }
