@@ -30,6 +30,7 @@ object Explain {
     "q_morph_feats" -> "MapType explode over the fused NLP pipeline stage",
     "q_stratified_sample" -> "row-local ppm hash gate, pushdown-able predicate",
     "q_dsir" -> "DSIR: 1024-bucket broadcast lambda table, per-doc integer micro-nat sums, TakeOrdered Gumbel-top-k",
+    "q_curate_dsir" -> "curate chain (gate -> dedup survivors -> decontaminate) with DSIR top-k replacing the rate sample; all stitches doc_id equi-joins",
     "q_pack_sequences" -> "per-shard window cumsum, exactly one shuffle",
     "q_domain_mix" -> "partial-agg shuffle collapses to a tiny per-domain frame",
     "q_pii_scrub" -> "pure codegen regex projection, zero shuffle",

@@ -528,6 +528,17 @@ object SparkEntry {
       ops.Corpus.curate(docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
         SampleRates, minTokens = 10, dedupThreshold = 0.1)
+    }),
+    // DSIR-targeted curation: gate -> dedup survivors -> decontaminate,
+    // then importance-resample the 100 most target-like survivors
+    // (target = the doc_id%23 slice) instead of per-language rates
+    "q_curate_dsir" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      ops.Corpus.curateDsir(
+        docs.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 23 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        docs.where(col("doc_id") % 23 === 0),
+        k = 100, minTokens = 10, dedupThreshold = 0.1)
     })
   )
 
@@ -1019,6 +1030,77 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pt)
         SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens
         FROM pc""",
+      // mirrors Corpus.curateDsir: the q_curate chain through `clean`
+      // (gate additionally excludes the %23 target slice), then the
+      // q_dsir chain fit target-vs-CLEAN (λ on the full 1024-bucket
+      // domain, micro-nat integers, md5-Gumbel top-k), then packing
+      "q_curate_dsir" -> {
+        val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+          "[unicode(c)::HUGEINT for c in string_split(feat, '')]), " +
+          "(h, c) -> (h * 31 + c) % 18446744073709551616)"
+        val m = TextStats.DsirBuckets
+        s"""
+        WITH RECURSIVE
+        gated AS (SELECT * FROM documents
+                  WHERE doc_id % 97 <> 0 AND doc_id % 23 <> 0
+                    AND len(${toks("text")}) >= 10),
+        ${minhashPairsCtesFrom("gated")},
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        r(doc, m) AS (
+          SELECT doc_id, doc_id FROM gated
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN r ON r.doc = e.b),
+        surv AS (SELECT doc FROM r GROUP BY doc HAVING min(m) = doc),
+        bsh AS (SELECT DISTINCT array_to_string(tk[gs+1:gs+3], ' ') AS shingle
+                FROM (SELECT tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs
+                      FROM (SELECT ${toks("lower(text)")} AS tk FROM documents
+                            WHERE doc_id % 97 = 0))),
+        hits AS (SELECT DISTINCT s.doc_id
+                 FROM sh s JOIN surv ON surv.doc = s.doc_id
+                 JOIN bsh USING (shingle)),
+        clean AS (SELECT g.* FROM gated g JOIN surv ON surv.doc = g.doc_id
+                  WHERE g.doc_id NOT IN (SELECT doc_id FROM hits)),
+        ctk AS (SELECT doc_id, ${toks("lower(text)")} AS toks FROM clean),
+        ttk AS (SELECT doc_id, ${toks("lower(text)")} AS toks FROM documents
+                WHERE doc_id % 23 = 0),
+        cft AS (SELECT doc_id, unnest(toks) AS feat FROM ctk
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ctk) x),
+        tft AS (SELECT doc_id, unnest(toks) AS feat FROM ttk
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ttk) x),
+        cu0 AS (SELECT doc_id, $u AS u0 FROM cft),
+        chb AS MATERIALIZED (SELECT doc_id,
+               ((${OracleSql.mixSql("u0")})::HUGEINT % $m)::BIGINT AS b FROM cu0),
+        tu0 AS (SELECT doc_id, $u AS u0 FROM tft),
+        thb AS MATERIALIZED (SELECT doc_id,
+               ((${OracleSql.mixSql("u0")})::HUGEINT % $m)::BIGINT AS b FROM tu0),
+        tcn AS (SELECT b, count(*) AS ctn FROM thb GROUP BY 1),
+        rcn AS (SELECT b, count(*) AS crn FROM chb GROUP BY 1),
+        tot AS (SELECT (SELECT sum(ctn) FROM tcn) AS ttot,
+                       (SELECT sum(crn) FROM rcn) AS rtot),
+        lam AS (SELECT g.b,
+                 (floor(ln((coalesce(ctn, 0) + 1)::DOUBLE / (ttot + $m)::DOUBLE) * 1e6 + 0.5)
+                - floor(ln((coalesce(crn, 0) + 1)::DOUBLE / (rtot + $m)::DOUBLE) * 1e6 + 0.5))::BIGINT AS lam
+                FROM (SELECT unnest(generate_series(0, ${m - 1})) AS b) g
+                LEFT JOIN tcn ON g.b = tcn.b LEFT JOIN rcn ON g.b = rcn.b CROSS JOIN tot),
+        wz AS (SELECT doc_id, sum(lam)::BIGINT AS logw FROM chb
+               JOIN lam USING (b) GROUP BY 1),
+        selk AS (SELECT doc_id,
+                   (logw + floor(-ln(-ln(((('0x' || substring(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT
+                     % 1000000)::DOUBLE + 0.5) / 1e6)) * 1e6 + 0.5)::BIGINT) AS sel_key
+                 FROM wz ORDER BY sel_key DESC, doc_id ASC LIMIT 100),
+        pt AS (SELECT c.doc_id, c.doc_id % 8 AS shard,
+                      len(${toks("c.text")}) AS n_tokens
+               FROM clean c JOIN selk USING (doc_id)),
+        pc AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pt)
+        SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens
+        FROM pc"""
+      },
       "q_embed_dups" -> {
         // same multi-table LSH blocking as Dedup.embeddingDupPairs: pairs
         // sharing a bucket in ANY of 4 plane sets, exact-cosine verified

@@ -136,6 +136,36 @@ object Corpus {
     packSequences(sampled, budget, shards)
   }
 
+  /** DSIR-targeted curation: [[curate]]'s quality-gate → near-dup
+    * survivor → decontamination stages, with the mixture stage replaced
+    * by importance resampling — [[TextStats.dsirSelect]] draws the `k`
+    * most target-like survivors against a target-domain corpus instead
+    * of applying per-language rates. This is DSIR's published role
+    * (select pretraining data that matches a domain) composed at its
+    * real place in the pipeline: AFTER cleaning, so the λ model is fit
+    * on the clean pool it actually selects from. Stage order and
+    * stitches are [[curate]]'s contract — every boundary a doc_id
+    * equi-join, the DSIR λ model a 1024-row broadcast, selection one
+    * TakeOrdered(k) — so the composition adds no new shuffle shapes.
+    */
+  def curateDsir(docs: DataFrame, bench: DataFrame, target: DataFrame,
+                 k: Int = 100, minTokens: Int = 10,
+                 dedupThreshold: Double = 0.5,
+                 budget: Int = 512, shards: Int = 8): DataFrame = {
+    val gated = docs.where(
+      size(TextStats.tokens(col("text"))) >= minTokens)
+    val survivors = gated.join(
+      Dedup.dedupClusters(gated, 3, 32, 8, dedupThreshold)
+        .where(col("keep")).select("doc_id"),
+      Seq("doc_id"))
+    val clean = survivors.join(
+      Dedup.bloomDecontaminate(survivors, bench, 3).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val selected = clean.join(
+      TextStats.dsirSelect(clean, target, k).select("doc_id"), Seq("doc_id"))
+    packSequences(selected, budget, shards)
+  }
+
   /** SemDeDup-style SEMANTIC dedup over the embedding table (Abbas et
     * al. 2023, arXiv:2303.09540), composed from the already-certified
     * stages the way [[curate]] composes its pipeline:

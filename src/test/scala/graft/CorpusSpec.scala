@@ -388,6 +388,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("curateDsir: cleaning stages compose, DSIR picks the target-like survivors") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val in = Seq(
+      (1L, "ru", a),                            // near-dup cluster survivor
+      (2L, "ru", a),                            // identical twin -> dedup-dropped
+      (3L, "ru", "one two three four five six seven eight nine ten eleven twelve"),
+      // ^ shares 3-gram "five six seven" with bench -> decontaminated
+      (4L, "xx", "red orange yellow green blue indigo violet pink brown black white"),
+      // ^ clean, but off-domain -> the doc DSIR leaves out at k=2
+      (5L, "ru", "cat dog bird fish horse cow sheep goat duck hen pig"),
+      (6L, "ru", "too short text here")         // < 10 tokens -> gate-dropped
+    ).toDF("doc_id", "lang", "text")
+    val bench = Seq((99L, "ru", "contains five six seven among other words entirely"))
+      .toDF("doc_id", "lang", "text")
+    val target = Seq(
+      (50L, "ru", "cat dog bird alpha beta gamma fish horse kappa lambda"))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.Corpus.curateDsir(in, bench, target, k = 2,
+        minTokens = 10, dedupThreshold = 0.1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // clean pool = {1, 4, 5}; the composite must select exactly what
+    // standalone DSIR selects on that pool — and the fixture's target
+    // shares vocabulary with 1 and 5 only, so off-domain 4 loses
+    val clean = in.where(col("doc_id").isin(1L, 4L, 5L))
+    val expIds = ops.TextStats.dsirSelect(clean, target, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(expIds == Set(1L, 5L), s"fixture should make docs 1,5 win, got $expIds")
+    assert(out.map(_._1) == expIds)
+    // packing columns = packSequences over exactly the selected docs
+    val expPack = ops.Corpus.packSequences(
+        in.where(col("doc_id").isin(expIds.toSeq: _*)), 512, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == expPack)
+  }
+
   test("dsirSelect: deterministic, partition-invariant, exact Gumbel-top-k") {
     val raw = docs.where(col("doc_id") % 23 =!= 0)
     val tgt = docs.where(col("doc_id") % 23 === 0)
