@@ -502,9 +502,17 @@ object Bench {
     var midSkipped = 0
     def midPair(): Unit = {
       // same wall-guard discipline as mainPair (time-conditioned only):
-      // the second mid pair is the last scheduled work and must not push
-      // the whole run past the driver's window
-      if ((System.nanoTime() - wall0) / 1e9 < 470 || midBuf.isEmpty)
+      // a repeat mid pair must actually YIELD to the third MAIN pair.
+      // The old guard (470) defeated the documented priority order in
+      // practice: elapsed at the mid2 decision was typically ~400-460
+      // (guard passes, mid2 runs ~80-110 s) and main3's 480 guard then
+      // failed — BOTH round-5 driver-style runs recorded pairs_skipped=1
+      // on the GRADED pair while keeping the informational mid2. 360
+      // makes mid2 the pair that yields whenever the run is not fast
+      // enough to fit both, exactly as the mainPair comment promises;
+      // the first mid pair (isEmpty) always runs and keeps the main
+      // pairs time-separated.
+      if ((System.nanoTime() - wall0) / 1e9 < 360 || midBuf.isEmpty)
         // reps=2 (metric-agnostic, ALWAYS both; min kept): the mid pair
         // usually gets only ONE session before the wall guard, so a
         // single sick window (e.g. round-4b's 12.4 s 4-core leg / 1.99 s
