@@ -170,6 +170,21 @@ object SparkEntry {
       TextStats.dsirSelect(docs.where(col("doc_id") % 23 =!= 0),
         docs.where(col("doc_id") % 23 === 0), 20)
     }),
+    // GPT-3/CCNet-style quality classifier: NB token log-odds trained on
+    // the doc_id%11 in-domain slice vs the rest, every doc scored+labeled
+    // (integer micro-nat contract — see TextStats.nbQualityScores)
+    "q_nb_quality" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      TextStats.nbQualityScores(docs.where(col("doc_id") % 11 === 0),
+        docs.where(col("doc_id") % 11 =!= 0), docs)
+    }),
+    // word2vec skip-gram co-occurrence counts, symmetric window 2,
+    // min-count 5 — the SGNS/GloVe input matrix (see TextStats.skipgramPairs)
+    "q_skipgram" -> ((s, d) =>
+      TextStats.skipgramPairs(tbl(s, d, "documents"), window = 2, minCount = 5)),
+    // per-source KL(domain ‖ corpus) over unigrams — the mixture-weighting
+    // signal (integer micro-nat contract — see TextStats.domainKl)
+    "q_domain_kl" -> ((s, d) => TextStats.domainKl(tbl(s, d, "documents"))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -798,6 +813,64 @@ object SparkEntry {
         JOIN uni u2 ON u2.w1 = g.w2
         CROSS JOIN tot
         WHERE g.c12 >= 5""",
+      // mirrors TextStats.nbQualityScores: the two per-token log terms and
+      // the prior each floored to integer micro-nats BEFORE summing, same
+      // add-one smoothing over the shared pos∪neg vocab, same coalesce(·,0)
+      // back-off, ties labeled neg
+      "q_nb_quality" -> s"""
+        WITH st AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS w FROM documents),
+        cp AS MATERIALIZED (SELECT w, count(*) AS cp FROM st WHERE doc_id % 11 = 0 GROUP BY 1),
+        cn AS MATERIALIZED (SELECT w, count(*) AS cn FROM st WHERE doc_id % 11 <> 0 GROUP BY 1),
+        cc AS MATERIALIZED (SELECT coalesce(cp.w, cn.w) AS w,
+               coalesce(cp, 0)::BIGINT AS cp, coalesce(cn, 0)::BIGINT AS cn
+               FROM cp FULL JOIN cn ON cp.w = cn.w),
+        tot AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn,
+                       count(*)::BIGINT AS v FROM cc),
+        pri AS (SELECT floor(ln(
+                 (SELECT count(*) FROM documents WHERE doc_id % 11 = 0)::DOUBLE /
+                 (SELECT count(*) FROM documents WHERE doc_id % 11 <> 0)::DOUBLE)
+                 * 1000000 + 0.5)::BIGINT AS prior_micro),
+        sc AS (SELECT doc_id,
+                 floor(ln((coalesce(cp, 0) + 1)::DOUBLE / (np + v)::DOUBLE)
+                       * 1000000 + 0.5)::BIGINT -
+                 floor(ln((coalesce(cn, 0) + 1)::DOUBLE / (nn + v)::DOUBLE)
+                       * 1000000 + 0.5)::BIGINT AS llr
+               FROM st LEFT JOIN cc USING (w) CROSS JOIN tot),
+        agg AS (SELECT doc_id, count(*) AS n_toks,
+                  (sum(llr)::BIGINT + (SELECT prior_micro FROM pri)) AS score_micro
+                FROM sc GROUP BY 1)
+        SELECT doc_id, n_toks, score_micro,
+               CASE WHEN score_micro > 0 THEN 'pos' ELSE 'neg' END AS label
+        FROM agg""",
+      // mirrors TextStats.skipgramPairs: symmetric window 2, both
+      // directions per occurrence, min-count 5
+      "q_skipgram" -> s"""
+        WITH t AS (SELECT ${toks("lower(text)")} AS w FROM documents),
+        sh AS (SELECT w, dd, unnest(range(1, len(w) - dd + 1)) AS i
+               FROM t CROSS JOIN (SELECT unnest(range(1, 3)) AS dd)
+               WHERE len(w) > dd),
+        p AS (SELECT w[i] AS center, w[i + dd] AS context FROM sh
+              UNION ALL
+              SELECT w[i + dd] AS center, w[i] AS context FROM sh)
+        SELECT center, context, count(*) AS n FROM p
+        GROUP BY 1, 2 HAVING count(*) >= 5""",
+      // mirrors TextStats.domainKl: per-(domain,token) integer micro-nat
+      // log terms weighted by the integer count, divided only at the end
+      "q_domain_kl" -> s"""
+        WITH t AS (SELECT source AS domain, unnest(${toks("lower(text)")}) AS w
+                   FROM documents),
+        cs AS MATERIALIZED (SELECT domain, w, count(*) AS c_s FROM t GROUP BY 1, 2),
+        cc AS MATERIALIZED (SELECT w, sum(c_s)::BIGINT AS c_c FROM cs GROUP BY 1),
+        ns AS (SELECT domain, sum(c_s)::BIGINT AS n_s FROM cs GROUP BY 1),
+        nc AS (SELECT sum(c_c)::BIGINT AS n_c FROM cc),
+        term AS (SELECT domain,
+                   c_s * (floor(ln(c_s::DOUBLE / n_s::DOUBLE) * 1000000 + 0.5)::BIGINT -
+                          floor(ln(c_c::DOUBLE / n_c::DOUBLE) * 1000000 + 0.5)::BIGINT) AS term
+                 FROM cs JOIN cc USING (w) JOIN ns USING (domain) CROSS JOIN nc),
+        agg AS (SELECT domain, sum(term)::BIGINT AS kl_micro_sum FROM term GROUP BY 1)
+        SELECT domain, n_s AS n_tokens, kl_micro_sum,
+               round(kl_micro_sum::DOUBLE / (n_s * 1000000.0), 6) AS kl_nats
+        FROM agg JOIN ns USING (domain)""",
       // mirrors TextStats.hllTokenDistinct: same poly_hash (unsigned fold
       // via HUGEINT, the q_kg_walks twin), same integer register math;
       // only the final division and the linear-counting ln are floats

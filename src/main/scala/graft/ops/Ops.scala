@@ -739,6 +739,151 @@ object TextStats {
     }
     vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** GPT-3/CCNet-style binary quality classifier: Naive Bayes token
+    * log-odds trained on a positive (in-domain, e.g. curated/WebText-like)
+    * corpus vs a negative (raw crawl) corpus, then every document in
+    * `score` gets the summed log-likelihood ratio — the classic
+    * "does this look like the good data" filter every large-scale
+    * pretraining pipeline runs (GPT-3 used an LR over hashed features,
+    * CCNet an LM; NB token log-odds is the public-domain baseline both
+    * papers compare against).
+    *
+    * Model: llr(w) = ln((c_pos(w)+1)/(N_pos+V)) − ln((c_neg(w)+1)/(N_neg+V))
+    * (add-one smoothing, shared vocab V over pos∪neg), doc score =
+    * prior + Σ llr(token occurrences), prior = ln(|pos|/|neg|) over doc
+    * counts. `label` = "pos" iff score_micro > 0 (ties negative).
+    *
+    * EXACTNESS CONTRACT (the [[lmPerplexity]] rule): each of the two
+    * per-token log terms and the prior are fixed to integer micro-nats —
+    * floor(ln(·)·10^6 + 0.5) as BIGINT — BEFORE any summing, so the doc
+    * score is an exact integer, reproducible under any partition order
+    * and mirrorable by the oracle; the usual ~1e-13 ln-boundary caveat
+    * applies to each floor individually.
+    *
+    * Physical shape (100 TB): one tokenize pass per training side feeds
+    * a token-keyed count agg (two-phase, map-side combine absorbs the
+    * Zipf head); the two count tables full-outer-merge on token; the
+    * scored corpus's token stream left-joins that llr table — a
+    * token-keyed shuffle join at scale (a 100 TB-corpus vocab is NOT
+    * assumed broadcastable; AQE downgrades to broadcast when it is) —
+    * then one doc_id-keyed sum. Totals (N_pos, N_neg, V, doc priors) are
+    * single-row broadcast crosses. Docs with zero tokens are absent from
+    * the output (the [[lmPerplexity]] contract). Both training sides
+    * must be non-empty (an empty side nulls the prior).
+    */
+  def nbQualityScores(pos: DataFrame, neg: DataFrame, score: DataFrame): DataFrame = {
+    def toked(d: DataFrame) =
+      d.select(col("doc_id"), tokens(F.lower_simple(col("text"))).as("toks"))
+    def uni(d: DataFrame) = toked(d).select(explode(col("toks")).as("w"))
+    def mn(x: Column) = floor(log(x) * 1e6 + 0.5).cast("long")
+    val cp = uni(pos).groupBy("w").agg(count(lit(1)).as("cp"))
+    val cn = uni(neg).groupBy("w").agg(count(lit(1)).as("cn"))
+    val counts = cp.join(cn, Seq("w"), "full").select(col("w"),
+      coalesce(col("cp"), lit(0L)).as("cp"), coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = counts.agg(sum("cp").as("np"), sum("cn").as("nn"),
+      count(lit(1)).as("v")) // 1 row -> broadcast cross
+    val prior = pos.agg(count(lit(1)).as("dp"))
+      .crossJoin(neg.agg(count(lit(1)).as("dn"))) // 1 row
+    // unseen scored tokens fall back to the smoothing floor via
+    // coalesce(·,0) — same back-off as lmPerplexity's left joins
+    val llr = mn((coalesce(col("cp"), lit(0L)) + 1).cast("double") /
+        (col("np") + col("v")).cast("double")) -
+      mn((coalesce(col("cn"), lit(0L)) + 1).cast("double") /
+        (col("nn") + col("v")).cast("double"))
+    toked(score).select(col("doc_id"), explode(col("toks")).as("w"))
+      .join(counts, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), llr.as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("llr").as("sum_llr"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_toks"),
+        (col("sum_llr") +
+          mn(col("dp").cast("double") / col("dn").cast("double"))).as("score_micro"))
+      .withColumn("label",
+        when(col("score_micro") > 0, lit("pos")).otherwise(lit("neg")))
+  }
+
+  /** word2vec-style skip-gram pair counts: for every token position emit
+    * (center, context) for all contexts within ±`window`, then count —
+    * the co-occurrence statistics embedding trainers (word2vec SGNS,
+    * GloVe's X matrix) consume. Both directions are emitted per unordered
+    * occurrence (symmetric window), matching word2vec's scan.
+    *
+    * Physical shape (100 TB): pair generation is a row-local array
+    * lambda over the materialized token array — one flatten(transform(
+    * sequence(1..window), d -> shifted zips)) — so the ONLY shuffle is
+    * the final (center, context)-keyed count agg, two-phase with
+    * map-side combine absorbing the Zipf head; there is no positional
+    * self-join (the naive formulation joins the token stream to itself
+    * on |i−j|<=window — a doc_id-keyed join the lambda makes
+    * unnecessary). `minCount` floors the output the way word2vec's
+    * min-count does, keeping the emitted matrix sparse.
+    */
+  def skipgramPairs(docs: DataFrame, window: Int = 2, minCount: Long = 2): DataFrame = {
+    require(window >= 1, s"skipgramPairs: window must be >= 1, got $window")
+    val empty = array().cast("array<struct<center:string,context:string>>")
+    val t = docs.select(tokens(F.lower_simple(col("text"))).as("toks"))
+    t.select(explode(flatten(transform(sequence(lit(1), lit(window)), d =>
+        when(size(col("toks")) > d,
+          flatten(transform(sequence(lit(0), size(col("toks")) - d - 1), i =>
+            array(
+              struct(element_at(col("toks"), i + 1).as("center"),
+                element_at(col("toks"), i + d + 1).as("context")),
+              struct(element_at(col("toks"), i + d + 1).as("center"),
+                element_at(col("toks"), i + 1).as("context"))))))
+          .otherwise(empty)))).as("p"))
+      .select(col("p.center"), col("p.context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
+  /** Per-domain KL divergence KL(domain ‖ corpus) over unigram
+    * distributions — the domain-similarity signal mixture-weighting
+    * pipelines (DoReMi-style reweighting, CCNet's per-shard LM deltas)
+    * rank sources by: a domain whose token distribution diverges hard
+    * from the pooled corpus is either precious diversity or garbage,
+    * and either way gets a hand-set mixture weight.
+    *
+    * KL = Σ_w p_d(w)·(ln p_d(w) − ln p_c(w)); every domain token is in
+    * the corpus by construction, so no smoothing is needed.
+    *
+    * EXACTNESS CONTRACT: the two log terms are fixed to integer
+    * micro-nats per (domain, token) and weighted by the INTEGER count
+    * c_d(w) — `kl_micro_sum = Σ c_d(w)·(mn(c_d/N_d) − mn(c_c/N_c))` is
+    * an exact BIGINT; `kl_nats` divides by N_d·10^6 only at the final
+    * projection.
+    *
+    * Physical shape (100 TB): ONE tokenize pass feeds the (domain,
+    * token) count agg; the corpus-wide token counts REAGGREGATE that
+    * table (sum over domains — no second corpus scan, the [[tfidfTop]]
+    * df trick); the stitch is a token-keyed shuffle join of the two
+    * count tables (vocab not assumed broadcastable) plus broadcast
+    * per-domain and single-row totals. Output is one row per domain.
+    */
+  def domainKl(docs: DataFrame, domainCol: String = "source"): DataFrame = {
+    def mn(x: Column) = floor(log(x) * 1e6 + 0.5).cast("long")
+    val cs = docs
+      .select(col(domainCol).as("domain"),
+        explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .groupBy("domain", "w").agg(count(lit(1)).as("c_s"))
+    val cc = cs.groupBy("w").agg(sum("c_s").as("c_c")) // reaggregate, no 2nd scan
+    val ns = cs.groupBy("domain").agg(sum("c_s").as("n_s")) // one row per domain
+    val nc = cc.agg(sum("c_c").as("n_c")) // 1 row
+    cs.join(cc, "w")
+      .join(broadcast(ns), "domain")
+      .crossJoin(broadcast(nc))
+      .select(col("domain"),
+        (col("c_s") * (mn(col("c_s").cast("double") / col("n_s").cast("double")) -
+          mn(col("c_c").cast("double") / col("n_c").cast("double")))).as("term"))
+      .groupBy("domain")
+      .agg(sum("term").as("kl_micro_sum"))
+      .join(broadcast(ns), "domain")
+      .select(col("domain"), col("n_s").as("n_tokens"), col("kl_micro_sum"),
+        round(col("kl_micro_sum").cast("double") / (col("n_s") * lit(1e6)), 6)
+          .as("kl_nats"))
+  }
 }
 
 /** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
