@@ -78,8 +78,9 @@ class StatsSpec extends AnyFunSuite {
     val div = Seq(("a", "x x"), ("b", "y y")).toDF("source", "text")
     val k1 = ops.TextStats.domainKl(div).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    // c_s(x)=2/2 vs corpus 2/4: term = 2*(mn(1) - mn(0.5)) = 2*693147
-    assert(k1("a") == (2L, 1386294L, 1.386294) && k1("b") == k1("a"))
+    // c_s(x)=2/2 vs corpus 2/4: sum = 2*(mn(1) - mn(0.5)) = 2*693147,
+    // kl_nats = 1386294 / (2 * 1e6) = ln 2
+    assert(k1("a") == (2L, 1386294L, 0.693147) && k1("b") == k1("a"))
   }
 
   test("domainKl: partition-invariant integer sums on the real corpus") {
