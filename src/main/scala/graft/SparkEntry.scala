@@ -226,6 +226,11 @@ object SparkEntry {
       val e = tbl(s, d, "embeddings")
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
+    // all-vectors kNN graph (GNN/kNN-LM precursor): IVF cell blocking with
+    // a cell-keyed SHUFFLE join — neither side broadcast, the 10^9x10^9
+    // shape (see Similarity.knnGraph)
+    "q_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(tbl(s, d, "embeddings"), k = 3)),
     // offline IVF-centroid trainer: integer-quantized Lloyd's k-means
     // (see Similarity.kmeans exactness contract)
     "q_kmeans" -> ((s, d) =>
@@ -1283,6 +1288,37 @@ object SparkEntry {
                      ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored)
         WHERE rank <= 5"""
+      },
+      "q_knn_graph" -> {
+        // the q_ann_ivf oracle with the query side = the WHOLE table:
+        // same seeded centroids, nearest-cell assignment, nprobe=4 probed
+        // cells per query, exact cosine re-rank within probed cells, top-3
+        s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent(cell, cv) AS (VALUES ${ivfCentSql(16, 64, 7L)}),
+        cells AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        qcells AS MATERIALIZED (SELECT query_id, cell FROM (
+            SELECT e.vec_id AS query_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn <= 4),
+        scored AS (
+            SELECT qc.query_id, ec.vec_id AS neighbor_id,
+                   list_cosine_similarity(eq.emb, en.emb) AS cos
+            FROM cells ec JOIN qcells qc ON ec.cell = qc.cell
+            JOIN e en ON en.vec_id = ec.vec_id
+            JOIN e eq ON eq.vec_id = qc.query_id
+            WHERE ec.vec_id <> qc.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 3"""
       },
       "q_ann_ivfpq" -> {
         // same seeded coarse centroids + PQ codebooks as

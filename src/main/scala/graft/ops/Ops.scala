@@ -1482,6 +1482,45 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** All-vectors kNN graph: every vector's top-k cosine neighbors — the
+    * precursor artifact of GNN training, graph-based dedup, and kNN-LM
+    * retrieval indices. Same IVF cell blocking as [[annIvf]], but the
+    * query side is the WHOLE table, so nothing is broadcast: the base
+    * side keys on its one nearest cell, the query side explodes to its
+    * `nprobe` probed cells, and candidates meet in a cell-keyed SHUFFLE
+    * equi-join — the only join shape that survives 10^9 vectors on both
+    * sides. A (query, neighbor) pair surfaces at most once (the neighbor
+    * owns exactly one cell), so no dedup pass is needed before ranking.
+    *
+    * Skew: cell populations follow the data distribution; at web scale a
+    * hot cell makes a quadratic block — cap it by training more
+    * centroids ([[kmeans]] is the offline trainer; cells ≈ √N bounds the
+    * expected block, the SemDeDup/IVF sizing rule) and AQE skew-join
+    * splitting handles the residual head. nprobe=cells degrades to the
+    * exact brute-force graph (asserted in SearchSpec) — the recall knob
+    * is explicit, not hidden.
+    */
+  def knnGraph(emb: DataFrame, k: Int = 3, cells: Int = 16, nprobe: Int = 4,
+               dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val cs = ivfCentroids(cells, dim, seed)
+    val base = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+      .withColumn("cell", F.ivf_cell(col("n_emb"), cs))
+    val q = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("cell", explode(F.ivf_probe(col("q_emb"), cs, nprobe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(base, "cell") // cell-keyed shuffle join — neither side broadcast
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        F.cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Lloyd's k-means over the embedding table — the offline centroid
     * trainer the IVF docs above point at ("in production you'd train
     * them offline"). Returns the final per-vector assignment

@@ -66,4 +66,27 @@ class SearchSpec extends AnyFunSuite {
     assert(m("en") == ((4L, 10L, 1L, 4L, 2.5, 3.7)))
     assert(m("ru") == ((1L, 2L, 2L, 2L, 2.0, 2.0)))
   }
+
+  test("knnGraph with nprobe = cells equals the exact brute-force kNN graph") {
+    // probing every cell removes the recall approximation — the cell-keyed
+    // shuffle-join graph must equal bruteTopK run with every vector as query
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val graph = ops.Similarity.knnGraph(e, k = 3, cells = 16, nprobe = 16)
+      .collect().map(key).toSet
+    val brute = ops.Similarity.bruteTopK(e, e, 3).collect().map(key).toSet
+    assert(graph == brute && graph.nonEmpty)
+  }
+
+  test("knnGraph: ranks contiguous from 1, self-edges excluded, at most k per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = ops.Similarity.knnGraph(e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (q, _, n) => assert(q != n) }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1L to ranks.length))
+    }
+  }
 }
