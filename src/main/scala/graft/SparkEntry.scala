@@ -113,6 +113,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
     "q_dup_spans" -> ((s, d) =>
       Dedup.dupNgramSpans(tbl(s, d, "documents"), k = 20, minDocs = 2)),
+    // apply side of the dup-span detector: corpus rewritten with every
+    // duplicated island removed (Lee et al. exact-substring dedup rewrite;
+    // see Dedup.removeDupSpans)
+    "q_remove_dup_spans" -> ((s, d) =>
+      Dedup.removeDupSpans(tbl(s, d, "documents"), k = 20, minDocs = 2)),
     "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => {
       // the synthetic corpus carries no PII — plant a deterministic
@@ -138,6 +143,11 @@ object SparkEntry {
     // — see TextStats.lmPerplexity)
     "q_lm_perplexity" -> ((s, d) =>
       TextStats.lmPerplexity(tbl(s, d, "documents"))),
+    // CCNet head/middle/tail terciles per language — value-based bucketing
+    // over the integer pico-nat LM key, no per-language corpus sort
+    // (see TextStats.ccnetBuckets)
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextStats.ccnetBuckets(tbl(s, d, "documents"))),
     // keyword extraction: per-doc top-3 TF-IDF terms (integer micro-nat
     // idf — see TextStats.tfidfTop)
     "q_tfidf_top" -> ((s, d) =>
@@ -753,6 +763,81 @@ object SparkEntry {
         SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok,
                count(*) AS n_grams
         FROM isl GROUP BY doc_id, island""",
+      // mirrors Dedup.removeDupSpans: the q_dup_spans island chain, then a
+      // per-token NOT-EXISTS range anti-join and an md5 over the ordered
+      // kept stream (engine: concat_ws over the filtered array)
+      "q_remove_dup_spans" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS w FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                md5(array_to_string(w[i:i+19], ' ')) AS gram
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+                    FROM t WHERE len(w) >= 20)),
+        d AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT doc_id, CAST(pos AS BIGINT) AS s,
+                     CAST(pos + 19 AS BIGINT) AS e FROM g JOIN d USING (gram)),
+        f AS (SELECT doc_id, s, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS ni FROM h),
+        isl AS (SELECT doc_id, s, e,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM f),
+        sp AS MATERIALIZED (SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, island),
+        tok AS (SELECT doc_id, unnest(w) AS tkn, unnest(range(len(w))) AS i
+                FROM t),
+        kept AS (SELECT doc_id, i, tkn FROM tok
+                 WHERE NOT EXISTS (SELECT 1 FROM sp
+                   WHERE sp.doc_id = tok.doc_id
+                     AND tok.i BETWEEN sp.s AND sp.e)),
+        ka AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tkn, ' ' ORDER BY i ASC) AS txt
+               FROM kept GROUP BY 1)
+        SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+               (len(w) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+               md5(coalesce(txt, '')) AS clean_fp
+        FROM t LEFT JOIN ka ON ka.doc_id = t.doc_id""",
+      // mirrors TextStats.ccnetBuckets: the q_lm_perplexity integer chain
+      // through sum_mn, the exact pico-nat key, and the ANSI ntile(3)
+      // first-rank formula over the (lang, key) count table
+      "q_ccnet_buckets" -> s"""
+        WITH t AS (SELECT doc_id, ${toks("lower(text)")} AS w FROM documents),
+        bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+        big AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        uni AS MATERIALIZED (SELECT w1, count(*) AS c1
+               FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY 1),
+        vv AS (SELECT count(*) AS v FROM uni),
+        sc AS (SELECT doc_id,
+                 floor(ln((coalesce(c12, 0) + 1)::DOUBLE /
+                          (coalesce(c1, 0) + v)::DOUBLE) * 1000000 + 0.5)::BIGINT AS mn
+               FROM bi LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+               CROSS JOIN vv),
+        agg AS (SELECT doc_id, count(*) AS n_grams, sum(mn)::BIGINT AS sum_mn
+                FROM sc GROUP BY 1),
+        scored AS MATERIALIZED (SELECT a.doc_id, d.lang,
+                 ((-sum_mn) * 1000000) // n_grams AS ppl_pico
+               FROM agg a JOIN documents d USING (doc_id)),
+        keys AS (SELECT lang, ppl_pico, count(*) AS c FROM scored GROUP BY 1, 2),
+        kk AS (SELECT lang, ppl_pico, c,
+                 sum(c) OVER (PARTITION BY lang ORDER BY ppl_pico
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY lang) AS n FROM keys),
+        tl AS (SELECT lang, ppl_pico,
+                 CASE WHEN n // 3 = 0 THEN cum - c + 1
+                      WHEN cum - c + 1 <= (n % 3) * (n // 3 + 1)
+                        THEN (cum - c) // (n // 3 + 1) + 1
+                      ELSE n % 3 + (cum - c - (n % 3) * (n // 3 + 1)) // (n // 3) + 1
+                 END AS tile
+               FROM kk)
+        SELECT s.doc_id, s.lang, s.ppl_pico,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+        FROM scored s JOIN tl USING (lang, ppl_pico)""",
       "q_ngram_counts" -> s"""
         SELECT ngram, count(*) AS n FROM (
           SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram

@@ -223,6 +223,19 @@ object TextStats {
     * no bigrams and are absent from the output (documented contract).
     */
   def lmPerplexity(docs: DataFrame, model: DataFrame = null): DataFrame = {
+    val avg = -(col("sum_mn").cast("double") / (col("n_grams") * lit(1e6)))
+    lmScoreMicro(docs, model)
+      .select(col("doc_id"), col("n_grams"),
+        round(avg, 6).as("avg_neg_logp"),
+        round(exp(avg), 6).as("perplexity"))
+  }
+
+  /** Integer core of [[lmPerplexity]]: (doc_id, n_grams, sum_mn) with
+    * sum_mn the exact BIGINT micro-nat log-prob sum — the partition-order
+    * exact frame [[ccnetBuckets]] keys on; [[lmPerplexity]] is a pure
+    * projection of this.
+    */
+  def lmScoreMicro(docs: DataFrame, model: DataFrame = null): DataFrame = {
     val lm = Option(model).getOrElse(docs)
     def toked(d: DataFrame) =
       d.select(col("doc_id"), tokens(F.lower_simple(col("text"))).as("toks"))
@@ -246,7 +259,6 @@ object TextStats {
     val mn = floor(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6 + 0.5)
       .cast("long")
-    val avg = -(col("sum_mn").cast("double") / (col("n_grams") * lit(1e6)))
     bigrams(docs)
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
@@ -254,9 +266,56 @@ object TextStats {
       .select(col("doc_id"), mn.as("mn"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum("mn").as("sum_mn"))
-      .select(col("doc_id"), col("n_grams"),
-        round(avg, 6).as("avg_neg_logp"),
-        round(exp(avg), 6).as("perplexity"))
+  }
+
+  /** CCNet's head/middle/tail corpus split: per language, rank documents
+    * by LM score and cut the distribution into terciles (Wenzek et al.
+    * 2020 keep "head" for training, sample "middle", drop "tail").
+    *
+    * VALUE-BASED bucketing, not row-ntile: the ranking key is the exact
+    * integer per-gram average `ppl_pico = (−sum_mn)·10^6 div n_grams`
+    * (pico-nats/gram, BIGINT — no float enters the ordering), and every
+    * document sharing a key value lands in the same bucket (the bucket of
+    * the key run's FIRST rank under ANSI ntile(3) sizing: n div 3 per
+    * tile, the first n mod 3 tiles one larger). CCNet itself assigns by
+    * comparing against per-language cutoff VALUES, which is exactly this
+    * semantic — a perplexity value never splits across buckets.
+    *
+    * Physical shape (100 TB): NO per-language corpus sort. The corpus
+    * aggregates to a (lang, key) count table — distinct keys, the
+    * [[lengthQuantiles]] bounded-state trick — the cumulative window runs
+    * over that SMALL table, and the corpus pays one (lang, key) equi-join
+    * to pick up its bucket. A windowed ntile over the raw docs would put
+    * each whole language in one partition — the shape this op exists to
+    * avoid. Zero/one-token docs have no bigrams and are absent (the
+    * [[lmPerplexity]] contract).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScoreMicro(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("((-sum_mn) * 1000000) div n_grams").as("ppl_pico"))
+    val wk = Window.partitionBy("lang").orderBy("ppl_pico")
+    val wl = Window.partitionBy("lang")
+    val keys = scored.groupBy("lang", "ppl_pico").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(wk.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("r", col("cum") - col("c") + 1) // first rank of the key run
+      .withColumn("n", sum("c").over(wl))
+    // ANSI ntile(3) position formula: q = n div 3, rem = n mod 3; the
+    // first rem tiles hold q+1 rows. q = 0 (n < 3) degenerates to t = r.
+    val tiled = keys
+      .withColumn("q", expr("n div 3")).withColumn("rem", expr("n % 3"))
+      .withColumn("tile",
+        when(col("q") === 0, col("r"))
+          .when(col("r") <= col("rem") * (col("q") + 1),
+            expr("(r - 1) div (q + 1) + 1"))
+          .otherwise(expr("rem + (r - rem * (q + 1) - 1) div q + 1")))
+      .select(col("lang"), col("ppl_pico"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("tile").cast("int")).as("bucket"))
+    scored.join(tiled, Seq("lang", "ppl_pico"))
+      .select(col("doc_id"), col("lang"), col("ppl_pico"), col("bucket"))
   }
 
   /** Per-language token-length distribution: count/sum/min/max plus
@@ -950,6 +1009,47 @@ object Dedup {
       .agg(min("start").as("start_tok"), max("end").as("end_tok"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "start_tok", "end_tok", "n_grams")
+  }
+
+  /** Apply side of [[dupNgramSpans]] (the same train/apply pairing as
+    * bpeMerges→bpeEncode): rewrite the corpus with every duplicated-span
+    * token REMOVED — the conservative variant of Lee et al.'s
+    * suffix-array dedup rewrite (they also evaluate keep-one-occurrence;
+    * remove-everywhere needs no global occurrence election and is what
+    * their released pipeline defaults to for the exact-substring pass).
+    *
+    * Output: one row per input document — n_tokens (original), n_removed,
+    * and clean_fp = md5 of the space-joined KEPT token stream (the
+    * scalar the driver gate can hash; the kept array itself is the
+    * internal API, exposed to consumers via the same projection this op
+    * builds). Docs without dup spans pass through with n_removed = 0.
+    *
+    * Physical shape (100 TB): islands per doc are collected into an
+    * array (bounded by n_tokens/k per doc — islands are disjoint by
+    * construction), the corpus left-joins that doc_id-keyed frame once,
+    * and the removal is a row-local filter-with-index lambda over the
+    * token array (O(tokens × islands) per row, no shuffle beyond the
+    * island join).
+    */
+  def removeDupSpans(docs: DataFrame, k: Int = 20, minDocs: Int = 2): DataFrame = {
+    val spans = dupNgramSpans(docs, k, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    val emptySpans =
+      array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+    docs
+      .select(col("doc_id"),
+        TextStats.tokens(F.lower_simple(col("text"))).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("spans"), emptySpans).as("spans"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (t, i) => !exists(col("spans"),
+          s => i.cast("long") >= s("start_tok") &&
+            i.cast("long") <= s("end_tok"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_fp"))
   }
 
   // Persisted shingle tables, bounded: repeated dedup calls in one session

@@ -83,6 +83,58 @@ class StatsSpec extends AnyFunSuite {
     assert(k1("a") == (2L, 1386294L, 0.693147) && k1("b") == k1("a"))
   }
 
+  test("removeDupSpans: planted shared 25-token span removed from both docs, clean docs untouched") {
+    import spark.implicits._
+    val shared = (0 until 25).map(i => s"s$i").mkString(" ")
+    val a = (0 until 7).map(i => s"pa$i").mkString(" ") + " " + shared
+    val b = (0 until 5).map(i => s"pb$i").mkString(" ") + " " + shared
+    val c = (0 until 30).map(i => s"pc$i").mkString(" ") // no dups
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = ops.Dedup.removeDupSpans(docs, k = 20, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 3)
+    assert(out(1L)._1 == 32 && out(1L)._2 == 25)
+    assert(out(2L)._1 == 30 && out(2L)._2 == 25)
+    assert(out(3L) == ((30L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+    // kept stream = the unique prefixes only
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5((0 until 7).map(i => s"pa$i").mkString(" ")))
+    assert(out(2L)._3 == md5((0 until 5).map(i => s"pb$i").mkString(" ")))
+  }
+
+  test("ccnetBuckets: buckets contiguous in key space, sized per ntile, partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = ops.TextStats.ccnetBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      // value-contiguity: max key of an earlier bucket <= min key of a later
+      val byB = g.groupBy(_._4).view.mapValues(v => (v.map(_._3).min, v.map(_._3).max))
+      byB.toSeq.sortBy(x => order(x._1)).sliding(2).foreach {
+        case Seq((_, (_, hiMax)), (_, (loMin, _))) => assert(hiMax <= loMin)
+        case _ =>
+      }
+      // same key value never splits across buckets
+      g.groupBy(_._3).foreach { case (_, ks) => assert(ks.map(_._4).distinct.size == 1) }
+      // sizes: each bucket within one key-run of the ntile target n/3
+      val n = g.size
+      if (n >= 3) {
+        val q = n / 3
+        val maxRun = g.groupBy(_._3).values.map(_.size).max
+        byB.foreach { case (_, _) => () }
+        g.groupBy(_._4).values.foreach(b =>
+          assert(math.abs(b.size - q) <= maxRun + 1))
+      }
+    }
+    val rows2 = ops.TextStats.ccnetBuckets(docs.repartition(11)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.sortBy(_._1).sameElements(rows2.sortBy(_._1)))
+  }
+
   test("domainKl: partition-invariant integer sums on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = ops.TextStats.domainKl(docs).collect()
