@@ -595,6 +595,42 @@ object Bench {
     mainPair()
     midPair()
     mainPair()
+    // Retrospective pair retry (round-5 ext): the live 1.5x leg-twin key
+    // compares against the best same-config attempt SO FAR, so an epoch
+    // covering the run's START escapes it — the floors only expose the
+    // early legs as poisoned once a clean later pair lands (the 11:22 run:
+    // pair-1/2 HIGH legs at cpu_sec 108.99/117.29 vs pair 3's 71.02 passed
+    // every live check; steal and probes read healthy throughout). After
+    // all planned pairs, re-evaluate each recorded main pair against the
+    // FINAL cpu_sec floors and re-run the worst offender — REPLACING the
+    // pair unconditionally: the trigger and the replacement are keyed on
+    // the contamination covariate, never the reported metric, so the
+    // estimator stays optional-stopping-free. Wall-guarded like every
+    // retry (decision < 500 s); the catalog's adaptive budget absorbs the
+    // cost by degrading to single-shot timings — graded pairs outrank it.
+    var retroRetries = 0
+    def retroExcess(l: Leg, cores: Int): Double = {
+      val t = cpuFloor.get((cores, scaleDocs))
+        .map(f => l.cpuSec / math.max(f, 1e-9)).getOrElse(1.0)
+      val r = refCpuFloor.get((cores, refDocs))
+        .map(f => l.refCpuSec / math.max(f, 1e-9)).getOrElse(1.0)
+      math.max(t, r)
+    }
+    var retroGo = true
+    while (retroGo && retroRetries < 2 &&
+           (System.nanoTime() - wall0) / 1e9 < 500) {
+      val flagged = sessionsBuf.zipWithIndex.map { case ((lo, hi), i) =>
+        (math.max(retroExcess(lo, cpusLow), retroExcess(hi, cpus)), i)
+      }.filter(_._1 > cpuTwinRetryRatio)
+      if (flagged.isEmpty) retroGo = false
+      else {
+        val (worst, idx) = flagged.maxBy(_._1)
+        retroRetries += 1
+        mark(f"retro pair retry idx=$idx cpu_excess=$worst%.2f")
+        sessionsBuf(idx) = ((cleanLegAt(cpusLow, scaleDocs, refDocs, 560),
+          cleanLegAt(cpus, scaleDocs, refDocs, 560)))
+      }
+    }
     val results = runCatalog()
     val sessions = sessionsBuf.toSeq
     val midSessions = midBuf.toSeq
@@ -689,7 +725,7 @@ object Bench {
         f""""sessions_per_leg":${sessions.length},"pairs_planned":$plannedPairs,"pairs_skipped":$pairsSkipped,"pairs_implausible":$pairsImplausible,"hw_probe_suspect":$hwProbeSuspect,""" +
         f""""steal_frac_low_sessions":${fracs(los.map(_.stealFrac))},""" +
         f""""steal_frac_high_sessions":${fracs(his.map(_.stealFrac))},""" +
-        f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,""" +
+        f""""steal_retry_at":$stealRetryAt%.3f,"leg_retries":$legRetries,"retro_retries":$retroRetries,""" +
         f""""cpu_twin_retry_ratio":$cpuTwinRetryRatio%.2f,"probe_retry_frac":$probeRetryFrac%.2f,""" +
         f""""cpu_sec_low_sessions":${secsOf(los.map(_.cpuSec).toSeq)},""" +
         f""""cpu_sec_high_sessions":${secsOf(his.map(_.cpuSec).toSeq)},""" +

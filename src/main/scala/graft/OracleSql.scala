@@ -665,6 +665,47 @@ object OracleSql {
       ($outs) wout"""
   }
 
+  /** TransE negative samples — mirrors Analytics.transeSamples exactly:
+    * dense entity ids by (pmod(poly_hash(e), 64), e) order (the engine's
+    * two-level bucket ranking collapses to this one global window at
+    * oracle scale), signed poly_hash draw over the chr(1)-joined probe
+    * key, +1 re-pick on self-collision.
+    */
+  def qKgTranse(negatives: Int): String = {
+    def polySignedOf(key: String): String = {
+      val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"[unicode(c)::HUGEINT for c in string_split($key, '')]), " +
+        "(h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT"
+      s"((($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+    }
+    val probeKey = "'transe' || chr(1) || subj_id || chr(1) || pred || " +
+      "chr(1) || obj_id || chr(1) || nn::VARCHAR"
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    te AS MATERIALIZED (SELECT e, row_number() OVER (
+            ORDER BY ((${polySignedOf("e")} % 64) + 64) % 64, e) - 1 AS eid
+          FROM (SELECT subj_id AS e FROM ktriples
+                UNION SELECT obj_id FROM ktriples) u),
+    tn AS (SELECT count(*) AS n FROM te),
+    tb AS (SELECT DISTINCT subj_id, pred, obj_id FROM ktriples),
+    tp AS MATERIALIZED (SELECT subj_id, pred, obj_id, nn AS neg_no,
+            CASE WHEN nn % 2 = 0 THEN 'obj' ELSE 'subj' END AS corrupt,
+            ((${polySignedOf(probeKey)} % n) + n) % n AS idx, n
+          FROM tb CROSS JOIN (SELECT unnest(range(0, $negatives)) AS nn) g
+          CROSS JOIN tn),
+    tj AS MATERIALIZED (SELECT tp.*, te.e AS neg0
+          FROM tp JOIN te ON te.eid = tp.idx)
+    SELECT subj_id, pred, obj_id, neg_no, corrupt, neg0 AS neg_id FROM tj
+    WHERE neg0 <> CASE WHEN corrupt = 'obj' THEN obj_id ELSE subj_id END
+    UNION ALL
+    SELECT tj.subj_id, tj.pred, tj.obj_id, tj.neg_no, tj.corrupt,
+           e2.e AS neg_id
+    FROM tj JOIN te e2 ON e2.eid = (tj.idx + 1) % tj.n
+    WHERE tj.neg0 = CASE WHEN tj.corrupt = 'obj' THEN tj.obj_id
+                    ELSE tj.subj_id END"""
+  }
+
   /** Fixed-point integer HITS, iterations unrolled as MATERIALIZED CTE
     * half-steps. Mirrors Analytics.hits exactly: micro-unit scores,
     * sum-over-edges raw, max-normalize with floor division

@@ -487,6 +487,10 @@ object SparkEntry {
         walksPerStart = 2, walkLen = 3, seed = 42L)),
     "q_kg_hits" -> ((s, d) =>
       kg.Analytics.hits(canonicalTriples(s, d), iters = 5)),
+    // TransE-style KG-embedding training pairs: deterministic hash-drawn
+    // corrupted head/tail negatives (see Analytics.transeSamples)
+    "q_kg_transe" -> ((s, d) =>
+      kg.Analytics.transeSamples(canonicalTriples(s, d), negatives = 2)),
     // adjacency-list export (the GNN/embedding-trainer consumption shape):
     // Analytics.adjacency keeps the ARRAY column + per-entity degree cap
     // (the real export); the CSV serialization here is GATE-ONLY — the
@@ -1667,6 +1671,7 @@ object SparkEntry {
       "q_kg_bfs" -> OracleSql.qKgBfs(4),
       "q_kg_neighbor_jaccard" -> OracleSql.qKgNeighborJaccard(1, 10000),
       "q_kg_walks" -> OracleSql.qKgWalks(2, 3, 42L),
+      "q_kg_transe" -> OracleSql.qKgTranse(2),
       "q_kg_hits" -> OracleSql.qKgHits(5),
       "q_kg_adjacency" -> OracleSql.qKgAdjacency,
       "q_kg_kcore" -> OracleSql.qKgKcore(2, 4),

@@ -674,4 +674,68 @@ object Analytics {
         sort_array(collect_list("obj_id")).as("neighbors"))
       .withColumn("truncated", col("out_degree") > lit(maxDegree.toLong))
   }
+
+  /** KG-embedding training pairs, TransE-style (Bordes et al. 2013): for
+    * every distinct (subj, pred, obj) emit `negatives` corrupted copies —
+    * even draws corrupt the tail, odd the head (the standard alternating
+    * scheme) — with the replacement entity drawn DETERMINISTICALLY from
+    * the entity vocabulary, so the sample is reproducible across retries,
+    * partitionings, and engines (the [[randomWalks]] hash-pick rule).
+    *
+    * Draw contract: entities get dense ids by (pmod(poly_hash(e), 64), e)
+    * order; draw i for triple t picks id pmod(poly_hash(
+    * 'transe'␁subj␁pred␁obj␁i), n); a draw that hits the very entity it
+    * would replace moves to (id+1) mod n (needs n >= 2 — a 1-entity graph
+    * has no negatives). Collisions with the OTHER side are kept: TransE
+    * filtering ("filtered setting") removes corruptions that form REAL
+    * triples, a variant left to the caller via anti-join against the base
+    * table.
+    *
+    * Physical shape (10^10 triples, 10^8 entities): dense ids are
+    * assigned two-level — per-bucket row_number windows (64 parallel
+    * partitions) plus broadcast cumulative bucket offsets — NOT one
+    * global-sort window; the corpus then pays one eid-keyed shuffle join
+    * of probes against the vocab (vocab not assumed broadcastable; AQE
+    * downgrades when it is). The collision re-pick joins only the
+    * colliding rows (expected n_triples·negatives/n — vanishing).
+    */
+  def transeSamples(triples: DataFrame, negatives: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(negatives >= 1, s"transeSamples: negatives must be >= 1")
+    val B = 64L
+    val ents = triples.select(col("subj_id").as("e"))
+      .union(triples.select(col("obj_id"))).distinct()
+      .withColumn("b", pmod(graft.functions.F.poly_hash(col("e")), lit(B)))
+    val inB = ents.withColumn("rn",
+      row_number().over(Window.partitionBy("b").orderBy("e")).cast("long"))
+    val offs = ents.groupBy("b").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("b", "off") // B rows — the tiny frame the global window runs on
+    val ids = inB.join(broadcast(offs), "b")
+      .select(col("e"), (col("off") + col("rn") - 1).as("eid"))
+    val nRow = ids.agg(count(lit(1)).as("n")) // 1 row -> broadcast cross
+    val probes = triples.select("subj_id", "pred", "obj_id").distinct()
+      .crossJoin(broadcast(nRow))
+      .select(col("subj_id"), col("pred"), col("obj_id"), col("n"),
+        explode(sequence(lit(0), lit(negatives - 1))).as("neg_no"))
+      .withColumn("corrupt",
+        when(col("neg_no") % 2 === 0, lit("obj")).otherwise(lit("subj")))
+      .withColumn("idx", pmod(graft.functions.F.poly_hash(
+        concat_ws("\u0001", lit("transe"), col("subj_id"), col("pred"),
+          col("obj_id"), col("neg_no").cast("string"))), col("n")))
+    val trueEnt =
+      when(col("corrupt") === "obj", col("obj_id")).otherwise(col("subj_id"))
+    val j1 = probes
+      .join(ids.select(col("eid").as("idx"), col("e").as("neg0")), "idx")
+    val out = Seq(col("subj_id"), col("pred"), col("obj_id"),
+      col("neg_no").cast("long").as("neg_no"), col("corrupt"))
+    j1.where(col("neg0") =!= trueEnt)
+      .select(out :+ col("neg0").as("neg_id"): _*)
+      .unionByName(j1.where(col("neg0") === trueEnt)
+        .withColumn("idx2", pmod(col("idx") + 1, col("n")))
+        .join(ids.select(col("eid").as("idx2"), col("e").as("neg1")), "idx2")
+        .select(out :+ col("neg1").as("neg_id"): _*))
+  }
 }

@@ -429,4 +429,29 @@ class KgAnalyticsSpec extends AnyFunSuite {
     assert(capped("H") == ((50L, (0 until 10).map(i => f"n$i%03d"), true)))
     assert(capped("A") == full("A"))
   }
+
+  test("transeSamples: fixed count, corrupted side never equals its replacement, deterministic") {
+    val base = triples.select("subj_id", "pred", "obj_id").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val rows = kg.Analytics.transeSamples(triples, negatives = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    // exactly `negatives` rows per distinct base triple
+    assert(rows.length == base.size * 2)
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case (k, g) =>
+      assert(base(k) && g.map(_._4).sorted.sameElements(Seq(0L, 1L)))
+    }
+    val ents = base.flatMap(t => Seq(t._1, t._3))
+    rows.foreach { case (s, _, o, nn, side, neg) =>
+      assert(side == (if (nn % 2 == 0) "obj" else "subj"))
+      assert(neg != (if (side == "obj") o else s)) // never the replaced entity
+      assert(ents(neg)) // drawn from the entity vocab
+    }
+    // bit-deterministic under repartitioning (the two-level dense ranking
+    // must reproduce the contract order regardless of layout)
+    val again = kg.Analytics.transeSamples(triples.repartition(7), negatives = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
 }
