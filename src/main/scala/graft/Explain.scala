@@ -65,6 +65,7 @@ object Explain {
     "q_acc_agg" -> "positional zip + one partial/final avg agg; dictionary side broadcast",
     "q_agg_acc" -> "grouped accuracy agg, two-phase HashAggregate",
     "q_bpe_encode" -> "merge table applied over DISTINCT words (one projection per merge); corpus pays a single word-keyed join; piece-id table O(alphabet+rounds)",
+    "q_bpe_fertility" -> "same single word-keyed vocab join as encode (pieces never exploded — only size(syms)+length travel); per-lang two-phase agg; integer ppm ratios",
     "q_bucketed_join" -> "bucketed tables: at sf0.01 the dim side is broadcast (zero shuffle on the fact side); with broadcast disabled the buckets co-locate a ZERO-Exchange SortMergeJoin (SparkSpec 'bucketed tables' case pins that plan)",
     "q_dedup_cluster" -> "LSH pairs localCheckpointed + session-cached once; CC restricted to paired docs; left-join re-attaches isolated docs",
     "q_distinct_sort" -> "distinct rels vocab: two-phase agg + single small sort",

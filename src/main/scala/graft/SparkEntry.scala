@@ -165,6 +165,10 @@ object SparkEntry {
     // training run actually spends), not regex words
     "q_pack_bpe" -> ((s, d) =>
       ops.Corpus.packBpe(tbl(s, d, "documents"), bpeMerges6(s, d), 512, 8)),
+    // tokenizer fertility per language under the learned merges (integer
+    // ppm ratios — see TextStats.bpeFertility)
+    "q_bpe_fertility" -> ((s, d) =>
+      TextStats.bpeFertility(tbl(s, d, "documents"), bpeMerges6(s, d))),
     // deterministic HLL distinct-token sketch (register-max merge —
     // exactly checkable; see TextStats.hllTokenDistinct)
     "q_hll_distinct" -> ((s, d) =>
@@ -1102,6 +1106,21 @@ object SparkEntry {
         c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
         SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens FROM c""",
+      // mirrors TextStats.bpeFertility: same applied-vocab join, integer
+      // ppm floor divisions
+      "q_bpe_fertility" -> s"""
+        WITH ${bpeCtes(6)},
+        ws AS (SELECT w, len(syms)::BIGINT AS k, len(w)::BIGINT AS chars FROM w6),
+        cw AS (SELECT lang, tk, unnest(generate_series(1, len(tk))) AS i
+               FROM (SELECT lang, ${toks("lower(text)")} AS tk FROM documents) d),
+        corpus AS (SELECT lang, tk[i] AS w FROM cw),
+        agg AS (SELECT lang, count(*) AS n_words, sum(k)::BIGINT AS n_pieces,
+                       sum(chars)::BIGINT AS n_chars
+                FROM corpus JOIN ws USING (w) GROUP BY 1)
+        SELECT lang, n_words, n_pieces, n_chars,
+               (n_pieces * 1000000) // n_words AS pieces_per_word_ppm,
+               (n_chars * 1000000) // n_pieces AS chars_per_piece_ppm
+        FROM agg""",
       "q_decontaminate" -> decontSql,
       // Bloom variant is RESULT-identical (no false negatives + exact
       // verify join) — the oracle is the same exact-decontamination SQL

@@ -799,6 +799,35 @@ object TextStats {
     vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Tokenizer fertility per language — pieces/word and chars/piece under
+    * a trained BPE merge table: the standard tokenizer-eval metric an LLM
+    * pipeline computes before committing to a vocab (a high-fertility
+    * language pays more sequence budget per word; cf. the multilingual
+    * fertility tables in the mBERT/XLM-R literature).
+    *
+    * Integer-exact: ratios are emitted as ppm via BIGINT floor division
+    * (`(n_pieces·10^6) div n_words`), so the row is engine-exact with no
+    * float anywhere.
+    *
+    * Physical shape: the corpus pays the same ONE word-keyed join against
+    * the distinct-word piece table as [[bpeEncode]] (pieces are never
+    * exploded — only size(syms) and the word length travel), then a
+    * per-language two-phase agg. Languages, not docs, are the output rows.
+    */
+  def bpeFertility(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val vocab = bpeVocab(docs, merges).select(col("w"),
+      size(col("syms")).cast("long").as("k"),
+      length(col("w")).cast("long").as("chars"))
+    docs.select(col("lang"), explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .join(vocab, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("k").as("n_pieces"),
+        sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("(n_pieces * 1000000) div n_words").as("pieces_per_word_ppm"),
+        expr("(n_chars * 1000000) div n_pieces").as("chars_per_piece_ppm"))
+  }
+
   /** GPT-3/CCNet-style binary quality classifier: Naive Bayes token
     * log-odds trained on a positive (in-domain, e.g. curated/WebText-like)
     * corpus vs a negative (raw crawl) corpus, then every document in

@@ -135,6 +135,27 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).sameElements(rows2.sortBy(_._1)))
   }
 
+  test("bpeFertility: pieces partition words exactly; ppm fields are the floor ratios") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = ops.TextStats.bpeMerges(docs, rounds = 3)
+    val rows = ops.TextStats.bpeFertility(docs, merges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    // n_words per lang equals the corpus token count (the vocab join drops nothing)
+    val tokCounts = docs
+      .select(col("lang"),
+        size(ops.TextStats.tokens(functions.F.lower_simple(col("text")))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (lang, (nw, np, nc, ppw, cpp)) =>
+      assert(nw == tokCounts(lang))
+      assert(nw <= np && np <= nc) // pieces partition words: 1..chars pieces/word
+      assert(ppw == np * 1000000L / nw && cpp == nc * 1000000L / np)
+    }
+  }
+
   test("domainKl: partition-invariant integer sums on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = ops.TextStats.domainKl(docs).collect()
