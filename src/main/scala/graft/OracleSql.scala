@@ -795,6 +795,109 @@ object OracleSql {
           WHERE subj_id <> obj_id) de
     GROUP BY 1"""
 
+  /** GraphSAGE fan-out sampling — mirrors Analytics.neighborSample
+    * exactly: per-hop sampled adjacency = row_number over
+    * (poly_hash('sample'␁seed␁hop␁src␁dst) signed, dst) capped at
+    * fanouts(h-1), then frontier equi-joins; hops unrolled as
+    * MATERIALIZED CTEs. */
+  def qKgNeighborSample(fanouts: Seq[Int], seed: Long): String = {
+    def polySignedOf(key: String): String = {
+      val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"[unicode(c)::HUGEINT for c in string_split($key, '')]), " +
+        "(h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT"
+      s"((($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+    }
+    val samp = fanouts.zipWithIndex.map { case (k, i) =>
+      val key = s"'sample' || chr(1) || '$seed' || chr(1) || '${i + 1}'" +
+        " || chr(1) || src || chr(1) || dst"
+      s"""nss${i + 1} AS MATERIALIZED (SELECT src, dst FROM (
+           SELECT src, dst, row_number() OVER (PARTITION BY src
+               ORDER BY ${polySignedOf(key)}, dst) AS rn FROM nse) r
+         WHERE rn <= $k)"""
+    }.mkString(",\n    ")
+    val fronts = (1 to fanouts.length).map { h =>
+      if (h == 1)
+        "nsf1 AS MATERIALIZED (SELECT src AS seed, 1 AS hop, " +
+          "src AS parent, dst AS child FROM nss1)"
+      else
+        s"""nsf$h AS MATERIALIZED (SELECT f.seed, $h AS hop,
+             f.child AS parent, s.dst AS child
+           FROM nsf${h - 1} f JOIN nss$h s ON s.src = f.child)"""
+    }.mkString(",\n    ")
+    val outs = (1 to fanouts.length)
+      .map(h => s"SELECT seed, hop, parent, child FROM nsf$h")
+      .mkString("\n       UNION ALL ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    nse AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst
+          FROM ktriples WHERE subj_id <> obj_id),
+    $samp,
+    $fronts
+    $outs"""
+  }
+
+  /** Co-entity story clustering — mirrors Analytics.storyClusters: doc
+    * pairs sharing >= minShared non-hub entities, transitive closure via
+    * recursive min-label CC (the q_dedup_cluster pattern), story_size by
+    * window count. */
+  def qKgStories(minShared: Long, hubCap: Long): String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    stm AS MATERIALIZED (SELECT DISTINCT docId AS doc, e FROM
+          (SELECT docId, subj_id AS e FROM ktriples
+           UNION ALL SELECT docId, obj_id AS e FROM ktriples) un),
+    stk AS MATERIALIZED (SELECT m.doc, m.e FROM stm m
+          JOIN (SELECT e FROM stm GROUP BY e
+                HAVING count(*) <= $hubCap) k USING (e)),
+    stp AS MATERIALIZED (SELECT a.doc AS u, b.doc AS v
+          FROM stk a JOIN stk b ON a.e = b.e AND a.doc < b.doc
+          GROUP BY 1, 2 HAVING count(*) >= $minShared),
+    ste AS (SELECT u, v FROM stp UNION ALL SELECT v, u FROM stp),
+    rst(doc, m) AS (
+      SELECT doc, doc FROM (SELECT DISTINCT doc FROM stm)
+      UNION
+      SELECT e.u, rst.m FROM ste e JOIN rst ON rst.doc = e.v),
+    stc AS (SELECT doc, min(m) AS story_id FROM rst GROUP BY doc)
+    SELECT doc AS doc_id, story_id,
+           count(*) OVER (PARTITION BY story_id) AS story_size
+    FROM stc"""
+
+  /** Entity-card export — mirrors Analytics.entityCards: two-sided
+    * mention explode, four aggregates, deterministic (count desc, name
+    * asc) majority type and top-k predicate CSVs. */
+  def qKgEntityCards(topK: Int): String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    ecm AS MATERIALIZED (
+      SELECT subj_id AS e, subj_type AS ty, docId, pred,
+             TRUE AS isout, obj_id AS other FROM ktriples
+      UNION ALL
+      SELECT obj_id, obj_type, docId, pred, FALSE, subj_id FROM ktriples),
+    ecb AS (SELECT e, count(*) AS n_mentions,
+             count(DISTINCT docId) AS n_docs,
+             count(DISTINCT CASE WHEN isout THEN other END) AS out_degree,
+             count(DISTINCT CASE WHEN NOT isout THEN other END) AS in_degree
+           FROM ecm GROUP BY 1),
+    ect AS (SELECT e, ty AS entity_type FROM (
+             SELECT e, ty, row_number() OVER (PARTITION BY e
+                 ORDER BY count(*) DESC, ty) AS rn
+             FROM ecm GROUP BY e, ty) r WHERE rn = 1),
+    eco AS (SELECT e, string_agg(pred, ',' ORDER BY rn) AS top_preds_out
+           FROM (SELECT e, pred, row_number() OVER (PARTITION BY e
+                     ORDER BY count(*) DESC, pred) AS rn
+                 FROM ecm WHERE isout GROUP BY e, pred) r
+           WHERE rn <= $topK GROUP BY e),
+    eci AS (SELECT e, string_agg(pred, ',' ORDER BY rn) AS top_preds_in
+           FROM (SELECT e, pred, row_number() OVER (PARTITION BY e
+                     ORDER BY count(*) DESC, pred) AS rn
+                 FROM ecm WHERE NOT isout GROUP BY e, pred) r
+           WHERE rn <= $topK GROUP BY e)
+    SELECT ecb.e AS entity_id, entity_type, n_mentions, n_docs,
+           out_degree, in_degree,
+           coalesce(top_preds_out, '') AS top_preds_out,
+           coalesce(top_preds_in, '') AS top_preds_in
+    FROM ecb JOIN ect USING (e)
+    LEFT JOIN eco USING (e) LEFT JOIN eci USING (e)"""
+
   /** Bounded k-core peeling, rounds unrolled as MATERIALIZED CTEs.
     * Mirrors Analytics.kCore exactly: symmetrized distinct edges, drop
     * nodes with degree < k each round (both endpoints must survive),

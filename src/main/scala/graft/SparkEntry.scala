@@ -507,6 +507,24 @@ object SparkEntry {
           array_join(col("neighbors"), ",").as("neighbors"))),
     "q_kg_kcore" -> ((s, d) =>
       kg.Analytics.kCore(canonicalTriples(s, d), k = 2, rounds = 4)),
+    // GraphSAGE minibatch fan-out: deterministic per-hop top-k neighbor
+    // sample, every entity a seed (see Analytics.neighborSample)
+    "q_kg_sample" -> ((s, d) =>
+      kg.Analytics.neighborSample(canonicalTriples(s, d),
+        fanouts = Seq(3, 2))),
+    // co-entity story clustering: docs sharing >= 3 canonical entities
+    // with corpus-df <= 500, closed transitively by CC (see
+    // Analytics.storyClusters). Params sit at the sf0.01 operating point
+    // where stories are non-degenerate (the synthetic corpus has only
+    // 100 canonical entities, so hub df is huge): cap 500 keeps 64 rare
+    // entities / 2.4M blocked pairs, minShared 3 yields ~170 small
+    // stories instead of one mega-component.
+    "q_kg_stories" -> ((s, d) =>
+      kg.Analytics.storyClusters(canonicalTriples(s, d), minShared = 3,
+        hubCap = 500)),
+    // per-entity profile card (majority type, counts, top-k preds CSV)
+    "q_kg_entity_cards" -> ((s, d) =>
+      kg.Analytics.entityCards(canonicalTriples(s, d), topK = 3)),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -1694,6 +1712,9 @@ object SparkEntry {
       "q_kg_hits" -> OracleSql.qKgHits(5),
       "q_kg_adjacency" -> OracleSql.qKgAdjacency,
       "q_kg_kcore" -> OracleSql.qKgKcore(2, 4),
+      "q_kg_sample" -> OracleSql.qKgNeighborSample(Seq(3, 2), 42L),
+      "q_kg_stories" -> OracleSql.qKgStories(3, 500),
+      "q_kg_entity_cards" -> OracleSql.qKgEntityCards(3),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

@@ -738,4 +738,163 @@ object Analytics {
         .join(ids.select(col("eid").as("idx2"), col("e").as("neg1")), "idx2")
         .select(out :+ col("neg1").as("neg_id"): _*))
   }
+
+  /** GraphSAGE-style multi-hop neighbor fan-out sampling (Hamilton et
+    * al. 2017): for every entity as a seed, sample up to `fanouts(h-1)`
+    * out-neighbors at hop h and emit the sampled computation-graph edges
+    * `(seed, hop, parent, child)` — the minibatch expansion a GNN
+    * trainer consumes (per-parent multiplicity kept: the same child
+    * under two hop-2 parents is two aggregation edges).
+    *
+    * Sampling is DETERMINISTIC without replacement — the [[randomWalks]]
+    * hash-pick rule lifted to top-k: per (hop, src) the out-edges rank by
+    * (poly_hash('sample'␁seed␁hop␁src␁dst), dst) and the first k win, so
+    * the sample is reproducible across partitionings, retries, and
+    * engines, and each hop draws an independent sample (the hash is
+    * hop-keyed) exactly as GraphSAGE samples per layer.
+    *
+    * Physical shape (10^10 triples): the per-hop sampled adjacency is
+    * computed ONCE from the edge table — one src-keyed window per hop
+    * whose `row_number <= k` filter Spark 4 executes as WindowGroupLimit
+    * (per-partition top-k, no full sort of a hub's edge list survives) —
+    * giving O(V·k_h) rows per hop; the seed expansion is then pure
+    * frontier-keyed equi-joins against those capped tables, so a
+    * 10^6-degree hub costs exactly k rows downstream and total output is
+    * bounded by V·Πk_h. Frontiers are localCheckpointed per hop like
+    * [[randomWalks]] so each level is computed once (it feeds both the
+    * output union and the next join).
+    */
+  def neighborSample(triples: DataFrame, fanouts: Seq[Int] = Seq(3, 2),
+                     seed: Long = 42L): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"neighborSample: fanouts must be non-empty positive, got $fanouts")
+    import org.apache.spark.sql.expressions.Window
+    val edges = triples
+      .select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val sampled = fanouts.zipWithIndex.map { case (k, i) =>
+      val h = graft.functions.F.poly_hash(concat_ws("\u0001",
+        lit("sample"), lit(seed.toString), lit((i + 1).toString),
+        col("src"), col("dst")))
+      edges
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(h.asc, col("dst").asc)))
+        .where(col("rn") <= k)
+        .drop("rn")
+    }
+    var frontier = sampled.head
+      .select(col("src").as("seed"), lit(1).as("hop"),
+        col("src").as("parent"), col("dst").as("child"))
+      .localCheckpoint()
+    var out = frontier
+    for (i <- 1 until fanouts.length) {
+      frontier = frontier.as("f")
+        .join(sampled(i).as("s"), col("f.child") === col("s.src"))
+        .select(col("f.seed"), lit(i + 1).as("hop"),
+          col("f.child").as("parent"), col("s.dst").as("child"))
+        .localCheckpoint()
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+
+  /** Co-entity story clustering (the news-KG event-detection shape, cf.
+    * GDELT/NewsLens): documents sharing >= `minShared` canonical
+    * entities are edges, connected components over those edges are
+    * stories. Output `(doc_id, story_id, story_size)` with story_id =
+    * min doc id in the component — a singleton doc is its own story.
+    *
+    * This is [[coMentions]] transposed (docs sharing entities instead of
+    * entities sharing docs), closed under transitivity by the same
+    * large-small-star CC engine that canonicalizes alias edges.
+    *
+    * Skew: a hub entity appearing in more than `hubCap` docs is excluded
+    * from pair generation BEFORE the self-join (the [[neighborJaccard]]
+    * cap rationale — a "country"-grade entity in 30% of a 10^12-doc
+    * corpus would emit ~10^23 pairs and link everything into one
+    * mega-story; capping drops only those wedges, and minShared >= 2
+    * already demands a second, rarer shared entity for the edge).
+    * Remaining pair volume is Σ_e C(df_e, 2) with df_e <= hubCap, an
+    * entity-blocked equi-join AQE can split further.
+    */
+  def storyClusters(triples: DataFrame, minShared: Long = 2,
+                    hubCap: Long = 10000L): DataFrame = {
+    require(minShared >= 1, s"storyClusters: minShared must be >= 1")
+    require(hubCap >= 1, s"storyClusters: hubCap must be >= 1")
+    val mentions = triples
+      .select(col("docId"), explode(array(col("subj_id"), col("obj_id"))).as("e"))
+      .distinct()
+      .localCheckpoint()
+    val kept = mentions.join(
+      mentions.groupBy("e").agg(count(lit(1)).as("df"))
+        .where(col("df") <= hubCap).select("e"), "e")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.e") === col("b.e") && col("a.docId") < col("b.docId"))
+      .groupBy(col("a.docId").as("src"), col("b.docId").as("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select("src", "dst")
+    val verts = mentions.select(col("docId").as("id")).distinct()
+    val cc = ConnectedComponents.runAdaptive(pairs, verts)
+    cc.join(cc.groupBy("component").agg(count(lit(1)).as("story_size")),
+        "component")
+      .select(col("id").as("doc_id"), col("component").as("story_id"),
+        col("story_size"))
+  }
+
+  /** Entity-card export — the per-entity profile a KG serving layer
+    * renders (and the first table a reviewer reads after a build):
+    * majority type, mention/doc counts, in/out degree, and the top-k
+    * predicates on each side as ordered CSV (rank by count desc, then
+    * predicate asc — fully deterministic, no float scores).
+    *
+    * ONE scan of the triple table (each triple explodes to its two
+    * sides, checkpointed) feeding four independent aggregates stitched
+    * by entity-id equi-joins; the top-k windows run as WindowGroupLimit
+    * per (entity, side), so a hub entity's predicate list costs its
+    * distinct-predicate count, not its mention count.
+    */
+  def entityCards(triples: DataFrame, topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"entityCards: topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val m = triples.select(explode(array(
+        struct(col("subj_id").as("e"), col("subj_type").as("ty"),
+          col("docId"), col("pred"), lit(true).as("isout"),
+          col("obj_id").as("other")),
+        struct(col("obj_id").as("e"), col("obj_type").as("ty"),
+          col("docId"), col("pred"), lit(false).as("isout"),
+          col("subj_id").as("other")))).as("x"))
+      .select("x.*")
+      .localCheckpoint()
+    val base = m.groupBy("e").agg(
+      count(lit(1)).as("n_mentions"),
+      countDistinct(col("docId")).as("n_docs"),
+      countDistinct(when(col("isout"), col("other"))).as("out_degree"),
+      countDistinct(when(!col("isout"), col("other"))).as("in_degree"))
+    val ty = m.groupBy("e", "ty").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("e").orderBy(col("c").desc, col("ty").asc)))
+      .where(col("rn") === 1)
+      .select(col("e"), col("ty").as("entity_type"))
+    def topPreds(outSide: Boolean, name: String) = m
+      .where(col("isout") === outSide)
+      .groupBy("e", "pred").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("e").orderBy(col("c").desc, col("pred").asc)))
+      .where(col("rn") <= topK)
+      .groupBy("e")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("pred")))),
+        x => x.getField("pred")), ",").as(name))
+    base.join(ty, "e")
+      .join(topPreds(outSide = true, "top_preds_out"), Seq("e"), "left")
+      .join(topPreds(outSide = false, "top_preds_in"), Seq("e"), "left")
+      .na.fill("", Seq("top_preds_out", "top_preds_in"))
+      .select(col("e").as("entity_id"), col("entity_type"),
+        col("n_mentions"), col("n_docs"), col("out_degree"),
+        col("in_degree"), col("top_preds_out"), col("top_preds_in"))
+  }
 }

@@ -454,4 +454,133 @@ class KgAnalyticsSpec extends AnyFunSuite {
         r.getLong(3), r.getString(4), r.getString(5)))
     assert(rows.sorted.sameElements(again.sorted))
   }
+
+  test("neighborSample: exact hash-twin expansion, per-hop independent draws, partition-invariant") {
+    // independent in-test twin of the sampling contract
+    def poly(s: String): Long = {
+      var h = 1125899906842597L
+      s.foreach(c => h = 31 * h + c); h
+    }
+    def sampleK(edges: Map[String, Seq[String]], hop: Int, k: Int) =
+      edges.map { case (src, ds) =>
+        src -> ds.sortBy(d =>
+          (poly(s"sample\u000142\u0001$hop\u0001$src\u0001$d"), d)).take(k)
+      }
+    val edges = Map( // distinct non-self edges of `triples`
+      "A" -> Vector("B", "C"), "B" -> Vector("C"), "C" -> Vector("A"))
+    val s1 = sampleK(edges, 1, 1)
+    val s2 = sampleK(edges, 2, 2)
+    val f1 = s1.toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (src, 1, src, d)) }
+    val f2 = f1.flatMap { case (seed, _, _, child) =>
+      s2.getOrElse(child, Nil).map(d => (seed, 2, child, d)) }
+    val want = (f1 ++ f2).toSet
+
+    import spark.implicits._
+    val got = kg.Analytics.neighborSample(triples, Seq(1, 2), 42L)
+      .as[(String, Int, String, String)].collect().toSet
+    assert(got == want)
+    // fanout 1 at hop 1 but 2 at hop 2: the hop-2 draw must be an
+    // INDEPENDENT sample (hash keyed by hop), not the hop-1 pick again —
+    // A's hop-2 expansion from its single hop-1 child carries that
+    // child's full 2-sample
+    assert(f2.nonEmpty)
+    // partitioning must not change a single sampled edge
+    val sp = spark
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", "1")
+      val got1 = kg.Analytics.neighborSample(triples, Seq(1, 2), 42L)
+        .as[(String, Int, String, String)].collect().toSet
+      assert(got1 == want)
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("neighborSample: hub capped at k without replacement; sampled edges are real edges") {
+    import spark.implicits._
+    // hub H with 50 distinct out-neighbors; fanout 5 must keep exactly 5
+    // DISTINCT children, all real neighbors, true set chosen by hash rank
+    val hubEdges = (0 until 50).map(i =>
+      ("dH", i, 0, "H", "PER", "p", f"n$i%03d", "ORG"))
+    val t = hubEdges.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val rows = kg.Analytics.neighborSample(t, Seq(5), 42L)
+      .as[(String, Int, String, String)].collect()
+    assert(rows.length == 5)
+    val children = rows.map(_._4)
+    assert(children.distinct.length == 5) // without replacement
+    assert(children.forall(c => c.startsWith("n"))) // real neighbors
+    assert(rows.forall(r => r._1 == "H" && r._2 == 1 && r._3 == "H"))
+  }
+
+  test("storyClusters: transitive co-entity stories, singletons kept, hub cap cuts the mega-story") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // entity sets per doc, materialized as chain triples:
+    //   d1{A,B,C} d2{A,B,D} d6{B,D,G} d3{A,E,F} d4{E,F} d5{X,Y}
+    // minShared=2: d1-d2 share {A,B}, d2-d6 share {B,D} -> {d1,d2,d6}
+    // transitively; d3-d4 share {E,F}; d1-d3 share only {A}; d5 isolated.
+    val docs = Map(
+      "d1" -> Seq("A", "B", "C"), "d2" -> Seq("A", "B", "D"),
+      "d6" -> Seq("B", "D", "G"), "d3" -> Seq("A", "E", "F"),
+      "d4" -> Seq("E", "F"), "d5" -> Seq("X", "Y"))
+    val t = docs.toSeq.flatMap { case (doc, es) =>
+      es.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+        (doc, i, 0, a, "PER", "p", b, "ORG") }
+    }.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+
+    val got = kg.Analytics.storyClusters(t, minShared = 2).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "d1" -> (("d1", 3L)), "d2" -> (("d1", 3L)), "d6" -> (("d1", 3L)),
+      "d3" -> (("d3", 2L)), "d4" -> (("d3", 2L)),
+      "d5" -> (("d5", 1L))))
+
+    // hubCap=2 excludes A (df 3) and B (df 3): d1-d2 now share nothing
+    // countable, d2-d6 keep only {D} < 2 -> no edge; d3-d4 keep {E,F}
+    val capped = kg.Analytics.storyClusters(t, minShared = 2, hubCap = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(capped == Map(
+      "d1" -> (("d1", 1L)), "d2" -> (("d2", 1L)), "d6" -> (("d6", 1L)),
+      "d3" -> (("d3", 2L)), "d4" -> (("d3", 2L)),
+      "d5" -> (("d5", 1L))))
+
+    // driver-local and distributed CC paths agree (pair edges are tiny
+    // here, so force the distributed path via the public run())
+    val mentions = t.select(col("docId"),
+      explode(array(col("subj_id"), col("obj_id"))).as("e")).distinct()
+    val pairs = mentions.as("a").join(mentions.as("b"),
+        col("a.e") === col("b.e") && col("a.docId") < col("b.docId"))
+      .groupBy(col("a.docId").as("src"), col("b.docId").as("dst"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select("src", "dst")
+    val verts = mentions.select(col("docId").as("id")).distinct()
+    val dist = kg.ConnectedComponents.run(pairs, verts).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dist == got.map { case (d, (s, _)) => d -> s })
+  }
+
+  test("entityCards: hand-computed profiles, deterministic top-k pred CSV, empty side blank") {
+    val m = kg.Analytics.entityCards(triples, topK = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getString(7)))).toMap
+    // A: 3 mentions over 2 docs; out {B,C}, in {C}; all-PER; preds p only
+    assert(m("A") == (("PER", 3L, 2L, 2L, 1L, "p", "p")))
+    // B: p/q tie on the out side breaks by predicate name -> "p,q"
+    assert(m("B") == (("ORG", 3L, 2L, 1L, 1L, "p,q", "p")))
+    // C: self-loop counts as a neighbor on both sides; in-preds p(3),q(1)
+    assert(m("C") == (("ORG", 6L, 2L, 2L, 3L, "p", "p,q")))
+
+    // an entity that never appears as subject gets a BLANK out CSV (and
+    // the sink row still joins through the left joins)
+    import spark.implicits._
+    val sink = Seq(("d9", 0, 0, "X", "PER", "p", "Y", "ORG"))
+      .toDF("docId", "spanOrder", "sentIdx",
+        "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val s = kg.Analytics.entityCards(sink).collect()
+      .map(r => r.getString(0) -> ((r.getString(6), r.getString(7)))).toMap
+    assert(s == Map("X" -> (("p", "")), "Y" -> (("", "p"))))
+  }
 }
