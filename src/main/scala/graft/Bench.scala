@@ -343,8 +343,13 @@ object Bench {
             val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, reps)
             val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
             return Leg(n, t, "local-cluster", rn, rt, f, rf, c, r, g, rc, rr, rg, sf, legProbeGf)
-          } finally s.stop()
-        } else s.stop()
+          } finally {
+            // a tmp-cleanup IOException from stop() must not discard the
+            // measured leg (it would fall through to a RE-measured local
+            // fallback — wasted wall + a different mode in the artifact)
+            try s.stop() catch { case _: Throwable => }
+          }
+        } else (try s.stop() catch { case _: Throwable => })
       } catch { case _: Throwable => }
       val s = localSession(totalCores)
       try {
@@ -355,7 +360,7 @@ object Bench {
         val (rn, rt, rf, rc, rr, rg) = measureRef(s, tally, rDocs, reps)
         val sf = Steal.frac(sj0, Steal.jiffies, (System.nanoTime() - sw0) / 1e9)
         Leg(n, t, "local", rn, rt, f, rf, c, r, g, rc, rr, rg, sf, legProbeGf)
-      } finally s.stop()
+      } finally (try s.stop() catch { case _: Throwable => })
     }
     def leg(totalCores: Int): Leg = legAt(totalCores, scaleDocs, refDocs)
     // steal-conditioned leg retry: if the kernel reports >2% of box
@@ -558,7 +563,13 @@ object Bench {
                  else math.min(first, once()))
       }
       mark("catalog done")
-      spark.stop()
+      // shutdown must not zero a completed artifact: SparkSession.close
+      // can throw IOException("Failed to delete: /tmp/blockmgr-...") when
+      // tmp cleanup races an external scrubber — the 13:05 run lost its
+      // full 3-pair scaling block to exactly that, AFTER all measurements
+      // were done
+      try spark.stop() catch { case e: Throwable =>
+        mark(s"catalog session stop failed (ignored): ${e.getMessage}") }
       rs
     }
 

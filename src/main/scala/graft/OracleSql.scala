@@ -862,6 +862,73 @@ object OracleSql {
            count(*) OVER (PARTITION BY story_id) AS story_size
     FROM stc"""
 
+  /** node2vec-style biased walks — mirrors Analytics.node2vecWalks:
+    * per-step candidate table (frontier × out-neighbors), integer
+    * milli-weights (returnWeight on x=prev, 1000 on d=1 membership,
+    * inOutWeight otherwise; step 1 uniform 1000), cumulative-weight slot
+    * pick at pmod(poly_hash('n2v'␁seed␁step␁walk_no␁prev␁cur), Σw);
+    * steps unrolled as MATERIALIZED CTEs. */
+  def qKgNode2vec(walksPerStart: Int, walkLen: Int, returnWeight: Long,
+                  inOutWeight: Long, seed: Long): String = {
+    def polySignedOf(key: String): String = {
+      val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"[unicode(c)::HUGEINT for c in string_split($key, '')]), " +
+        "(h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT"
+      s"((($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+    }
+    val steps = (1 to walkLen).map { i =>
+      val wExpr =
+        if (i == 1) "1000::BIGINT"
+        else s"""CASE WHEN e.dst = s.prev THEN ${returnWeight}::BIGINT
+                 WHEN m.has = 1 THEN 1000::BIGINT
+                 ELSE ${inOutWeight}::BIGINT END"""
+      val key = s"'n2v' || chr(1) || '$seed' || chr(1) || '$i' || chr(1)" +
+        " || walk_no::VARCHAR || chr(1) || prev || chr(1) || cur"
+      s"""nc$i AS (SELECT s.start, s.walk_no, s.prev, s.cur, e.dst AS x,
+             $wExpr AS w
+           FROM nv${i - 1} s JOIN nvedges e ON e.src = s.cur
+           LEFT JOIN (SELECT src AS msrc, dst AS mx, 1 AS has
+                      FROM nvedges) m
+             ON m.msrc = s.prev AND m.mx = e.dst),
+    nw$i AS (SELECT *, sum(w) OVER (PARTITION BY start, walk_no
+               ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY start, walk_no) AS tot FROM nc$i),
+    nh$i AS (SELECT *, ((${polySignedOf(key)} % tot) + tot) % tot AS r
+           FROM nw$i WHERE tot > 0),
+    nv$i AS MATERIALIZED (SELECT start, walk_no, cur AS prev, x AS cur
+           FROM nh$i WHERE cum - w <= r AND r < cum)"""
+    }.mkString(",\n    ")
+    val outs = (0 to walkLen).map { i =>
+      s"SELECT start, walk_no, $i AS step, cur AS entity_id FROM nv$i"
+    }.mkString("\n       UNION ALL ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    nvedges AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst
+          FROM ktriples WHERE subj_id <> obj_id),
+    nv0 AS MATERIALIZED (SELECT src AS start, wn::INTEGER AS walk_no,
+            src AS prev, src AS cur
+          FROM (SELECT DISTINCT src FROM nvedges) s,
+            (SELECT unnest(generate_series(0, ${walksPerStart - 1})) AS wn) g),
+    $steps
+    $outs"""
+  }
+
+  /** Predicate type-signature induction — mirrors
+    * Analytics.predicateSignatures: signature aggregate + per-pred
+    * window share in integer ppm (BIGINT cast: DuckDB's window sum is
+    * HUGEINT). */
+  def qKgSignatures: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    sg AS (SELECT pred, subj_type, obj_type, count(*) AS n_triples,
+             count(DISTINCT subj_id || chr(1) || obj_id) AS n_pairs
+           FROM ktriples GROUP BY 1, 2, 3)
+    SELECT pred, subj_type, obj_type, n_triples, n_pairs,
+           CAST((n_triples * 1000000) //
+             (sum(n_triples) OVER (PARTITION BY pred)) AS BIGINT)
+             AS share_ppm
+    FROM sg"""
+
   /** Entity-card export — mirrors Analytics.entityCards: two-sided
     * mention explode, four aggregates, deterministic (count desc, name
     * asc) majority type and top-k predicate CSVs. */

@@ -525,6 +525,15 @@ object SparkEntry {
     // per-entity profile card (majority type, counts, top-k preds CSV)
     "q_kg_entity_cards" -> ((s, d) =>
       kg.Analytics.entityCards(canonicalTriples(s, d), topK = 3)),
+    // second-order biased walks (node2vec p/q bias as integer
+    // milli-weights: return 250, in-out 500, d=1 band 1000)
+    "q_kg_node2vec" -> ((s, d) =>
+      kg.Analytics.node2vecWalks(canonicalTriples(s, d),
+        walksPerStart = 2, walkLen = 3,
+        returnWeight = 250L, inOutWeight = 500L)),
+    // ontology induction: per-predicate type signatures with ppm share
+    "q_kg_signatures" -> ((s, d) =>
+      kg.Analytics.predicateSignatures(canonicalTriples(s, d))),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -1715,6 +1724,8 @@ object SparkEntry {
       "q_kg_sample" -> OracleSql.qKgNeighborSample(Seq(3, 2), 42L),
       "q_kg_stories" -> OracleSql.qKgStories(3, 500),
       "q_kg_entity_cards" -> OracleSql.qKgEntityCards(3),
+      "q_kg_node2vec" -> OracleSql.qKgNode2vec(2, 3, 250L, 500L, 42L),
+      "q_kg_signatures" -> OracleSql.qKgSignatures,
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

@@ -897,4 +897,106 @@ object Analytics {
         col("n_mentions"), col("n_docs"), col("out_degree"),
         col("in_degree"), col("top_preds_out"), col("top_preds_in"))
   }
+
+  /** Second-order (node2vec-style, Grover & Leskovec 2016) biased walks:
+    * like [[randomWalks]] but the step distribution depends on the
+    * PREVIOUS node — a candidate x from cur weighs `returnWeight` if
+    * x = prev (the 1/p return bias), 1000 if edge (prev, x) exists (the
+    * BFS-ish d=1 band), else `inOutWeight` (the 1/q DFS-ish band).
+    * Weights are integer milli-units, so the whole draw is exact: the
+    * pick is the candidate (ordered by id) whose cumulative-weight slot
+    * contains pmod(poly_hash('n2v'␁seed␁step␁walk_no␁prev␁cur), Σw) —
+    * deterministic across partitionings, retries, and engines. Step 1
+    * has no meaningful prev and is uniform (all weights 1000, the
+    * standard node2vec first step). A state whose candidates all weigh 0
+    * (e.g. returnWeight=0 and the only neighbor is prev) terminates like
+    * a sink; walkLen is a cap, not a promise.
+    *
+    * Physical shape per step: frontier × out-neighbors (one equi-join,
+    * volume Σ odeg(cur) over live walks), one left equi-join against the
+    * edge set for the d=1 membership test, and two windows keyed by
+    * (start, walk_no) — each partition holds ONE state's candidate list,
+    * so the window never sees more than a node's out-degree. No
+    * driver-side state; frontiers localCheckpoint per step like
+    * [[randomWalks]].
+    */
+  def node2vecWalks(triples: DataFrame, walksPerStart: Int = 2,
+                    walkLen: Int = 3, returnWeight: Long = 500L,
+                    inOutWeight: Long = 500L, seed: Long = 42L): DataFrame = {
+    require(walksPerStart >= 1 && walkLen >= 1,
+      s"node2vecWalks: walksPerStart/walkLen must be >= 1")
+    require(returnWeight >= 0L && inOutWeight >= 0L,
+      s"node2vecWalks: weights must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val edges = triples
+      .select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var cur = edges.select(col("src")).distinct()
+      .select(col("src").as("start"),
+        explode(sequence(lit(0), lit(walksPerStart - 1))).as("walk_no"),
+        col("src").as("prev"), col("src").as("cur"))
+      .localCheckpoint()
+    var out = cur.select(col("start"), col("walk_no"),
+      lit(0).as("step"), col("cur").as("entity_id"))
+    val byWalk = Window.partitionBy("start", "walk_no")
+    for (i <- 1 to walkLen) {
+      val cand0 = cur
+        .join(edges.select(col("src").as("csrc"), col("dst").as("x")),
+          col("cur") === col("csrc"))
+        .drop("csrc")
+      val mem = edges.select(col("src").as("msrc"), col("dst").as("mx"),
+        lit(1).as("has"))
+      val cand = cand0
+        .join(mem, cand0("prev") === mem("msrc") && cand0("x") === mem("mx"),
+          "left")
+        .drop("msrc", "mx")
+        .withColumn("w",
+          if (i == 1) lit(1000L)
+          else when(col("x") === col("prev"), lit(returnWeight))
+            .when(col("has") === 1, lit(1000L))
+            .otherwise(lit(inOutWeight)))
+        .withColumn("cum", sum("w").over(byWalk.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("w").over(byWalk))
+        .where(col("tot") > 0L)
+        .withColumn("r", pmod(graft.functions.F.poly_hash(concat_ws("\u0001",
+          lit("n2v"), lit(seed.toString), lit(i.toString),
+          col("walk_no").cast("string"), col("prev"), col("cur"))),
+          col("tot")))
+      val stepped = cand
+        .where(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
+        .select(col("start"), col("walk_no"), col("cur").as("prev"),
+          col("x").as("cur"))
+        .localCheckpoint()
+      out = out.unionByName(stepped.select(col("start"), col("walk_no"),
+        lit(i).as("step"), col("cur").as("entity_id")))
+      cur = stepped
+    }
+    out
+  }
+
+  /** Ontology/schema induction: per (pred, subj_type, obj_type)
+    * signature, triple count, distinct (subj, obj) pair count, and the
+    * signature's share of its predicate's triples in integer ppm — the
+    * table a KG curator reads to fix predicate domains/ranges and spot
+    * extraction noise (a `works_at` signature with a LOC subject is a
+    * pattern bug, and its ppm share says how bad).
+    *
+    * One two-phase hash aggregate over the triple table plus a window
+    * keyed by pred (predicate cardinality is tiny — the window input is
+    * the aggregated signature table, not the corpus).
+    */
+  def predicateSignatures(triples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    triples.groupBy("pred", "subj_type", "obj_type")
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("subj_id"), col("obj_id")).as("n_pairs"))
+      .withColumn("pred_total",
+        sum("n_triples").over(Window.partitionBy("pred")))
+      .select(col("pred"), col("subj_type"), col("obj_type"),
+        col("n_triples"), col("n_pairs"),
+        expr("(n_triples * 1000000) div pred_total").as("share_ppm"))
+  }
 }

@@ -583,4 +583,91 @@ class KgAnalyticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getString(6), r.getString(7)))).toMap
     assert(s == Map("X" -> (("p", "")), "Y" -> (("", "p"))))
   }
+
+  test("node2vecWalks: exact weighted-slot twin, partition-invariant, zero-weight termination") {
+    import spark.implicits._
+    // independent in-test twin of the biased-walk contract
+    def poly(s: String): Long = {
+      var h = 1125899906842597L
+      s.foreach(c => h = 31 * h + c); h
+    }
+    val edges = Map( // distinct non-self edges of `triples`
+      "A" -> Vector("B", "C"), "B" -> Vector("C"), "C" -> Vector("A"))
+    val rw = 250L; val iow = 500L
+    def walkFrom(start: String, wn: Int): Seq[(String, Int, Int, String)] = {
+      var prev = start; var cur = start
+      val path = scala.collection.mutable.ArrayBuffer((start, wn, 0, start))
+      var i = 1; var live = true
+      while (live && i <= 3) {
+        edges.get(cur) match {
+          case None => live = false
+          case Some(nb) =>
+            val cands = nb.sorted
+            val ws = cands.map { x =>
+              if (i == 1) 1000L
+              else if (x == prev) rw
+              else if (edges.get(prev).exists(_.contains(x))) 1000L
+              else iow
+            }
+            val tot = ws.sum
+            if (tot == 0L) live = false
+            else {
+              val r = Math.floorMod(
+                poly(s"n2v\u000142\u0001$i\u0001$wn\u0001$prev\u0001$cur"), tot)
+              var cum = 0L; var picked = -1
+              for (j <- cands.indices if picked < 0) {
+                cum += ws(j); if (r < cum) picked = j
+              }
+              prev = cur; cur = cands(picked)
+              path += ((start, wn, i, cur))
+            }
+        }
+        i += 1
+      }
+      path.toSeq
+    }
+    val want = (for (st <- edges.keys.toSeq; wn <- 0 until 2)
+      yield walkFrom(st, wn)).flatten.toSet
+    val got = kg.Analytics.node2vecWalks(triples, 2, 3, rw, iow, 42L)
+      .as[(String, Int, Int, String)].collect().toSet
+    assert(got == want)
+    // partitioning must not change a single step
+    val sp = spark
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", "1")
+      val got1 = kg.Analytics.node2vecWalks(triples, 2, 3, rw, iow, 42L)
+        .as[(String, Int, Int, String)].collect().toSet
+      assert(got1 == want)
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    // returnWeight=0 forbids the immediate backtrack: on the 2-cycle
+    // X<->Y the only step-2 candidate is prev, so every walk ends at
+    // step 1 (zero total weight = sink)
+    val cyc = Seq(
+      ("d9", 0, 0, "X", "PER", "p", "Y", "ORG"),
+      ("d9", 1, 0, "Y", "ORG", "p", "X", "PER"))
+      .toDF("docId", "spanOrder", "sentIdx",
+        "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val crows = kg.Analytics.node2vecWalks(cyc, 1, 3, 0L, 500L, 7L)
+      .as[(String, Int, Int, String)].collect().toSet
+    assert(crows == Set(("X", 0, 0, "X"), ("X", 0, 1, "Y"),
+      ("Y", 0, 0, "Y"), ("Y", 0, 1, "X")))
+  }
+
+  test("predicateSignatures: hand-counted signatures, ppm shares floor and sum <= 10^6 per pred") {
+    val m = kg.Analytics.predicateSignatures(triples).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // p: PER->ORG {A->B, A->C} 2 triples 2 pairs; ORG->ORG {B->C, C->C}
+    //   2/2; ORG->PER {C->A} 1/1. totals 5 -> floors 400000/400000/200000
+    assert(m == Map(
+      ("p", "PER", "ORG") -> ((2L, 2L, 400000L)),
+      ("p", "ORG", "ORG") -> ((2L, 2L, 400000L)),
+      ("p", "ORG", "PER") -> ((1L, 1L, 200000L)),
+      ("q", "ORG", "ORG") -> ((1L, 1L, 1000000L))))
+    // shares within a predicate never exceed 10^6 in total (floors)
+    m.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.map(k => m(k)._3).sum <= 1000000L)
+    }
+  }
 }
