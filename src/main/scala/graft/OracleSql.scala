@@ -594,6 +594,37 @@ object OracleSql {
     SELECT entity_id, dist FROM bd$maxHops"""
   }
 
+  /** Shortest-path forest — [[qKgBfs]]'s unrolled distances plus the
+    * deterministic parent contract: parent(v) = min src among
+    * predecessors u with dist(u) = dist(v) - 1; seeds ''. */
+  def qKgPaths(maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""pd$i AS MATERIALIZED (SELECT entity_id, min(dist) AS dist FROM
+           (SELECT entity_id, dist FROM pd${i - 1}
+            UNION ALL
+            SELECT e.dst, d.dist + 1 FROM pd${i - 1} d
+            JOIN pedges e ON e.src = d.entity_id) u
+           GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    pedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+               (SELECT subj_id AS src, obj_id AS dst FROM ktriples
+                UNION ALL SELECT obj_id, subj_id FROM ktriples) un
+               WHERE src <> dst),
+    pd0 AS MATERIALIZED (SELECT DISTINCT subj_id AS entity_id, 0 AS dist
+           FROM ktriples WHERE subj_type = 'PER'),
+    $steps,
+    ppar AS (SELECT e.dst AS entity_id, min(e.src) AS parent
+           FROM pedges e
+           JOIN pd$maxHops u ON u.entity_id = e.src
+           JOIN pd$maxHops v ON v.entity_id = e.dst
+                AND v.dist = u.dist + 1
+           GROUP BY 1)
+    SELECT d.entity_id, d.dist, coalesce(p.parent, '') AS parent
+    FROM pd$maxHops d LEFT JOIN ppar p ON p.entity_id = d.entity_id"""
+  }
+
   /** Neighborhood-Jaccard entity similarity; mirrors
     * Analytics.neighborJaccard — hub cap applied BEFORE the wedge join,
     * sizes and commons both over the capped sets. */
@@ -913,6 +944,29 @@ object OracleSql {
     $steps
     $outs"""
   }
+
+  /** Strongly connected components — independent contract evaluation:
+    * recursive forward closure, mutual pairs (v→*u AND u→*v), scc_id =
+    * min peer (self included), size by window. The engine computes the
+    * same fixpoint via Kosaraju / trim+double-min-label — entirely
+    * different algorithms, same pure function of the edge set. */
+  def qKgScc: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    sce AS MATERIALIZED (SELECT DISTINCT subj_id AS src, obj_id AS dst
+          FROM ktriples WHERE subj_id <> obj_id),
+    scn AS (SELECT DISTINCT e FROM
+          (SELECT src AS e FROM sce UNION SELECT dst FROM sce) u),
+    scr(a, b) AS (SELECT src, dst FROM sce
+          UNION
+          SELECT scr.a, e.dst FROM scr JOIN sce e ON e.src = scr.b),
+    scm AS (SELECT n.e AS v, n.e AS u FROM scn n
+          UNION
+          SELECT f.a AS v, f.b AS u FROM scr f
+          JOIN scr g ON g.a = f.b AND g.b = f.a),
+    scc AS (SELECT v, min(u) AS scc_id FROM scm GROUP BY v)
+    SELECT v AS entity_id, scc_id,
+           count(*) OVER (PARTITION BY scc_id) AS scc_size
+    FROM scc"""
 
   /** Predicate type-signature induction — mirrors
     * Analytics.predicateSignatures: signature aggregate + per-pred

@@ -215,6 +215,18 @@ object SparkEntry {
       Dedup.bloomDecontaminate(docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0), 3)
     }),
+    // FUZZY decontamination: train docs that are MinHash near-dups of a
+    // bench doc (catches paraphrased leakage the n-gram rule misses);
+    // per-doc report, left_anti on doc_id is the apply side. Bench slice
+    // is doc_id % 89 here (not the exact-decontamination %97): the
+    // sf0.01 fixture's near-dup pairs never straddle the %97 split, so
+    // that gate would pass on an empty frame — %89 has 3 cross-split
+    // near-dup pairs, making the oracle row-bearing.
+    "q_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Dedup.fuzzyDecontaminationReport(docs.where(col("doc_id") % 89 =!= 0),
+        docs.where(col("doc_id") % 89 === 0), 3, 32, 8, 0.1)
+    }),
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1)),
     "q_minhash_dups" -> ((s, d) =>
@@ -534,6 +546,17 @@ object SparkEntry {
     // ontology induction: per-predicate type signatures with ppm share
     "q_kg_signatures" -> ((s, d) =>
       kg.Analytics.predicateSignatures(canonicalTriples(s, d))),
+    // strongly connected components (directed cycle structure)
+    "q_kg_scc" -> ((s, d) => kg.Analytics.scc(canonicalTriples(s, d))),
+    // shortest-path forest from the q_kg_bfs seeds: distances + the
+    // deterministic min-predecessor parent pointer (path reconstruction)
+    "q_kg_paths" -> ((s, d) => {
+      val t = canonicalTriples(s, d)
+      kg.Analytics.shortestPathForest(t,
+        t.where(col("subj_type") === "PER")
+          .select(col("subj_id").as("entity_id")),
+        maxHops = 4, undirected = true)
+    }),
     // uas/las meters as typed Aggregators (score.py:109-117 semantics):
     // a left-attach+constant-rel baseline scored against the pipeline's
     // trees, grouped by sentence length — nontrivial, value-checkable rates
@@ -688,7 +711,8 @@ object SparkEntry {
       (1 to rounds).map(i =>
         s"""SELECT $i AS round, l AS "left", r AS "right", cnt::BIGINT AS cnt FROM b$i""")
         .mkString("\n           UNION ALL ")
-    def minhashPairsCtesFrom(src: String) = s"""
+    def minhashPairsCtesFrom(src: String,
+        candCond: String = "a.doc_id < b.doc_id") = s"""
         t AS (SELECT doc_id, ${toks("lower(text)")} AS tk FROM $src),
         g AS (SELECT doc_id, tk, unnest(generate_series(0, greatest(len(tk)-3, 0))) AS gs FROM t),
         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[gs+1:gs+3], ' ') AS shingle FROM g),
@@ -700,7 +724,7 @@ object SparkEntry {
                    array_to_string(list_sort(list(k || ':' || mh)), ',') AS bh
                  FROM mh GROUP BY 1, 2),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+                 FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND $candCond),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
                   FROM cand c JOIN sh a ON a.doc_id = c.doc_a
@@ -1149,6 +1173,15 @@ object SparkEntry {
                (n_chars * 1000000) // n_pieces AS chars_per_piece_ppm
         FROM agg""",
       "q_decontaminate" -> decontSql,
+      // fuzzy variant: signatures are row-local, so the per-side chains
+      // the engine runs equal one whole-table chain with the train×bench
+      // split applied at the candidate join
+      "q_fuzzy_decontaminate" -> s"""
+        WITH ${minhashPairsCtesFrom("documents",
+          "a.doc_id % 89 <> 0 AND b.doc_id % 89 = 0")}
+        SELECT doc_a AS doc_id, count(*) AS n_bench_dups,
+               max(jaccard) AS max_jaccard
+        FROM pairs GROUP BY 1""",
       // Bloom variant is RESULT-identical (no false negatives + exact
       // verify join) — the oracle is the same exact-decontamination SQL
       "q_bloom_decontaminate" -> decontSql,
@@ -1726,6 +1759,8 @@ object SparkEntry {
       "q_kg_entity_cards" -> OracleSql.qKgEntityCards(3),
       "q_kg_node2vec" -> OracleSql.qKgNode2vec(2, 3, 250L, 500L, 42L),
       "q_kg_signatures" -> OracleSql.qKgSignatures,
+      "q_kg_scc" -> OracleSql.qKgScc,
+      "q_kg_paths" -> OracleSql.qKgPaths(4),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

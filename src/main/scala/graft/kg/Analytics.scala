@@ -977,6 +977,199 @@ object Analytics {
     out
   }
 
+  /** Multi-seed shortest-path FOREST: [[bfsDistances]] plus a
+    * deterministic parent pointer, so a consumer can reconstruct an
+    * actual shortest path (KG question-answering "how are these entities
+    * related" explanations), not just the hop count. parent(v) = the
+    * MINIMUM entity id among v's predecessors at dist(v)-1 — a pure
+    * function of the edge set; seeds carry parent = ''.
+    *
+    * Same superstep shape as BFS (frontier equi-join + min-aggregate per
+    * hop); the merge keeps min(struct(dist, parent)), so an entity
+    * reached at hop i from several frontier nodes records the smallest
+    * such parent, and later (longer) discoveries never overwrite.
+    */
+  def shortestPathForest(triples: DataFrame, seeds: DataFrame,
+                         maxHops: Int,
+                         undirected: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"shortestPathForest: maxHops must be >= 1")
+    val base = triples.select(col("subj_id").as("src"), col("obj_id").as("dst"))
+    val edges = (if (undirected)
+      base.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("m"))
+        .select(col("m.src"), col("m.dst"))
+    else base)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("entity_id")).distinct()
+      .withColumn("dist", lit(0))
+      .withColumn("parent", lit(""))
+      .localCheckpoint()
+    for (i <- 1 to maxHops) {
+      val frontier = dist.where(col("dist") === i - 1)
+      val next = frontier.join(edges, frontier("entity_id") === edges("src"))
+        .select(edges("dst").as("entity_id"), lit(i).as("dist"),
+          edges("src").as("parent"))
+      dist = dist.unionByName(next)
+        .groupBy("entity_id")
+        .agg(min(struct(col("dist"), col("parent"))).as("m"))
+        .select(col("entity_id"), col("m.dist").as("dist"),
+          col("m.parent").as("parent"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    dist
+  }
+
+  /** Strongly connected components over the directed canonical graph —
+    * the cycle structure CC cannot see (entity A cites B cites A is one
+    * SCC; a DAG of influence is all singletons). scc_id = min entity id
+    * in the component, so output is a pure function of the edge set.
+    *
+    * Size-adaptive like [[pageRank]]: an edge set within
+    * `maxLocalEdges` runs iterative Kosaraju on the driver; bigger
+    * graphs take the distributed trim + double-min-label loop (the
+    * Pregel/GraphX SCC shape):
+    *   round := peel-to-fixpoint nodes missing an in- or out-edge
+    *            (singleton SCCs — kills all DAG regions), then
+    *            F(v) = min id that reaches v (min-label propagation
+    *            forward to fixpoint), B(v) = min id v reaches (same on
+    *            reversed edges); F(v)=B(v)=m ⟺ v ∈ SCC(m), and F/B are
+    *            constant on an SCC, so whole components assign at once;
+    *            remove assigned, repeat.
+    * The SCC of the globally minimal live id assigns every round, so
+    * rounds <= #SCCs; on real KG graphs trim plus the first F/B pass
+    * clears almost everything. `maxRounds` is a fail-fast cap
+    * (require(converged)), not a truncation.
+    *
+    * Physical shape per superstep: one equi-join labels><edges + one
+    * min hash-aggregate (AQE-splittable on hot entities);
+    * localCheckpoint truncates lineage per step like [[bfsDistances]].
+    */
+  def scc(triples: DataFrame, maxLocalEdges: Long = 2000000L,
+          maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"scc: maxRounds must be >= 1")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val edges0 = triples
+      .select(col("subj_id").as("src"), col("obj_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    if (edges0.count() <= maxLocalEdges) {
+      val es = edges0.as[(String, String)].collect()
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+      val radj = es.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1) }
+      // iterative Kosaraju: explicit stacks (no recursion — a 10^6-long
+      // path must not overflow), component id fixed to min member after
+      val visited = new java.util.HashSet[String]()
+      val order = new scala.collection.mutable.ArrayBuffer[String](nodes.length)
+      val stack = new scala.collection.mutable.ArrayBuffer[(String, Int)]()
+      for (s <- nodes if !visited.contains(s)) {
+        visited.add(s); stack += ((s, 0))
+        while (stack.nonEmpty) {
+          val (v, i) = stack.remove(stack.length - 1)
+          val nb = adj.getOrElse(v, Array.empty[String])
+          if (i < nb.length) {
+            stack += ((v, i + 1))
+            val w = nb(i)
+            if (!visited.contains(w)) { visited.add(w); stack += ((w, 0)) }
+          } else order += v
+        }
+      }
+      val comp = new java.util.HashMap[String, String]()
+      val dfs2 = new scala.collection.mutable.ArrayBuffer[String]()
+      for (s <- order.reverseIterator if !comp.containsKey(s)) {
+        val members = new scala.collection.mutable.ArrayBuffer[String]()
+        comp.put(s, s); dfs2 += s
+        while (dfs2.nonEmpty) {
+          val v = dfs2.remove(dfs2.length - 1); members += v
+          for (w <- radj.getOrElse(v, Array.empty[String]))
+            if (!comp.containsKey(w)) { comp.put(w, s); dfs2 += w }
+        }
+        val m = members.min
+        members.foreach(comp.put(_, m))
+      }
+      val sizes = nodes.groupBy(n => comp.get(n))
+        .map { case (c, vs) => c -> vs.length.toLong }
+      return spark.createDataset(nodes.toSeq.map(n =>
+          (n, comp.get(n), sizes(comp.get(n)))))
+        .toDF("entity_id", "scc_id", "scc_size")
+    }
+    var edges = edges0
+    var nodes = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var live = nodes.count()
+    while (live > 0 && rounds < maxRounds) {
+      rounds += 1
+      // trim to fixpoint: a node missing an in- OR out-edge is its own SCC
+      var trimming = true
+      while (trimming && live > 0) {
+        val both = nodes
+          .join(edges.select(col("src").as("id")).distinct(), "id")
+          .join(edges.select(col("dst").as("id")).distinct(), "id")
+          .localCheckpoint()
+        val single = nodes.join(both, Seq("id"), "left_anti").localCheckpoint()
+        if (single.isEmpty) trimming = false
+        else {
+          acc += single.select(col("id").as("entity_id"),
+            col("id").as("scc_id"))
+          nodes = both
+          edges = edges
+            .join(nodes.select(col("id").as("src")), "src")
+            .join(nodes.select(col("id").as("dst")), "dst")
+            .select("src", "dst").localCheckpoint()
+          live = nodes.count()
+        }
+      }
+      if (live > 0) {
+        // min-label fixpoints: F forward, B backward
+        def fixpoint(e: DataFrame, from: String, to: String): DataFrame = {
+          var lab = nodes.select(col("id"), col("id").as("lab"))
+            .localCheckpoint()
+          var changed = 1L
+          while (changed > 0) {
+            val nxt = e
+              .join(lab.select(col("id").as(from), col("lab")), from)
+              .select(col(to).as("id"), col("lab"))
+              .unionByName(lab)
+              .groupBy("id").agg(min("lab").as("lab"))
+              .localCheckpoint()
+            changed = nxt.join(lab.withColumnRenamed("lab", "old"), "id")
+              .where(col("lab") =!= col("old")).count()
+            lab = nxt
+          }
+          lab
+        }
+        val f = fixpoint(edges, "src", "dst")
+        val b = fixpoint(edges, "dst", "src")
+        val assigned = f.join(b.withColumnRenamed("lab", "blab"), "id")
+          .where(col("lab") === col("blab"))
+          .select(col("id").as("entity_id"), col("lab").as("scc_id"))
+          .localCheckpoint()
+        acc += assigned
+        nodes = nodes.join(assigned.select(col("entity_id").as("id")),
+          Seq("id"), "left_anti").localCheckpoint()
+        edges = edges
+          .join(nodes.select(col("id").as("src")), "src")
+          .join(nodes.select(col("id").as("dst")), "dst")
+          .select("src", "dst").localCheckpoint()
+        live = nodes.count()
+      }
+    }
+    require(live == 0,
+      s"scc: did not converge within $maxRounds rounds ($live nodes live)")
+    val all = acc.reduce(_ unionByName _)
+    all.join(all.groupBy("scc_id").agg(count(lit(1)).as("scc_size")),
+        "scc_id")
+      .select(col("entity_id"), col("scc_id"), col("scc_size"))
+  }
+
   /** Ontology/schema induction: per (pred, subj_type, obj_type)
     * signature, triple count, distinct (subj, obj) pair count, and the
     * signature's share of its predicate's triples in integer ppm — the

@@ -1287,6 +1287,70 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-corpus MinHash-LSH verified near-dup pairs (docsA × docsB,
+    * same shingle/signature/band family as [[minhashDupPairs]]) — the
+    * fuzzy-decontamination primitive: n-gram-overlap decontamination
+    * ([[TextStats.decontaminate]]-style 13-gram hits) misses paraphrased
+    * or lightly-edited bench leakage, so modern pipelines (e.g. the
+    * Llama/GPT-3-era eval-dedup appendices) ALSO drop training docs that
+    * are near-duplicates of an eval doc. Signatures are row-local, so
+    * per-table computation is exactly the whole-table computation; the
+    * band join is cross-table (no a<b orientation — sides are disjoint
+    * corpora), candidates verify with exact Jaccard over the two shingle
+    * tables. At 10^12 train docs the bench side is tiny, so every join
+    * here is a bench-keyed (band, bh) equi-join AQE will broadcast.
+    */
+  def minhashCrossPairs(docsA: DataFrame, docsB: DataFrame, n: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val shA = persistShingles(shingles(docsA, n))
+    val shB = persistShingles(shingles(docsB, n))
+    def bandsOf(sh: DataFrame) = {
+      val bandStructs = (0 until bands).map { b =>
+        val parts = (b * rows until (b + 1) * rows)
+          .map(k => concat_ws(":", lit(k), col(s"mh_$k")))
+        struct(lit(b).as("band"),
+          concat_ws(",", array_sort(array(parts: _*))).as("bh"))
+      }
+      signaturesWide(sh, numHashes)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
+        .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+    }
+    val cand = bandsOf(shA).as("a").join(bandsOf(shB).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val szA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val szB = shB.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(shA.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shB.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(szA.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(szB.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Per-train-doc fuzzy contamination report: how many bench docs each
+    * training doc is a near-duplicate of, and the worst overlap — the
+    * audit table a curator reads before dropping; `train.join(report,
+    * "doc_id", "left_anti")` is the apply side.
+    */
+  def fuzzyDecontaminationReport(train: DataFrame, bench: DataFrame,
+                                 n: Int = 3, numHashes: Int = 32,
+                                 bands: Int = 8,
+                                 threshold: Double = 0.5): DataFrame =
+    minhashCrossPairs(train, bench, n, numHashes, bands, threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_dups"), max("jaccard").as("max_jaccard"))
+
   /** 64-bit SimHash over token FNV hashes (row-local, no shuffle; native
     * codegen expression — the scan+project stays in whole-stage codegen).
     */

@@ -137,6 +137,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(fp < probes / 50, s"false-positive count $fp of $probes too high")
   }
 
+  test("minhashCrossPairs / fuzzyDecontaminationReport: exact copy flagged at 1.0; cross == union restricted") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val train = mk(Seq(1L -> base,
+      3L -> "completely different words entirely unrelated content here now"))
+    val bench = mk(Seq(200L -> base))
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairs = key(ops.Dedup.minhashCrossPairs(train, bench, 3, 32, 8, 0.1)
+      .collect())
+    assert(pairs == Set((1L, 200L, 1.0)))
+    val rep = key(ops.Dedup.fuzzyDecontaminationReport(train, bench,
+      3, 32, 8, 0.1).collect())
+    assert(rep == Set((1L, 1L, 1.0)))
+    // signatures are row-local: the cross pairs equal the union-table
+    // self-pairs restricted to cross-side (the oracle's construction)
+    val un = ops.Dedup.minhashDupPairs(train.unionByName(bench), 3, 32, 8, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 100L) != (b < 100L) }
+      .map { case (a, b, j) => if (a < 100L) (a, b, j) else (b, a, j) }.toSet
+    assert(un == pairs)
+  }
+
   test("lengthQuantiles: cutoff is the tight bucket bound around the exact quantile") {
     val lens = docs.select(length(col("text"))).collect().map(_.getInt(0)).sorted
     val n = lens.length

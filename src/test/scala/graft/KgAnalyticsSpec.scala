@@ -670,4 +670,94 @@ class KgAnalyticsSpec extends AnyFunSuite {
       assert(ks.map(k => m(k)._3).sum <= 1000000L)
     }
   }
+
+  test("scc: hand graphs — cycle one SCC, DAG all singletons, two cycles bridged stay apart") {
+    import spark.implicits._
+    def df(es: Seq[(String, String)]) = es.zipWithIndex.map {
+      case ((a, b), i) => (s"d$i", 0, 0, a, "PER", "p", b, "ORG")
+    }.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    def got(t: org.apache.spark.sql.DataFrame, maxLocal: Long = 2000000L) =
+      kg.Analytics.scc(t, maxLocalEdges = maxLocal).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // fixture triples: A->B->C->A (self-loop dropped) = one SCC of 3
+    assert(got(triples) ==
+      Map("A" -> (("A", 3L)), "B" -> (("A", 3L)), "C" -> (("A", 3L))))
+    // DAG chain: trim peels everything into singletons
+    val dag = df(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(got(dag) == Map("a" -> (("a", 1L)), "b" -> (("b", 1L)),
+      "c" -> (("c", 1L))))
+    // two 2-cycles joined by a one-way bridge stay separate SCCs
+    val two = df(Seq(("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"),
+      ("b", "c")))
+    assert(got(two) == Map("a" -> (("a", 2L)), "b" -> (("a", 2L)),
+      "c" -> (("c", 2L)), "d" -> (("c", 2L))))
+  }
+
+  test("scc: randomized equivalence vs mutual-reachability twin; distributed == driver-local") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 24
+    val es = (0 until 60).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+      .filter { case (a, b) => a != b }.distinct
+      .map { case (a, b) => (f"N$a%02d", f"N$b%02d") }
+    val t = es.zipWithIndex.map { case ((a, b), i) =>
+      (s"d$i", 0, 0, a, "PER", "p", b, "ORG")
+    }.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    // twin: BFS reachable sets both ways, scc = mutual peers, id = min
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val radj = es.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1) }
+    def reach(s: String, g: Map[String, Seq[(String)]]): Set[String] = {
+      val seen = scala.collection.mutable.Set(s)
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        for (w <- g.getOrElse(q.dequeue(), Seq.empty) if !seen(w)) {
+          seen += w; q += w
+        }
+      }
+      seen.toSet
+    }
+    val fwd = nodes.map(v => v -> reach(v, adj.map { case (k, v2) => k -> v2.toSeq })).toMap
+    val bwd = nodes.map(v => v -> reach(v, radj.map { case (k, v2) => k -> v2.toSeq })).toMap
+    val want = nodes.map { v =>
+      val peers = fwd(v).intersect(bwd(v))
+      v -> ((peers.min, peers.size.toLong))
+    }.toMap
+    val local = kg.Analytics.scc(t).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(local == want)
+    val dist = kg.Analytics.scc(t, maxLocalEdges = 0L).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(dist == want)
+  }
+
+  test("shortestPathForest: min-predecessor parents, blank seeds, distances == bfsDistances") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // directed: a->c, b->c, c->d; seeds {a,b}: c picks parent min(a,b)=a
+    val t = Seq(("a", "c"), ("b", "c"), ("c", "d")).zipWithIndex.map {
+      case ((x, y), i) => (s"d$i", 0, 0, x, "PER", "p", y, "ORG")
+    }.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val got = kg.Analytics.shortestPathForest(t,
+        Seq("a", "b").toDF("entity_id"), maxHops = 3).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got == Map("a" -> ((0, "")), "b" -> ((0, "")),
+      "c" -> ((1, "a")), "d" -> ((2, "c"))))
+    // fixture graph, undirected, PER seed {A}: both neighbors parent A;
+    // distances agree with bfsDistances on the same inputs
+    val seeds = triples.where(col("subj_type") === "PER")
+      .select(col("subj_id").as("entity_id"))
+    val g2 = kg.Analytics.shortestPathForest(triples, seeds, 4,
+        undirected = true).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(g2 == Map("A" -> ((0, "")), "B" -> ((1, "A")),
+      "C" -> ((1, "A"))))
+    val bd = kg.Analytics.bfsDistances(triples, seeds, 4,
+        undirected = true).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(g2.view.mapValues(_._1).toMap == bd)
+  }
 }
