@@ -594,6 +594,33 @@ object OracleSql {
     SELECT entity_id, dist FROM bd$maxHops"""
   }
 
+  /** Mention-weighted PageRank — mirrors Analytics.weightedPageRank:
+    * w = triple count per (src, dst), contrib = (rank·w) // W(src),
+    * iterations unrolled MATERIALIZED like [[qKgPagerank]]. */
+  def qKgWeightedPagerank(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""wpr$i AS MATERIALIZED (SELECT n.entity_id,
+           CAST(150000 + (850 * coalesce(c.s, 0)) // 1000 AS BIGINT) AS "rank"
+         FROM wpnodes n LEFT JOIN (
+           SELECT e.dst AS entity_id, sum((p."rank" * e.w) // d.wsum) AS s
+           FROM wpedges e JOIN wpdeg d ON d.src = e.src
+           JOIN wpr${i - 1} p ON p.entity_id = e.src GROUP BY 1) c
+         USING (entity_id))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    wpedges AS MATERIALIZED (SELECT subj_id AS src, obj_id AS dst,
+               count(*) AS w FROM ktriples
+               WHERE subj_id <> obj_id GROUP BY 1, 2),
+    wpdeg AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM wpedges GROUP BY 1),
+    wpnodes AS MATERIALIZED (SELECT DISTINCT entity_id FROM
+               (SELECT src AS entity_id FROM wpedges
+                UNION ALL SELECT dst FROM wpedges) un),
+    wpr0 AS (SELECT entity_id, CAST(1000000 AS BIGINT) AS "rank" FROM wpnodes),
+    $steps
+    SELECT entity_id, "rank" FROM wpr$iters"""
+  }
+
   /** Shortest-path forest — [[qKgBfs]]'s unrolled distances plus the
     * deterministic parent contract: parent(v) = min src among
     * predecessors u with dist(u) = dist(v) - 1; seeds ''. */

@@ -252,6 +252,14 @@ object SparkEntry {
       val e = tbl(s, d, "embeddings")
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
+    // recall@5 of the LSH and IVF indexes vs brute-force truth (ppm)
+    "q_ann_recall" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val q = e.where(col("vec_id") % 97 === 0)
+      Similarity.annRecall(Similarity.bruteTopK(e, q, 5), Seq(
+        "lsh" -> Similarity.annLsh(e, q, 5),
+        "ivf" -> Similarity.annIvf(e, q, 5)))
+    }),
     // all-vectors kNN graph (GNN/kNN-LM precursor): IVF cell blocking with
     // a cell-keyed SHUFFLE join — neither side broadcast, the 10^9x10^9
     // shape (see Similarity.knnGraph)
@@ -548,6 +556,9 @@ object SparkEntry {
       kg.Analytics.predicateSignatures(canonicalTriples(s, d))),
     // strongly connected components (directed cycle structure)
     "q_kg_scc" -> ((s, d) => kg.Analytics.scc(canonicalTriples(s, d))),
+    // mention-weighted PageRank (triple-count edge weights)
+    "q_kg_wpagerank" -> ((s, d) =>
+      kg.Analytics.weightedPageRank(canonicalTriples(s, d), iters = 10)),
     // shortest-path forest from the q_kg_bfs seeds: distances + the
     // deterministic min-predecessor parent pointer (path reconstruction)
     "q_kg_paths" -> ((s, d) => {
@@ -742,6 +753,66 @@ object SparkEntry {
         train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
         SELECT doc_id, count(*) AS n_hits
         FROM train JOIN bench USING (shingle) GROUP BY 1"""
+    // ANN twin SQLs hoisted so q_ann_recall can nest them as CTEs
+    val annTopkSql = """
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS rank,
+                 e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+          FROM embeddings e JOIN embeddings q ON q.vec_id % 97 = 0 AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5"""
+    val annLshSql = {
+      val bucket = lshBucketSql(8, 64, 42L)
+      s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb, ($bucket) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+              FROM b WHERE vec_id % 97 = 0),
+        scored AS (
+          SELECT query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(b.emb, q.q_emb) AS cos
+          FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5"""
+    }
+    val annIvfSql = {
+      // same seeded centroids as Similarity.annIvf: nearest-cell
+      // assignment per vector, nprobe=4 probed cells per query, exact
+      // cosine re-rank within probed cells
+      s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent(cell, cv) AS (VALUES ${ivfCentSql(16, 64, 7L)}),
+        cells AS (SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
+        qcells AS (SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.q_emb, c.cv) DESC, c.cell ASC) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= 4),
+        scored AS (
+            SELECT qc.query_id, ec.vec_id AS neighbor_id,
+                   list_cosine_similarity(e2.emb, q.q_emb) AS cos
+            FROM cells ec JOIN qcells qc ON ec.cell = qc.cell
+            JOIN e e2 ON e2.vec_id = ec.vec_id
+            JOIN q ON q.query_id = qc.query_id
+            WHERE ec.vec_id <> qc.query_id)
+        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 5"""
+    }
     Map(
       "q_tok_count" ->
         s"SELECT doc_id, len(${toks("text")}) AS n_tokens FROM documents",
@@ -1364,33 +1435,28 @@ object SparkEntry {
         FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
         WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.4"""
       },
-      "q_ann_topk" -> """
-        SELECT * FROM (
-          SELECT q.vec_id AS query_id,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS rank,
-                 e.vec_id AS neighbor_id,
-                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
-          FROM embeddings e JOIN embeddings q ON q.vec_id % 97 = 0 AND e.vec_id <> q.vec_id)
-        WHERE rank <= 5""",
-      "q_ann_lsh" -> {
-        val bucket = lshBucketSql(8, 64, 42L)
-        s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        b AS (SELECT vec_id, emb, ($bucket) AS bucket FROM e),
-        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
-              FROM b WHERE vec_id % 97 = 0),
-        scored AS (
-          SELECT query_id, b.vec_id AS neighbor_id,
-                 list_cosine_similarity(b.emb, q.q_emb) AS cos
-          FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id)
-        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
-          SELECT query_id, neighbor_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, neighbor_id ASC) AS rank
-          FROM scored)
-        WHERE rank <= 5"""
-      },
+      "q_ann_topk" -> annTopkSql,
+      "q_ann_lsh" -> annLshSql,
+      // recall@5 of each index vs the brute-force truth, nested CTEs of
+      // the three twins above; integer ppm, methods pinned by VALUES so
+      // a method with zero candidates still reports 0
+      "q_ann_recall" -> s"""
+        WITH ex AS ($annTopkSql),
+        al AS ($annLshSql),
+        ai AS ($annIvfSql),
+        ms AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM al
+               UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ai),
+        rb AS (SELECT m0.method, e.query_id, e.neighbor_id,
+                 CASE WHEN ms.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM (VALUES ('lsh'), ('ivf')) m0(method)
+               CROSS JOIN ex e
+               LEFT JOIN ms ON ms.method = m0.method
+                 AND ms.query_id = e.query_id
+                 AND ms.neighbor_id = e.neighbor_id)
+        SELECT method, query_id, count(*) AS k_exact,
+               CAST(sum(hit) AS BIGINT) AS n_hits,
+               CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+        FROM rb GROUP BY 1, 2""",
       "q_kmeans" -> OracleSql.qKmeans(8, 3, 64),
       // SemDeDup: the q_kmeans CTE chain re-derives the assignments, the
       // q_embed_dups blocking gains the same-cluster term, and the
@@ -1425,38 +1491,7 @@ object SparkEntry {
                scc.sem_cluster = a.vec_id AS keep
         FROM a3 a JOIN scc USING (vec_id)"""
       },
-      "q_ann_ivf" -> {
-        // same seeded centroids as Similarity.annIvf: nearest-cell
-        // assignment per vector, nprobe=4 probed cells per query, exact
-        // cosine re-rank within probed cells
-        s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        cent(cell, cv) AS (VALUES ${ivfCentSql(16, 64, 7L)}),
-        cells AS (SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cell ASC) AS rn
-            FROM e CROSS JOIN cent c) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id % 97 = 0),
-        qcells AS (SELECT query_id, cell FROM (
-            SELECT q.query_id, c.cell,
-                   row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY list_cosine_similarity(q.q_emb, c.cv) DESC, c.cell ASC) AS rn
-            FROM q CROSS JOIN cent c) WHERE rn <= 4),
-        scored AS (
-            SELECT qc.query_id, ec.vec_id AS neighbor_id,
-                   list_cosine_similarity(e2.emb, q.q_emb) AS cos
-            FROM cells ec JOIN qcells qc ON ec.cell = qc.cell
-            JOIN e e2 ON e2.vec_id = ec.vec_id
-            JOIN q ON q.query_id = qc.query_id
-            WHERE ec.vec_id <> qc.query_id)
-        SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
-            SELECT query_id, neighbor_id, cos,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scored)
-        WHERE rank <= 5"""
-      },
+      "q_ann_ivf" -> annIvfSql,
       "q_knn_graph" -> {
         // the q_ann_ivf oracle with the query side = the WHOLE table:
         // same seeded centroids, nearest-cell assignment, nprobe=4 probed
@@ -1761,6 +1796,7 @@ object SparkEntry {
       "q_kg_signatures" -> OracleSql.qKgSignatures,
       "q_kg_scc" -> OracleSql.qKgScc,
       "q_kg_paths" -> OracleSql.qKgPaths(4),
+      "q_kg_wpagerank" -> OracleSql.qKgWeightedPagerank(10),
       "q_morph_tags" -> OracleSql.qMorphTags,
       "q_morph_feats" -> OracleSql.qMorphFeats,
       "q_uas_las" -> OracleSql.qUasLas,

@@ -1535,6 +1535,31 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Recall@k report: for each query, how much of the brute-force truth
+    * each approximate index recovered — the "measure, don't guess"
+    * artifact a team reads before committing to an index config (nprobe,
+    * bits, tables). Integer ppm via BIGINT floor division, so the row is
+    * engine-exact. One left equi-join per method on (query, neighbor) +
+    * a per-query aggregate; a method that returned nothing for a query
+    * still reports recall 0 (the truth side drives the join).
+    */
+  def annRecall(exact: DataFrame,
+                approxes: Seq[(String, DataFrame)]): DataFrame = {
+    require(approxes.nonEmpty, "annRecall: need at least one method")
+    approxes.map { case (name, ap) =>
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(ap.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(lit(name).as("method"), col("query_id"), col("k_exact"),
+          col("n_hits"),
+          expr("(n_hits * 1000000) div k_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Random-hyperplane LSH bucketing (the scale path): sign-bit signature,
     * candidates restricted to equal buckets, then exact cosine re-rank.
     * Hyperplanes are seeded-deterministic and broadcast.

@@ -733,6 +733,33 @@ class KgAnalyticsSpec extends AnyFunSuite {
     assert(dist == want)
   }
 
+  test("weightedPageRank: exact hand values, degenerate == unweighted, local == distributed") {
+    import spark.implicits._
+    // a->b w3 (three docs), a->c w1; wsum(a)=4
+    // iter1: b = 150000 + 850*((1e6*3)/4)//1000 = 787500; c = 362500; a = 150000
+    // iter2: contribs from a (rank 150000): b 112500, c 37500
+    //   b = 150000 + 95625 = 245625; c = 150000 + 31875 = 181875
+    val t = (0 until 3).map(i => (s"d$i", i, 0, "a", "PER", "p", "b", "ORG")) :+
+      (("d9", 0, 0, "a", "PER", "p", "c", "ORG"))
+    val df = t.toDF("docId", "spanOrder", "sentIdx",
+      "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val r1 = kg.Analytics.weightedPageRank(df, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L))
+    val r2 = kg.Analytics.weightedPageRank(df, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map("a" -> 150000L, "b" -> 245625L, "c" -> 181875L))
+    // fixture graph: every node's out-edges are equal-weight, so the
+    // weighted walk degenerates EXACTLY to the unweighted one
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(key(kg.Analytics.weightedPageRank(triples, iters = 5)) ==
+      key(kg.Analytics.pageRank(triples, iters = 5)))
+    // driver-local and distributed paths are bit-identical
+    assert(key(kg.Analytics.weightedPageRank(df, iters = 3)) ==
+      key(kg.Analytics.weightedPageRank(df, iters = 3, maxLocalEdges = 0L)))
+  }
+
   test("shortestPathForest: min-predecessor parents, blank seeds, distances == bfsDistances") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -79,6 +79,34 @@ class SearchSpec extends AnyFunSuite {
     assert(graph == brute && graph.nonEmpty)
   }
 
+  test("annRecall: perfect method scores 10^6 ppm everywhere; twin matches a hand intersection count") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") % 97 === 0)
+    val exact = ops.Similarity.bruteTopK(e, q, 5)
+    // brute vs itself = perfect recall on every query
+    val perfect = ops.Similarity.annRecall(exact, Seq("self" -> exact))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(perfect.nonEmpty)
+    perfect.foreach { case (_, k, h, ppm) =>
+      assert(k == h && ppm == 1000000L)
+    }
+    // lsh/ivf recall equals a hand-computed per-query intersection
+    val lsh = ops.Similarity.annLsh(e, q, 5)
+    val got = ops.Similarity.annRecall(exact, Seq("lsh" -> lsh)).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+    val ex = sets(exact); val ap = sets(lsh)
+    assert(got.keySet == ex.keySet) // truth side drives: every query reported
+    got.foreach { case (qid, (k, h, ppm)) =>
+      val inter = ex(qid).intersect(ap.getOrElse(qid, Set.empty)).size.toLong
+      assert(k == ex(qid).size.toLong && h == inter &&
+        ppm == inter * 1000000L / k)
+    }
+  }
+
   test("knnGraph: ranks contiguous from 1, self-edges excluded, at most k per query") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = ops.Similarity.knnGraph(e, k = 3).collect()
