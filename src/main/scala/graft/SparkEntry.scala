@@ -165,6 +165,11 @@ object SparkEntry {
     // training run actually spends), not regex words
     "q_pack_bpe" -> ((s, d) =>
       ops.Corpus.packBpe(tbl(s, d, "documents"), bpeMerges6(s, d), 512, 8)),
+    // unigram-LM Viterbi re-encode over the BPE piece inventory
+    // (SentencePiece-style; integer centibit scores, see
+    // TextStats.unigramScores/unigramEncodeWith)
+    "q_unigram_encode" -> ((s, d) =>
+      TextStats.unigramEncode(tbl(s, d, "documents"), bpeMerges6(s, d))),
     // tokenizer fertility per language under the learned merges (integer
     // ppm ratios — see TextStats.bpeFertility)
     "q_bpe_fertility" -> ((s, d) =>
@@ -1230,6 +1235,67 @@ object SparkEntry {
         SELECT doc_id, shard, cast(cum_before // 512 AS BIGINT) AS pack_id, n_tokens FROM c""",
       // mirrors TextStats.bpeFertility: same applied-vocab join, integer
       // ppm floor divisions
+      // mirrors TextStats.unigramScores + unigramEncodeWith exactly:
+      // integer fixed-point log2 scores (fx), per-position best by
+      // (vocab-before-unk, score DESC, np ASC, j ASC), path via a
+      // recursive backpointer walk. Lmax/P = 12 cover the corpus (max
+      // token length 8); wider j-branches probe pieces longer than any
+      // vocab entry and match nothing, so they are inert.
+      "q_unigram_encode" -> {
+        def fxOf(x: String) =
+          s"((length(bin($x))-1)*256 + (($x*256) // (1::BIGINT << (length(bin($x))-1))) - 256)"
+        val Lmax = 12; val P = 12
+        val dps = (1 to Lmax).map { i =>
+          val vbr = (math.max(0, i - P) until i).map { j =>
+            s"""SELECT u.w, u.score + v.score AS score, u.np + 1 AS np,
+                 $j AS j, 0 AS pref
+               FROM ud$j u JOIN usc v
+                 ON v.piece = substring(u.w, ${j + 1}, ${i - j})
+               WHERE length(u.w) >= $i"""
+          }
+          val unkBr =
+            s"""SELECT u.w, u.score + pm.unk, u.np + 1, ${i - 1}, 1
+               FROM ud${i - 1} u CROSS JOIN uparm pm WHERE length(u.w) >= $i"""
+          s"""ud$i AS MATERIALIZED (SELECT w, $i AS i, score, np, j FROM (
+               SELECT *, row_number() OVER (PARTITION BY w
+                   ORDER BY pref ASC, score DESC, np ASC, j ASC) AS rn
+               FROM (${(vbr :+ unkBr).mkString("\n               UNION ALL\n")}) cb) rb
+             WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH RECURSIVE ${bpeCtes(6)},
+        ucnt AS (SELECT piece, sum(n)::BIGINT AS cnt FROM
+              (SELECT n, unnest(syms) AS piece FROM w6) x GROUP BY 1),
+        utot AS (SELECT sum(cnt)::BIGINT AS total FROM ucnt),
+        usc AS MATERIALIZED (SELECT piece, cnt,
+              CAST(${fxOf("cnt")} - (SELECT ${fxOf("total")} FROM utot)
+                AS BIGINT) AS score FROM ucnt),
+        uparm AS (SELECT min(score) - 2560 AS unk FROM usc),
+        ud0 AS (SELECT w, 0 AS i, 0::BIGINT AS score, 0::BIGINT AS np,
+              -1 AS j FROM wrd),
+        $dps,
+        uall AS (${(1 to Lmax).map(i => s"SELECT * FROM ud$i").mkString(" UNION ALL ")}),
+        uf AS (SELECT u.w, u.score, u.np FROM uall u
+              JOIN wrd ww ON ww.w = u.w AND length(ww.w) = u.i),
+        upth(w, pos, seq_rev, piece) AS (
+          SELECT w, length(w), -1, CAST(NULL AS VARCHAR) FROM wrd
+          UNION ALL
+          SELECT p.w, u.j, p.seq_rev + 1,
+                 substring(p.w, u.j + 1, p.pos - u.j)
+          FROM upth p JOIN uall u ON u.w = p.w AND u.i = p.pos
+          WHERE p.pos > 0),
+        upc AS (SELECT t.w, t.piece,
+              CAST(f.np - 1 - t.seq_rev AS BIGINT) AS seq
+              FROM upth t JOIN uf f USING (w) WHERE t.piece IS NOT NULL),
+        ucorp AS (SELECT doc_id, CAST(gs - 1 AS BIGINT) AS pos, tk[gs] AS w
+              FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk))) AS gs
+                    FROM (SELECT doc_id, ${toks("lower(text)")} AS tk
+                          FROM documents) t0) t1)
+        SELECT c.doc_id, c.pos, p.seq, p.piece, f.score,
+               CAST(f.np AS BIGINT) AS n_pieces
+        FROM ucorp c JOIN upc p ON p.w = c.w JOIN uf f ON f.w = c.w"""
+      },
       "q_bpe_fertility" -> s"""
         WITH ${bpeCtes(6)},
         ws AS (SELECT w, len(syms)::BIGINT AS k, len(w)::BIGINT AS chars FROM w6),

@@ -775,6 +775,123 @@ object TextStats {
         col("seq").cast("long").as("seq"), col("piece"), col("piece_id"))
   }
 
+  /** Fixed-point log2 in 1/256 units ("centibits"): fx(x) =
+    * floor(log2 x)·256 + ((x·256) >> floor(log2 x)) − 256 — a linear
+    * interpolation between powers of two, fully integer, so unigram
+    * scores are bit-exact across engines with no libm anywhere (unlike
+    * the documented ln-boundary caveat on tfidf/pmi). Valid for
+    * 1 <= x < 2^55 (the <<8 must not overflow) — piece counts at 100 TB
+    * are ~2^40.
+    */
+  def fx(x: Long): Long = {
+    require(x >= 1 && x < (1L << 55), s"fx: x out of range: $x")
+    val f = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    f * 256L + ((x << 8) >> f) - 256L
+  }
+
+  /** Unigram-LM piece scores from the BPE-derived piece inventory
+    * (SentencePiece-style vocabulary, Kudo 2018, with the EM step
+    * replaced by observed BPE-segmentation frequencies): score(piece) =
+    * fx(cnt) − fx(total) ≈ 256·log2 P(piece) — negative centibits, so
+    * Viterbi's sum-of-scores maximization is the integer analogue of
+    * max-likelihood segmentation and inherently penalizes piece count.
+    *
+    * Scale shape: counts come from the DISTINCT-WORD frequency table
+    * joined to the piece vocab (word-scale, never a corpus explode);
+    * the result is driver-collected — bounded by |alphabet| + rounds,
+    * the [[bpeEncode]] argument — scored with integer fx, and returned
+    * sorted by piece for determinism.
+    */
+  def unigramScores(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val wf = docs.select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val counts = wf.join(bpeVocab(docs, merges), "w")
+      .select(col("n"), explode(col("syms")).as("piece"))
+      .groupBy("piece").agg(sum("n").as("cnt"))
+    val rows = counts.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = rows.map(_._2).sum
+    import spark.implicits._
+    rows.toSeq.map { case (p, c) => (p, c, fx(c) - fx(total)) }
+      .toDF("piece", "cnt", "score")
+  }
+
+  /** Viterbi unigram segmentation with an explicit score table — the
+    * apply side of [[unigramScores]], split out so a vocabulary trained
+    * on one corpus can encode another (where unseen characters fall back
+    * to single-char UNK pieces at `min(score) − 2560`, i.e. ~2^-10 below
+    * the rarest real piece).
+    *
+    * Per-position contract (oracle-mirrored exactly): best(i) is chosen
+    * among vocab pieces ending at i by (score DESC, n_pieces ASC,
+    * split-point j ASC); the UNK single-char candidate is considered
+    * ONLY when no vocab piece ends at i. Output: one row per corpus
+    * piece occurrence (doc_id, pos, seq, piece) plus the word-level
+    * (score, n_pieces).
+    *
+    * Scale shape: the DP runs once per DISTINCT word (a typed Dataset
+    * map with the broadcast score table pinned per executor — the
+    * pinned-model inference shape, NOT a per-corpus-row UDF); the
+    * corpus pays one word-keyed equi-join exactly like [[bpeEncode]].
+    */
+  def unigramEncodeWith(docs: DataFrame, scores: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val sc = scores.select("piece", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(sc.nonEmpty, "unigramEncodeWith: empty score table")
+    val vm = sc.toMap
+    val mp = sc.map(_._1.length).max
+    val unk = sc.map(_._2).min - 2560L
+    val bc = spark.sparkContext.broadcast((vm, mp, unk))
+    import spark.implicits._
+    val segmented = docs
+      .select(explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .distinct().as[String]
+      .map { w =>
+        val (vmap, maxP, unkS) = bc.value
+        val L = w.length
+        val score = new Array[Long](L + 1)
+        val np = new Array[Int](L + 1)
+        val bj = new Array[Int](L + 1)
+        var i = 1
+        while (i <= L) {
+          var bS = Long.MinValue; var bN = Int.MaxValue; var bJ = -1
+          var j = math.max(0, i - maxP)
+          while (j < i) {
+            vmap.get(w.substring(j, i)) match {
+              case Some(s) =>
+                val cs = score(j) + s; val cn = np(j) + 1
+                if (cs > bS || (cs == bS && cn < bN)) { bS = cs; bN = cn; bJ = j }
+              case None =>
+            }
+            j += 1
+          }
+          if (bJ < 0) { bS = score(i - 1) + unkS; bN = np(i - 1) + 1; bJ = i - 1 }
+          score(i) = bS; np(i) = bN; bj(i) = bJ
+          i += 1
+        }
+        val parts = new scala.collection.mutable.ArrayBuffer[String](np(L))
+        var pos = L
+        while (pos > 0) { parts.prepend(w.substring(bj(pos), pos)); pos = bj(pos) }
+        (w, parts.toSeq, score(L), np(L).toLong)
+      }
+      .toDF("w", "pieces", "score", "n_pieces")
+    val corpus = docs.select(col("doc_id"),
+      posexplode(tokens(F.lower_simple(col("text"))))).toDF("doc_id", "pos", "w")
+    corpus.join(segmented, "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        posexplode(col("pieces")), col("score"), col("n_pieces"))
+      .toDF("doc_id", "pos", "seq", "piece", "score", "n_pieces")
+      .select(col("doc_id"), col("pos"), col("seq").cast("long").as("seq"),
+        col("piece"), col("score"), col("n_pieces"))
+  }
+
+  /** Train-and-apply convenience: unigram scores from this corpus's BPE
+    * piece inventory, then Viterbi-encode the same corpus. */
+  def unigramEncode(docs: DataFrame, merges: DataFrame): DataFrame =
+    unigramEncodeWith(docs, unigramScores(docs, merges))
+
   /** Distinct-word → piece-array table: the merge fold of [[bpeEncode]],
     * exposed so count-only consumers ([[Corpus.packBpe]]) project
     * `size(syms)` off the vocab and never explode pieces at corpus scale.

@@ -375,6 +375,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(p == Map(1L -> ((0L, 4L)), 2L -> ((2L, 1L)), 3L -> ((2L, 2L))))
   }
 
+  test("unigramEncode: fx twin, reconstruction, optimal vs all-vocab brute force, unk on unseen chars") {
+    import spark.implicits._
+    // fx fixed-point log2: hand values (f*256 + (x*256 >> f) - 256)
+    assert(ops.TextStats.fx(1L) == 0L && ops.TextStats.fx(2L) == 256L &&
+      ops.TextStats.fx(3L) == 384L && ops.TextStats.fx(4L) == 512L)
+    val merges = ops.TextStats.bpeMerges(docs, rounds = 3)
+    val scores = ops.TextStats.unigramScores(docs, merges)
+    val vm = scores.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(vm.values.forall(_ < 0L)) // negative centibits: cnt < total
+    val enc = ops.TextStats.unigramEncodeWith(docs, scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(enc.nonEmpty)
+    // per word occurrence: pieces sorted by seq concatenate to the word,
+    // every piece is in vocab (the BPE alphabet covers the corpus), the
+    // reported score is their sum, and it is >= every all-vocab
+    // segmentation's score (brute force over all compositions)
+    def bruteBest(w: String): Long = {
+      def go(i: Int): Long = // best all-vocab score of suffix from i
+        if (i == w.length) 0L
+        else (i + 1 to w.length).foldLeft(Long.MinValue) { (b, e) =>
+          vm.get(w.substring(i, e)) match {
+            case Some(s) =>
+              val rest = go(e)
+              if (rest == Long.MinValue) b else math.max(b, s + rest)
+            case None => b
+          }
+        }
+      go(0)
+    }
+    val checkedWords = scala.collection.mutable.Set.empty[String]
+    enc.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val srt = rows.sortBy(_._3)
+      assert(srt.map(_._3).sameElements(rows.indices.map(_.toLong)))
+      val word = srt.map(_._4).mkString
+      assert(srt.forall(t => vm.contains(t._4)), s"non-vocab piece in $word")
+      val sum = srt.map(t => vm(t._4)).sum
+      assert(rows.head._5 == sum && rows.head._6 == rows.length.toLong)
+      if (word.length <= 8 && checkedWords.add(word))
+        assert(sum == bruteBest(word), s"suboptimal segmentation of $word")
+    }
+    assert(checkedWords.nonEmpty)
+    // unseen character falls back to a single-char UNK piece priced at
+    // min(score) - 2560, and the word still reconstructs
+    val alien = Seq((9999L, "zzß", "de", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arow = ops.TextStats.unigramEncodeWith(alien, scores).collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getLong(4)))
+    val apieces = arow.sortBy(_._1).map(_._2)
+    assert(apieces.mkString == "zzß" && apieces.contains("ß"))
+    assert(!vm.contains("ß"))
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
