@@ -170,6 +170,9 @@ object SparkEntry {
     // TextStats.unigramScores/unigramEncodeWith)
     "q_unigram_encode" -> ((s, d) =>
       TextStats.unigramEncode(tbl(s, d, "documents"), bpeMerges6(s, d))),
+    // BPE vs unigram fertility per language (see TextStats.tokenizerCompare)
+    "q_tok_compare" -> ((s, d) =>
+      TextStats.tokenizerCompare(tbl(s, d, "documents"), bpeMerges6(s, d))),
     // tokenizer fertility per language under the learned merges (integer
     // ppm ratios — see TextStats.bpeFertility)
     "q_bpe_fertility" -> ((s, d) =>
@@ -758,6 +761,43 @@ object SparkEntry {
         train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
         SELECT doc_id, count(*) AS n_hits
         FROM train JOIN bench USING (shingle) GROUP BY 1"""
+    // unigram DP CTE chain (ucnt..uf) — shared by q_unigram_encode and
+    // q_tok_compare; expects bpeCtes(6) in scope (wrd, w6)
+    val unigramDpCtes: String = {
+      def fxOf(x: String) =
+        s"((length(bin($x))-1)*256 + (($x*256) // (1::BIGINT << (length(bin($x))-1))) - 256)"
+      val Lmax = 12; val P = 12
+      val dps = (1 to Lmax).map { i =>
+        val vbr = (math.max(0, i - P) until i).map { j =>
+          s"""SELECT u.w, u.score + v.score AS score, u.np + 1 AS np,
+               $j AS j, 0 AS pref
+             FROM ud$j u JOIN usc v
+               ON v.piece = substring(u.w, ${j + 1}, ${i - j})
+             WHERE length(u.w) >= $i"""
+        }
+        val unkBr =
+          s"""SELECT u.w, u.score + pm.unk, u.np + 1, ${i - 1}, 1
+             FROM ud${i - 1} u CROSS JOIN uparm pm WHERE length(u.w) >= $i"""
+        s"""ud$i AS MATERIALIZED (SELECT w, $i AS i, score, np, j FROM (
+             SELECT *, row_number() OVER (PARTITION BY w
+                 ORDER BY pref ASC, score DESC, np ASC, j ASC) AS rn
+             FROM (${(vbr :+ unkBr).mkString("\n             UNION ALL\n")}) cb) rb
+           WHERE rn = 1)"""
+      }.mkString(",\n        ")
+      s"""ucnt AS (SELECT piece, sum(n)::BIGINT AS cnt FROM
+              (SELECT n, unnest(syms) AS piece FROM w6) x GROUP BY 1),
+        utot AS (SELECT sum(cnt)::BIGINT AS total FROM ucnt),
+        usc AS MATERIALIZED (SELECT piece, cnt,
+              CAST(${fxOf("cnt")} - (SELECT ${fxOf("total")} FROM utot)
+                AS BIGINT) AS score FROM ucnt),
+        uparm AS (SELECT min(score) - 2560 AS unk FROM usc),
+        ud0 AS (SELECT w, 0 AS i, 0::BIGINT AS score, 0::BIGINT AS np,
+              -1 AS j FROM wrd),
+        $dps,
+        uall AS (${(1 to Lmax).map(i => s"SELECT * FROM ud$i").mkString(" UNION ALL ")}),
+        uf AS (SELECT u.w, u.score, u.np FROM uall u
+              JOIN wrd ww ON ww.w = u.w AND length(ww.w) = u.i)"""
+    }
     // ANN twin SQLs hoisted so q_ann_recall can nest them as CTEs
     val annTopkSql = """
         SELECT * FROM (
@@ -1241,42 +1281,9 @@ object SparkEntry {
       // recursive backpointer walk. Lmax/P = 12 cover the corpus (max
       // token length 8); wider j-branches probe pieces longer than any
       // vocab entry and match nothing, so they are inert.
-      "q_unigram_encode" -> {
-        def fxOf(x: String) =
-          s"((length(bin($x))-1)*256 + (($x*256) // (1::BIGINT << (length(bin($x))-1))) - 256)"
-        val Lmax = 12; val P = 12
-        val dps = (1 to Lmax).map { i =>
-          val vbr = (math.max(0, i - P) until i).map { j =>
-            s"""SELECT u.w, u.score + v.score AS score, u.np + 1 AS np,
-                 $j AS j, 0 AS pref
-               FROM ud$j u JOIN usc v
-                 ON v.piece = substring(u.w, ${j + 1}, ${i - j})
-               WHERE length(u.w) >= $i"""
-          }
-          val unkBr =
-            s"""SELECT u.w, u.score + pm.unk, u.np + 1, ${i - 1}, 1
-               FROM ud${i - 1} u CROSS JOIN uparm pm WHERE length(u.w) >= $i"""
-          s"""ud$i AS MATERIALIZED (SELECT w, $i AS i, score, np, j FROM (
-               SELECT *, row_number() OVER (PARTITION BY w
-                   ORDER BY pref ASC, score DESC, np ASC, j ASC) AS rn
-               FROM (${(vbr :+ unkBr).mkString("\n               UNION ALL\n")}) cb) rb
-             WHERE rn = 1)"""
-        }.mkString(",\n        ")
-        s"""
+      "q_unigram_encode" -> s"""
         WITH RECURSIVE ${bpeCtes(6)},
-        ucnt AS (SELECT piece, sum(n)::BIGINT AS cnt FROM
-              (SELECT n, unnest(syms) AS piece FROM w6) x GROUP BY 1),
-        utot AS (SELECT sum(cnt)::BIGINT AS total FROM ucnt),
-        usc AS MATERIALIZED (SELECT piece, cnt,
-              CAST(${fxOf("cnt")} - (SELECT ${fxOf("total")} FROM utot)
-                AS BIGINT) AS score FROM ucnt),
-        uparm AS (SELECT min(score) - 2560 AS unk FROM usc),
-        ud0 AS (SELECT w, 0 AS i, 0::BIGINT AS score, 0::BIGINT AS np,
-              -1 AS j FROM wrd),
-        $dps,
-        uall AS (${(1 to Lmax).map(i => s"SELECT * FROM ud$i").mkString(" UNION ALL ")}),
-        uf AS (SELECT u.w, u.score, u.np FROM uall u
-              JOIN wrd ww ON ww.w = u.w AND length(ww.w) = u.i),
+        $unigramDpCtes,
         upth(w, pos, seq_rev, piece) AS (
           SELECT w, length(w), -1, CAST(NULL AS VARCHAR) FROM wrd
           UNION ALL
@@ -1294,8 +1301,26 @@ object SparkEntry {
                           FROM documents) t0) t1)
         SELECT c.doc_id, c.pos, p.seq, p.piece, f.score,
                CAST(f.np AS BIGINT) AS n_pieces
-        FROM ucorp c JOIN upc p ON p.w = c.w JOIN uf f ON f.w = c.w"""
-      },
+        FROM ucorp c JOIN upc p ON p.w = c.w JOIN uf f ON f.w = c.w""",
+      // BPE vs unigram fertility per language over the SAME pieces;
+      // both sides count off the distinct-word vocab tables
+      "q_tok_compare" -> s"""
+        WITH RECURSIVE ${bpeCtes(6)},
+        $unigramDpCtes,
+        tws AS (SELECT w, len(syms)::BIGINT AS k FROM w6),
+        tcw AS (SELECT lang, tk, unnest(generate_series(1, len(tk))) AS i
+              FROM (SELECT lang, ${toks("lower(text)")} AS tk
+                    FROM documents) d),
+        tcorp AS (SELECT lang, tk[i] AS w FROM tcw),
+        tbp AS (SELECT lang, (sum(k)::BIGINT * 1000000) // count(*)
+                  AS bpe_ppw_ppm
+              FROM tcorp JOIN tws USING (w) GROUP BY 1),
+        tup AS (SELECT lang, (sum(f.np)::BIGINT * 1000000) // count(*)
+                  AS uni_ppw_ppm
+              FROM tcorp JOIN uf f USING (w) GROUP BY 1)
+        SELECT tbp.lang, bpe_ppw_ppm, uni_ppw_ppm,
+               (uni_ppw_ppm - bpe_ppw_ppm) AS delta_ppm
+        FROM tbp JOIN tup USING (lang)""",
       "q_bpe_fertility" -> s"""
         WITH ${bpeCtes(6)},
         ws AS (SELECT w, len(syms)::BIGINT AS k, len(w)::BIGINT AS chars FROM w6),

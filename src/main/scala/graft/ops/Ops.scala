@@ -836,16 +836,32 @@ object TextStats {
     * corpus pays one word-keyed equi-join exactly like [[bpeEncode]].
     */
   def unigramEncodeWith(docs: DataFrame, scores: DataFrame): DataFrame = {
+    val segmented = unigramVocab(docs, scores)
+    val corpus = docs.select(col("doc_id"),
+      posexplode(tokens(F.lower_simple(col("text"))))).toDF("doc_id", "pos", "w")
+    corpus.join(segmented, "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        posexplode(col("pieces")), col("score"), col("n_pieces"))
+      .toDF("doc_id", "pos", "seq", "piece", "score", "n_pieces")
+      .select(col("doc_id"), col("pos"), col("seq").cast("long").as("seq"),
+        col("piece"), col("score"), col("n_pieces"))
+  }
+
+  /** Distinct-word → (pieces, score, n_pieces) under the unigram DP —
+    * the [[bpeVocab]] analogue, exposed so count-only consumers
+    * (fertility, packing) read `n_pieces` off the vocab and never
+    * explode pieces at corpus scale. */
+  def unigramVocab(docs: DataFrame, scores: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val sc = scores.select("piece", "score").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    require(sc.nonEmpty, "unigramEncodeWith: empty score table")
+    require(sc.nonEmpty, "unigramVocab: empty score table")
     val vm = sc.toMap
     val mp = sc.map(_._1.length).max
     val unk = sc.map(_._2).min - 2560L
     val bc = spark.sparkContext.broadcast((vm, mp, unk))
     import spark.implicits._
-    val segmented = docs
+    docs
       .select(explode(tokens(F.lower_simple(col("text")))).as("w"))
       .distinct().as[String]
       .map { w =>
@@ -877,20 +893,36 @@ object TextStats {
         (w, parts.toSeq, score(L), np(L).toLong)
       }
       .toDF("w", "pieces", "score", "n_pieces")
-    val corpus = docs.select(col("doc_id"),
-      posexplode(tokens(F.lower_simple(col("text"))))).toDF("doc_id", "pos", "w")
-    corpus.join(segmented, "w")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        posexplode(col("pieces")), col("score"), col("n_pieces"))
-      .toDF("doc_id", "pos", "seq", "piece", "score", "n_pieces")
-      .select(col("doc_id"), col("pos"), col("seq").cast("long").as("seq"),
-        col("piece"), col("score"), col("n_pieces"))
   }
 
   /** Train-and-apply convenience: unigram scores from this corpus's BPE
     * piece inventory, then Viterbi-encode the same corpus. */
   def unigramEncode(docs: DataFrame, merges: DataFrame): DataFrame =
     unigramEncodeWith(docs, unigramScores(docs, merges))
+
+  /** Tokenizer shoot-out: per-language fertility (pieces/word, integer
+    * ppm) of the BPE greedy-merge encoder vs the unigram-LM Viterbi
+    * encoder over the SAME piece inventory — the table that decides
+    * which tokenizer a pipeline commits to (unigram can only do better
+    * or equal per word at equal piece prices, but its ppm is computed
+    * from its own DP so the delta is the honest corpus-level answer).
+    * Both sides read counts off their distinct-word vocab tables —
+    * pieces are never exploded at corpus scale.
+    */
+  def tokenizerCompare(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val bpe = bpeFertility(docs, merges)
+      .select(col("lang"), col("pieces_per_word_ppm").as("bpe_ppw_ppm"))
+    val uni = docs
+      .select(col("lang"), explode(tokens(F.lower_simple(col("text")))).as("w"))
+      .join(unigramVocab(docs, unigramScores(docs, merges))
+        .select(col("w"), col("n_pieces")), "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .select(col("lang"),
+        expr("(n_pieces * 1000000) div n_words").as("uni_ppw_ppm"))
+    bpe.join(uni, "lang")
+      .withColumn("delta_ppm", col("uni_ppw_ppm") - col("bpe_ppw_ppm"))
+  }
 
   /** Distinct-word → piece-array table: the merge fold of [[bpeEncode]],
     * exposed so count-only consumers ([[Corpus.packBpe]]) project

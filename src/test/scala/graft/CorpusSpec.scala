@@ -428,6 +428,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(!vm.contains("ß"))
   }
 
+  test("tokenizerCompare: columns equal the standalone fertilities; delta consistent") {
+    val merges = ops.TextStats.bpeMerges(docs, rounds = 3)
+    val cmp = ops.TextStats.tokenizerCompare(docs, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cmp.nonEmpty)
+    val bpe = ops.TextStats.bpeFertility(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    // independent recompute of the unigram column from the vocab table
+    val uniVocab = ops.TextStats.unigramVocab(docs,
+        ops.TextStats.unigramScores(docs, merges)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val byLang = docs.select(col("lang"),
+        explode(ops.TextStats.tokens(functions.F.lower_simple(col("text")))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (l, ws) =>
+        val np = ws.map(w => uniVocab(w._2)).sum
+        l -> np * 1000000L / ws.length
+      }
+    cmp.foreach { case (lang, (b, u, d)) =>
+      assert(b == bpe(lang) && d == u - b && u == byLang(lang))
+    }
+  }
+
   test("ngramCounts: bigram counts equal a hand count; unigram path") {
     import spark.implicits._
     val in = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
