@@ -329,6 +329,10 @@ object SparkEntry {
         .toDF("event_type", "acc_raw")
         .select(col("event_type"), round(col("acc_raw"), 6).as("acc"))
     }),
+    // integer CUSUM ingest-anomaly flags per hour (see Sessions.ingestCusum)
+    "q_ingest_cusum" -> ((s, d) =>
+      ops.Sessions.ingestCusum(tbl(s, d, "events"), drift = 2L,
+        threshold = 15L)),
     "q_events_window" -> ((s, d) => // event-time tumbling window aggregation
       tbl(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -1716,6 +1720,19 @@ object SparkEntry {
         SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2""",
+      // mirrors Sessions.ingestCusum: s = c - min(0, runmin(c)) identity
+      "q_ingest_cusum" -> """
+        WITH cb AS (SELECT date_trunc('hour', ts) AS ws, count(*)::BIGINT AS n
+              FROM events GROUP BY 1),
+        ct AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nb FROM cb),
+        cd AS (SELECT ws, n, n - (SELECT tot // nb FROM ct) - 2 AS d FROM cb),
+        cc AS (SELECT ws, n, sum(d) OVER (ORDER BY ws
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS c FROM cd)
+        SELECT ws, n, CAST(c - least(min(c) OVER (ORDER BY ws
+                 ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum,
+               (c - least(min(c) OVER (ORDER BY ws
+                 ROWS UNBOUNDED PRECEDING), 0)) > 15 AS flagged
+        FROM cc""",
       "q_vocab_encode" -> s"""
         WITH w AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS word FROM documents),
         v AS (SELECT * FROM (VALUES ('scan'),('filter'),('join'),('agg'),('window'),('sort')) AS t(word))

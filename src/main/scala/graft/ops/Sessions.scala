@@ -104,4 +104,36 @@ object Sessions {
         datediff(col("day"), col("cohort_date")).cast("long").as("offset_days"))
       .agg(count(lit(1)).as("n_users")) // (user, day) distinct upstream
   }
+
+  /** Integer CUSUM changepoint flags over per-bucket ingest volume — the
+    * pipeline-monitoring query that catches a crawler stall or a burst
+    * the mean can't see (Page 1954): with d_i = n_i − mean − drift, the
+    * one-sided statistic s_i = max(0, s_{i−1} + d_i) exceeds `threshold`
+    * exactly when recent volume has run persistently above mean+drift.
+    *
+    * The sequential recurrence is computed WITHOUT a fold:
+    * s_i = c_i − min(0, min_{j≤i} c_j) where c = running sum of d — so
+    * the whole op is two window functions over the AGGREGATED bucket
+    * table (one row per hour — the global-order window runs on ~10^5
+    * rows for a decade of hourly buckets, never on the corpus), and all
+    * arithmetic is integer (mean = total div n_buckets), hence
+    * engine-exact.
+    */
+  def ingestCusum(events: DataFrame, tsCol: String = "ts",
+                  bucket: String = "hour", drift: Long = 0L,
+                  threshold: Long = 0L): DataFrame = {
+    require(drift >= 0L && threshold >= 0L,
+      s"ingestCusum: drift/threshold must be >= 0")
+    val b = events.groupBy(date_trunc(bucket, col(tsCol)).as("ws"))
+      .agg(count(lit(1)).as("n"))
+    val tot = b.agg(sum("n").as("tot"), count(lit(1)).as("nb"))
+    val run = Window.orderBy("ws")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("d", col("n") - expr("tot div nb") - lit(drift))
+      .withColumn("c", sum("d").over(run))
+      .withColumn("cusum", col("c") - least(min("c").over(run), lit(0L)))
+      .select(col("ws"), col("n"), col("cusum"),
+        (col("cusum") > lit(threshold)).as("flagged"))
+  }
 }

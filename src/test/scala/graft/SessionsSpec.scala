@@ -84,4 +84,34 @@ class SessionsSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows.head.getLong(4) == 3L && rows.head.getDouble(5) == 7.0)
   }
+
+  test("ingestCusum: window identity equals the direct max(0, s+d) fold; burst flagged, quiet not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 hourly buckets: flat volume 10 with a 3-hour burst of 30
+    val counts = Seq(10, 10, 10, 10, 30, 30, 30, 10, 10, 10, 10, 10)
+    val ev = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        (h * 100L + i, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:01"),
+          1L, "e", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val drift = 1L; val threshold = 10L
+    val got = ops.Sessions.ingestCusum(ev, drift = drift,
+        threshold = threshold).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(got.size == 12)
+    // direct fold twin
+    val mean = counts.map(_.toLong).sum / counts.length
+    var s = 0L
+    counts.zipWithIndex.foreach { case (n, h) =>
+      s = math.max(0L, s + n - mean - drift)
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val (gn, gs, gf) = got(ts)
+      assert(gn == n.toLong && gs == s && gf == (s > threshold), s"hour $h")
+    }
+    // the burst flags, the quiet head doesn't, and the statistic decays
+    assert(got.values.exists(_._3) &&
+      !got(java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))._3)
+  }
 }
