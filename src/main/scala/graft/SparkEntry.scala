@@ -1720,19 +1720,27 @@ object SparkEntry {
         SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2""",
-      // mirrors Sessions.ingestCusum: s = c - min(0, runmin(c)) identity
+      // mirrors Sessions.ingestCusum: two-sided s = c - min(0, runmin(c))
       "q_ingest_cusum" -> """
         WITH cb AS (SELECT date_trunc('hour', ts) AS ws, count(*)::BIGINT AS n
               FROM events GROUP BY 1),
         ct AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nb FROM cb),
-        cd AS (SELECT ws, n, n - (SELECT tot // nb FROM ct) - 2 AS d FROM cb),
-        cc AS (SELECT ws, n, sum(d) OVER (ORDER BY ws
-                 ROWS UNBOUNDED PRECEDING)::BIGINT AS c FROM cd)
-        SELECT ws, n, CAST(c - least(min(c) OVER (ORDER BY ws
-                 ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum,
-               (c - least(min(c) OVER (ORDER BY ws
-                 ROWS UNBOUNDED PRECEDING), 0)) > 15 AS flagged
-        FROM cc""",
+        cd AS (SELECT ws, n, n - (SELECT tot // nb FROM ct) - 2 AS d,
+                 (SELECT tot // nb FROM ct) - 2 - n AS dl FROM cb),
+        cc AS (SELECT ws, n,
+                 sum(d) OVER (ORDER BY ws ROWS UNBOUNDED PRECEDING)::BIGINT AS c,
+                 sum(dl) OVER (ORDER BY ws ROWS UNBOUNDED PRECEDING)::BIGINT AS cl
+               FROM cd),
+        cs AS (SELECT ws, n,
+                 CAST(c - least(min(c) OVER (ORDER BY ws
+                   ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum_high,
+                 CAST(cl - least(min(cl) OVER (ORDER BY ws
+                   ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum_low
+               FROM cc)
+        SELECT ws, n, cusum_high, cusum_low,
+               cusum_high > 15 AS flagged_high,
+               cusum_low > 15 AS flagged_low
+        FROM cs""",
       "q_vocab_encode" -> s"""
         WITH w AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS word FROM documents),
         v AS (SELECT * FROM (VALUES ('scan'),('filter'),('join'),('agg'),('window'),('sort')) AS t(word))

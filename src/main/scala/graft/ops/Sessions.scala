@@ -105,15 +105,17 @@ object Sessions {
       .agg(count(lit(1)).as("n_users")) // (user, day) distinct upstream
   }
 
-  /** Integer CUSUM changepoint flags over per-bucket ingest volume — the
-    * pipeline-monitoring query that catches a crawler stall or a burst
-    * the mean can't see (Page 1954): with d_i = n_i − mean − drift, the
-    * one-sided statistic s_i = max(0, s_{i−1} + d_i) exceeds `threshold`
-    * exactly when recent volume has run persistently above mean+drift.
+  /** Two-sided integer CUSUM changepoint flags over per-bucket ingest
+    * volume — the pipeline-monitoring query that catches a burst
+    * (high side) or a crawler stall (low side) the mean can't see
+    * (Page 1954): with d_i = n_i − mean − drift, the one-sided
+    * statistic s_i = max(0, s_{i−1} + d_i) exceeds `threshold` exactly
+    * when recent volume has run persistently above mean+drift; the low
+    * side runs the same recurrence on mean − drift − n_i.
     *
     * The sequential recurrence is computed WITHOUT a fold:
     * s_i = c_i − min(0, min_{j≤i} c_j) where c = running sum of d — so
-    * the whole op is two window functions over the AGGREGATED bucket
+    * each side is two window functions over the AGGREGATED bucket
     * table (one row per hour — the global-order window runs on ~10^5
     * rows for a decade of hourly buckets, never on the corpus), and all
     * arithmetic is integer (mean = total div n_buckets), hence
@@ -131,9 +133,15 @@ object Sessions {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.crossJoin(broadcast(tot))
       .withColumn("d", col("n") - expr("tot div nb") - lit(drift))
+      .withColumn("dl", expr("tot div nb") - lit(drift) - col("n"))
       .withColumn("c", sum("d").over(run))
-      .withColumn("cusum", col("c") - least(min("c").over(run), lit(0L)))
-      .select(col("ws"), col("n"), col("cusum"),
-        (col("cusum") > lit(threshold)).as("flagged"))
+      .withColumn("cl", sum("dl").over(run))
+      .withColumn("cusum_high",
+        col("c") - least(min("c").over(run), lit(0L)))
+      .withColumn("cusum_low",
+        col("cl") - least(min("cl").over(run), lit(0L)))
+      .select(col("ws"), col("n"), col("cusum_high"), col("cusum_low"),
+        (col("cusum_high") > lit(threshold)).as("flagged_high"),
+        (col("cusum_low") > lit(threshold)).as("flagged_low"))
   }
 }

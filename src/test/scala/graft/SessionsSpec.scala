@@ -85,11 +85,10 @@ class SessionsSpec extends AnyFunSuite {
     assert(rows.head.getLong(4) == 3L && rows.head.getDouble(5) == 7.0)
   }
 
-  test("ingestCusum: window identity equals the direct max(0, s+d) fold; burst flagged, quiet not") {
+  test("ingestCusum: window identity equals the direct max(0, s+d) folds; burst and stall flag their sides") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // 12 hourly buckets: flat volume 10 with a 3-hour burst of 30
-    val counts = Seq(10, 10, 10, 10, 30, 30, 30, 10, 10, 10, 10, 10)
+    // 12 hourly buckets: flat 10, a 2-hour burst of 30, a 3-hour stall of 1
+    val counts = Seq(10, 10, 10, 30, 30, 10, 10, 1, 1, 1, 10, 10)
     val ev = counts.zipWithIndex.flatMap { case (n, h) =>
       (0 until n).map(i =>
         (h * 100L + i, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:01"),
@@ -99,19 +98,23 @@ class SessionsSpec extends AnyFunSuite {
     val got = ops.Sessions.ingestCusum(ev, drift = drift,
         threshold = threshold).collect()
       .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2),
-        r.getBoolean(3)))).toMap
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
     assert(got.size == 12)
-    // direct fold twin
+    // direct fold twins, both sides
     val mean = counts.map(_.toLong).sum / counts.length
-    var s = 0L
+    var sh = 0L; var sl = 0L
     counts.zipWithIndex.foreach { case (n, h) =>
-      s = math.max(0L, s + n - mean - drift)
+      sh = math.max(0L, sh + n - mean - drift)
+      sl = math.max(0L, sl + mean - drift - n)
       val ts = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
-      val (gn, gs, gf) = got(ts)
-      assert(gn == n.toLong && gs == s && gf == (s > threshold), s"hour $h")
+      val (gn, gh, gl, fh, fl) = got(ts)
+      assert(gn == n.toLong && gh == sh && gl == sl &&
+        fh == (sh > threshold) && fl == (sl > threshold), s"hour $h")
     }
-    // the burst flags, the quiet head doesn't, and the statistic decays
-    assert(got.values.exists(_._3) &&
-      !got(java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))._3)
+    // burst flags the high side, stall flags the low side, quiet neither
+    def at(h: Int) = got(java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"))
+    assert(at(4)._4 && !at(4)._5)   // burst peak
+    assert(at(9)._5 && !at(9)._4)   // stall trough
+    assert(!at(1)._4 && !at(1)._5)  // quiet head
   }
 }
