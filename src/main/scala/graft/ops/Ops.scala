@@ -903,9 +903,11 @@ object TextStats {
   /** Tokenizer shoot-out: per-language fertility (pieces/word, integer
     * ppm) of the BPE greedy-merge encoder vs the unigram-LM Viterbi
     * encoder over the SAME piece inventory — the table that decides
-    * which tokenizer a pipeline commits to (unigram can only do better
-    * or equal per word at equal piece prices, but its ppm is computed
-    * from its own DP so the delta is the honest corpus-level answer).
+    * which tokenizer a pipeline commits to. Per word the unigram DP's
+    * SCORE is >= the BPE segmentation's score (BPE's pieces are one
+    * candidate segmentation under the same prices), but fertility
+    * itself is not monotone — a higher-scoring segmentation may use
+    * more pieces — so the delta column is a measurement, not a theorem.
     * Both sides read counts off their distinct-word vocab tables —
     * pieces are never exploded at corpus scale.
     */
