@@ -995,6 +995,38 @@ object OracleSql {
            count(*) OVER (PARTITION BY scc_id) AS scc_size
     FROM scc"""
 
+  /** Annotation sampling — mirrors Analytics.annotationSample: two-sided
+    * mention explode, distinct, signed-poly hash rank per entity with
+    * the full-column tie order, rank <= k. */
+  def qKgAnnotationSample(k: Int, seed: Long): String = {
+    def polySignedOf(key: String): String = {
+      val u = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"[unicode(c)::HUGEINT for c in string_split($key, '')]), " +
+        "(h, c) -> (h * 31 + c) % 18446744073709551616)::HUGEINT"
+      s"((($u) - CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+        "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT)"
+    }
+    val key = s"'ann' || chr(1) || '$seed' || chr(1) || entity_id || " +
+      "chr(1) || docId || chr(1) || spanOrder::VARCHAR || chr(1) || " +
+      "sentIdx::VARCHAR || chr(1) || pred || chr(1) || other_id || " +
+      "chr(1) || role"
+    s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    asm AS MATERIALIZED (SELECT DISTINCT * FROM (
+      SELECT subj_id AS entity_id, 'subj' AS role, docId, spanOrder,
+             sentIdx, pred, obj_id AS other_id FROM ktriples
+      UNION ALL
+      SELECT obj_id, 'obj', docId, spanOrder, sentIdx, pred, subj_id
+      FROM ktriples) u),
+    asr AS (SELECT *, row_number() OVER (PARTITION BY entity_id
+             ORDER BY ${polySignedOf(key)} ASC, docId ASC, spanOrder ASC,
+               sentIdx ASC, pred ASC, other_id ASC, role ASC) AS pick
+           FROM asm)
+    SELECT entity_id, pick, role, docId AS doc_id,
+           spanOrder AS span_order, sentIdx AS sent_idx, pred, other_id
+    FROM asr WHERE pick <= $k"""
+  }
+
   /** Predicate type-signature induction — mirrors
     * Analytics.predicateSignatures: signature aggregate + per-pred
     * window share in integer ppm (BIGINT cast: DuckDB's window sum is

@@ -568,6 +568,9 @@ object SparkEntry {
       kg.Analytics.predicateSignatures(canonicalTriples(s, d))),
     // strongly connected components (directed cycle structure)
     "q_kg_scc" -> ((s, d) => kg.Analytics.scc(canonicalTriples(s, d))),
+    // deterministic per-entity annotation batches (hash-ranked mentions)
+    "q_kg_annotation" -> ((s, d) =>
+      kg.Analytics.annotationSample(canonicalTriples(s, d), k = 3)),
     // mention-weighted PageRank (triple-count edge weights)
     "q_kg_wpagerank" -> ((s, d) =>
       kg.Analytics.weightedPageRank(canonicalTriples(s, d), iters = 10)),
@@ -1911,6 +1914,7 @@ object SparkEntry {
       "q_kg_node2vec" -> OracleSql.qKgNode2vec(2, 3, 250L, 500L, 42L),
       "q_kg_signatures" -> OracleSql.qKgSignatures,
       "q_kg_scc" -> OracleSql.qKgScc,
+      "q_kg_annotation" -> OracleSql.qKgAnnotationSample(3, 42L),
       "q_kg_paths" -> OracleSql.qKgPaths(4),
       "q_kg_wpagerank" -> OracleSql.qKgWeightedPagerank(10),
       "q_morph_tags" -> OracleSql.qMorphTags,

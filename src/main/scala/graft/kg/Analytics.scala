@@ -1243,6 +1243,46 @@ object Analytics {
       .select(col("entity_id"), col("scc_id"), col("scc_size"))
   }
 
+  /** Deterministic annotation batches: up to `k` supporting mentions
+    * per canonical entity, picked by hash rank — the export a human-eval
+    * loop reads to spot-check linking/extraction quality per entity
+    * without any frequency bias (hash order ≈ uniform over the entity's
+    * mentions, yet reproducible across retries, partitionings, and
+    * engines — the [[neighborSample]] rule on mention rows).
+    *
+    * One two-sided explode of the triple table, then a single
+    * entity-keyed window whose rank≤k filter runs as WindowGroupLimit —
+    * a 10^6-mention hub entity costs k output rows and never a full
+    * sort of its mention list beyond the per-partition top-k.
+    */
+  def annotationSample(triples: DataFrame, k: Int = 3,
+                       seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"annotationSample: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val m = triples.select(explode(array(
+        struct(col("subj_id").as("entity_id"), lit("subj").as("role"),
+          col("docId"), col("spanOrder"), col("sentIdx"), col("pred"),
+          col("obj_id").as("other_id")),
+        struct(col("obj_id").as("entity_id"), lit("obj").as("role"),
+          col("docId"), col("spanOrder"), col("sentIdx"), col("pred"),
+          col("subj_id").as("other_id")))).as("x"))
+      .select("x.*")
+      .distinct()
+    val h = graft.functions.F.poly_hash(concat_ws("\u0001",
+      lit("ann"), lit(seed.toString), col("entity_id"), col("docId"),
+      col("spanOrder").cast("string"), col("sentIdx").cast("string"),
+      col("pred"), col("other_id"), col("role")))
+    m.withColumn("pick", row_number().over(
+        Window.partitionBy("entity_id").orderBy(h.asc, col("docId").asc,
+          col("spanOrder").asc, col("sentIdx").asc, col("pred").asc,
+          col("other_id").asc, col("role").asc)))
+      .where(col("pick") <= k)
+      .select(col("entity_id"), col("pick").cast("long").as("pick"),
+        col("role"), col("docId").as("doc_id"),
+        col("spanOrder").as("span_order"),
+        col("sentIdx").as("sent_idx"), col("pred"), col("other_id"))
+  }
+
   /** Ontology/schema induction: per (pred, subj_type, obj_type)
     * signature, triple count, distinct (subj, obj) pair count, and the
     * signature's share of its predicate's triples in integer ppm — the

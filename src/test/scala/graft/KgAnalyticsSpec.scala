@@ -760,6 +760,49 @@ class KgAnalyticsSpec extends AnyFunSuite {
       key(kg.Analytics.weightedPageRank(df, iters = 3, maxLocalEdges = 0L)))
   }
 
+  test("annotationSample: exact hash-rank twin, k cap on hub, partition-invariant") {
+    import spark.implicits._
+    def poly(s: String): Long = {
+      var h = 1125899906842597L
+      s.foreach(c => h = 31 * h + c); h
+    }
+    val ts = Seq(
+      ("d1", 0, 0, "A", "p", "B"), ("d1", 1, 0, "A", "p", "C"),
+      ("d2", 0, 0, "B", "p", "C"), ("d2", 0, 1, "B", "q", "C"),
+      ("d2", 1, 0, "C", "p", "A"), ("d2", 2, 0, "C", "p", "C"))
+    val mentions = ts.flatMap { case (d, so, si, s, p, o) =>
+      Seq((s, "subj", d, so, si, p, o), (o, "obj", d, so, si, p, s))
+    }.distinct
+    val want = mentions.groupBy(_._1).flatMap { case (_, ms) =>
+      ms.sortBy { case (e, role, d, so, si, p, o) =>
+        (poly(s"ann\u000142\u0001$e\u0001$d\u0001$so\u0001$si\u0001$p\u0001$o\u0001$role"),
+          d, so, si, p, o, role)
+      }.take(3).zipWithIndex.map { case ((e, role, d, so, si, p, o), i) =>
+        (e, (i + 1).toLong, role, d, so, si, p, o)
+      }
+    }.toSet
+    val got = kg.Analytics.annotationSample(triples, k = 3, seed = 42L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getInt(5), r.getString(6),
+        r.getString(7))).toSet
+    assert(got == want)
+    // repartitioning changes nothing
+    val again = kg.Analytics.annotationSample(triples.repartition(7), 3, 42L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getInt(5), r.getString(6),
+        r.getString(7))).toSet
+    assert(again == want)
+    // 50-mention hub capped at exactly k distinct mentions
+    val hub = (0 until 50).map(i =>
+      (s"d$i", i, 0, "H", "PER", "p", f"n$i%03d", "ORG"))
+      .toDF("docId", "spanOrder", "sentIdx",
+        "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val hrows = kg.Analytics.annotationSample(hub, k = 3).collect()
+      .filter(_.getString(0) == "H")
+    assert(hrows.length == 3 &&
+      hrows.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("shortestPathForest: min-predecessor parents, blank seeds, distances == bfsDistances") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
