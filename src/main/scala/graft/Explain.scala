@@ -79,6 +79,7 @@ object Explain {
     "q_tok_compare" -> "both fertilities read n_pieces off distinct-word vocab tables (no corpus piece explode); per-lang two-phase aggs + one lang join",
     "q_ingest_cusum" -> "CUSUM fold as cumsum - running-min (two windows over the AGGREGATED hourly table, not the corpus); all integer",
     "q_kg_annotation" -> "one two-sided explode + entity-keyed WindowGroupLimit top-k by hash rank; hub entity costs k rows",
+    "q_kg_link_coverage" -> "one two-sided explode + one conditional-count hash aggregate; 4-row output",
     "q_fuzzy_decontaminate" -> "cross-table band equi-join (train x bench signatures); bench side tiny at scale -> AQE broadcast; exact-jaccard verify inside candidates",
     "q_bucketed_join" -> "bucketed tables: at sf0.01 the dim side is broadcast (zero shuffle on the fact side); with broadcast disabled the buckets co-locate a ZERO-Exchange SortMergeJoin (SparkSpec 'bucketed tables' case pins that plan)",
     "q_dedup_cluster" -> "LSH pairs localCheckpointed + session-cached once; CC restricted to paired docs; left-join re-attaches isolated docs",

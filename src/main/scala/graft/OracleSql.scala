@@ -1027,6 +1027,18 @@ object OracleSql {
     FROM asr WHERE pick <= $k"""
   }
 
+  /** Linking coverage — mirrors Analytics.linkCoverage: two-sided
+    * mention explode, linked = id NOT LIKE 'M:%', integer ppm. */
+  def qKgLinkCoverage: String = s"""
+    WITH RECURSIVE $triplesCanonicalCtes,
+    lcm AS (SELECT subj_type AS tpe, subj_id AS id FROM ktriples
+          UNION ALL SELECT obj_type, obj_id FROM ktriples)
+    SELECT tpe, count(*) AS n_mentions,
+           count(*) FILTER (WHERE id NOT LIKE 'M:%') AS n_linked,
+           CAST((count(*) FILTER (WHERE id NOT LIKE 'M:%') * 1000000)
+             // count(*) AS BIGINT) AS linked_ppm
+    FROM lcm GROUP BY 1"""
+
   /** Predicate type-signature induction — mirrors
     * Analytics.predicateSignatures: signature aggregate + per-pred
     * window share in integer ppm (BIGINT cast: DuckDB's window sum is

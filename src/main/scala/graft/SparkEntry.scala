@@ -571,6 +571,9 @@ object SparkEntry {
     // deterministic per-entity annotation batches (hash-ranked mentions)
     "q_kg_annotation" -> ((s, d) =>
       kg.Analytics.annotationSample(canonicalTriples(s, d), k = 3)),
+    // linking-quality report: linked vs M:-fallback mentions per type
+    "q_kg_link_coverage" -> ((s, d) =>
+      kg.Analytics.linkCoverage(canonicalTriples(s, d))),
     // mention-weighted PageRank (triple-count edge weights)
     "q_kg_wpagerank" -> ((s, d) =>
       kg.Analytics.weightedPageRank(canonicalTriples(s, d), iters = 10)),
@@ -1915,6 +1918,7 @@ object SparkEntry {
       "q_kg_signatures" -> OracleSql.qKgSignatures,
       "q_kg_scc" -> OracleSql.qKgScc,
       "q_kg_annotation" -> OracleSql.qKgAnnotationSample(3, 42L),
+      "q_kg_link_coverage" -> OracleSql.qKgLinkCoverage,
       "q_kg_paths" -> OracleSql.qKgPaths(4),
       "q_kg_wpagerank" -> OracleSql.qKgWeightedPagerank(10),
       "q_morph_tags" -> OracleSql.qMorphTags,

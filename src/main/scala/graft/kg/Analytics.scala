@@ -1283,6 +1283,25 @@ object Analytics {
         col("sentIdx").as("sent_idx"), col("pred"), col("other_id"))
   }
 
+  /** Entity-linking coverage report: per mention type, how many triple
+    * mentions resolved to a dictionary canonical vs fell through to the
+    * `M:`-prefixed mention-normal fallback (Kg.linkCanonicalize's
+    * contract: `coalesce(canonical, 'M:' || norm)` — dictionary keys
+    * never carry the prefix) — the first linking-quality table a KG
+    * curator reads after a dictionary update, in integer ppm. One
+    * two-sided explode + one hash aggregate.
+    */
+  def linkCoverage(triples: DataFrame): DataFrame =
+    triples.select(explode(array(
+        struct(col("subj_type").as("tpe"), col("subj_id").as("id")),
+        struct(col("obj_type").as("tpe"), col("obj_id").as("id")))).as("x"))
+      .select("x.*")
+      .groupBy("tpe")
+      .agg(count(lit(1)).as("n_mentions"),
+        count(when(!col("id").startsWith("M:"), 1)).as("n_linked"))
+      .select(col("tpe"), col("n_mentions"), col("n_linked"),
+        expr("(n_linked * 1000000) div n_mentions").as("linked_ppm"))
+
   /** Ontology/schema induction: per (pred, subj_type, obj_type)
     * signature, triple count, distinct (subj, obj) pair count, and the
     * signature's share of its predicate's triples in integer ppm — the

@@ -803,6 +803,23 @@ class KgAnalyticsSpec extends AnyFunSuite {
       hrows.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("linkCoverage: hand-counted per-type linked ratios; M: prefix is the only unlinked marker") {
+    import spark.implicits._
+    val t = Seq(
+      ("d1", 0, 0, "Q1", "PER", "p", "M:завод", "ORG"),
+      ("d1", 1, 0, "Q1", "PER", "p", "Q2", "ORG"),
+      ("d2", 0, 0, "M:иван", "PER", "p", "Q2", "ORG"))
+      .toDF("docId", "spanOrder", "sentIdx",
+        "subj_id", "subj_type", "pred", "obj_id", "obj_type")
+    val m = kg.Analytics.linkCoverage(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // PER: 3 mentions, 2 linked -> 666666 ppm; ORG: 3 mentions, 2 linked
+    assert(m == Map(
+      "PER" -> ((3L, 2L, 666666L)),
+      "ORG" -> ((3L, 2L, 666666L))))
+  }
+
   test("shortestPathForest: min-predecessor parents, blank seeds, distances == bfsDistances") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
