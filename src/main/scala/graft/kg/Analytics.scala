@@ -800,8 +800,12 @@ object Analytics {
           col("obj_id"), col("neg_no").cast("string"))), col("n")))
     val trueEnt =
       when(col("corrupt") === "obj", col("obj_id")).otherwise(col("subj_id"))
+    // checkpointed: j1 feeds BOTH union branches below — without it the
+    // whole probe DAG (triples distinct + explode + poly_hash + vocab
+    // join) evaluates twice (measured 8.9 s at sf0.1 x 32; ~2x waste)
     val j1 = probes
       .join(ids.select(col("eid").as("idx"), col("e").as("neg0")), "idx")
+      .localCheckpoint()
     val out = Seq(col("subj_id"), col("pred"), col("obj_id"),
       col("neg_no").cast("long").as("neg_no"), col("corrupt"))
     j1.where(col("neg0") =!= trueEnt)
