@@ -121,11 +121,13 @@ object Corpus {
   def curate(docs: DataFrame, bench: DataFrame,
              rates: Map[String, Double], minTokens: Int = 10,
              dedupThreshold: Double = 0.5,
-             budget: Int = 512, shards: Int = 8): DataFrame = {
+             budget: Int = 512, shards: Int = 8,
+             dupPairs: Option[DataFrame] = None): DataFrame = {
     val gated = docs.where(
       size(TextStats.tokens(col("text"))) >= minTokens)
     val survivors = gated.join(
-      Dedup.dedupClusters(gated, 3, 32, 8, dedupThreshold)
+      Dedup.dedupClustersFromPairs(gated,
+          gatedPairs(gated, dupPairs, dedupThreshold))
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
@@ -134,6 +136,32 @@ object Corpus {
     val sampled = clean.join(
       stratifiedSample(clean, rates).select("doc_id"), Seq("doc_id"))
     packSequences(sampled, budget, shards)
+  }
+
+  /** Near-dup pairs of the GATED corpus for the curate family.
+    *
+    * MinHash-LSH pair generation is purely PAIRWISE: a doc's shingle set,
+    * signature and band hashes depend only on that doc, a candidate pair
+    * only on its two band rows, and the exact-Jaccard verify only on the
+    * two docs' shingle sets. Hence pairs(S) for any S ⊆ corpus equals
+    * pairs(corpus) restricted to both endpoints in S — so a caller that
+    * already computed (or session-cached) the whole-corpus pair table can
+    * pass it in and the gated pair set is two cheap doc_id semi-joins
+    * instead of a full shingle→signature→band→verify DAG re-derivation
+    * (guide §2.4: remove the duplicated shuffles outright). The passed
+    * frame must come from [[Dedup.minhashDupPairs]] with the same
+    * (n=3, numHashes=32, bands=8) family and a threshold <= ours; the
+    * jaccard re-filter below makes a lower-threshold table exact.
+    * Restriction equivalence is asserted in CorpusSpec.
+    */
+  private def gatedPairs(gated: DataFrame, dupPairs: Option[DataFrame],
+                         dedupThreshold: Double): DataFrame = dupPairs match {
+    case None => Dedup.minhashDupPairs(gated, 3, 32, 8, dedupThreshold)
+    case Some(p) =>
+      val ids = gated.select(col("doc_id"))
+      p.where(col("jaccard") >= dedupThreshold)
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
   }
 
   /** DSIR-targeted curation: [[curate]]'s quality-gate → near-dup
@@ -151,11 +179,13 @@ object Corpus {
   def curateDsir(docs: DataFrame, bench: DataFrame, target: DataFrame,
                  k: Int = 100, minTokens: Int = 10,
                  dedupThreshold: Double = 0.5,
-                 budget: Int = 512, shards: Int = 8): DataFrame = {
+                 budget: Int = 512, shards: Int = 8,
+                 dupPairs: Option[DataFrame] = None): DataFrame = {
     val gated = docs.where(
       size(TextStats.tokens(col("text"))) >= minTokens)
     val survivors = gated.join(
-      Dedup.dedupClusters(gated, 3, 32, 8, dedupThreshold)
+      Dedup.dedupClustersFromPairs(gated,
+          gatedPairs(gated, dupPairs, dedupThreshold))
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
@@ -192,9 +222,18 @@ object Corpus {
     */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.4, k: Int = 8,
                     iters: Int = 3, bits: Int = 8, dim: Int = 64,
-                    tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val assign = Similarity.kmeans(emb, k, iters)
-      .select(col("vec_id"), col("cluster")).localCheckpoint()
+                    tables: Int = 4, seed: Long = 42L,
+                    assignOpt: Option[DataFrame] = None): DataFrame = {
+    // assignOpt: a precomputed [[Similarity.kmeans]](emb, k, iters) frame
+    // (vec_id, cluster[, d2]) — callers that already ran the trainer (or
+    // session-cache it) skip re-running the Lloyd's iterations here
+    // (guide §2.4). Must be from the same (emb, k, iters) config;
+    // assignments are bit-reproducible, so equality is exact.
+    val assign = assignOpt match {
+      case Some(a) => a.select(col("vec_id"), col("cluster"))
+      case None => Similarity.kmeans(emb, k, iters)
+        .select(col("vec_id"), col("cluster")).localCheckpoint()
+    }
     val pairs = Dedup.embeddingDupPairsInClusters(
       emb, assign, threshold, bits, dim, tables, seed)
     val cc = Dedup.dedupClustersFromPairs(

@@ -1502,6 +1502,35 @@ object Dedup {
       .groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_bench_dups"), max("jaccard").as("max_jaccard"))
 
+  /** [[fuzzyDecontaminationReport]] derived from an already-computed
+    * WHOLE-corpus verified pair table ([[minhashDupPairs]] output over
+    * train ∪ bench, same n/numHashes/bands family, threshold <= ours).
+    *
+    * Equivalence: signatures and band hashes are row-local and the
+    * exact-Jaccard verify is pairwise, so the cross-corpus pair set of
+    * two DISJOINT slices of one corpus is exactly the whole-corpus pair
+    * set restricted to one endpoint per slice — the unordered (a < b)
+    * orientation is undone by unioning both orientations before the
+    * slice predicates. Callers that session-cache the corpus pair table
+    * pay two codegen'd filters instead of a second full LSH DAG
+    * (guide §2.4). Asserted equal to the from-scratch form in DedupSpec.
+    *
+    * `isTrain`/`isBench` are row predicates over a doc_id column; the
+    * slices they induce must be disjoint (a doc on both sides would pair
+    * with itself upstream and be dropped by minhashDupPairs' a < b).
+    */
+  def fuzzyDecontaminationReportFromPairs(pairs: DataFrame,
+                                          isTrain: Column => Column,
+                                          isBench: Column => Column,
+                                          threshold: Double): DataFrame =
+    pairs.select(col("doc_a").as("t"), col("doc_b").as("b"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("t"), col("doc_a").as("b"),
+        col("jaccard")))
+      .where(col("jaccard") >= threshold &&
+        isTrain(col("t")) && isBench(col("b")))
+      .groupBy(col("t").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_dups"), max("jaccard").as("max_jaccard"))
+
   /** 64-bit SimHash over token FNV hashes (row-local, no shuffle; native
     * codegen expression — the scan+project stays in whole-stage codegen).
     */

@@ -199,6 +199,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 0L, 11L), (5L, 5L, 0L, 11L)))
   }
 
+  test("curate/curateDsir: precomputed whole-corpus dupPairs give identical output") {
+    // pairwise-restriction equivalence (Corpus.gatedPairs): pairs computed
+    // on the WHOLE corpus, restricted to the gated slice, must reproduce
+    // the from-scratch gated-pair derivation exactly — on the real fixture
+    // table, where near-dup pairs and every gate actually fire
+    val all = docs
+    val bench = all.where(col("doc_id") % 97 === 0)
+    val train = all.where(col("doc_id") % 97 =!= 0)
+    val pairs = ops.Dedup.minhashDupPairs(all, 3, 32, 8, 0.1).localCheckpoint()
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8, "fr" -> 1.0, "es" -> 0.125)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val scratch = key(ops.Corpus.curate(train, bench, rates,
+      minTokens = 10, dedupThreshold = 0.1))
+    val reused = key(ops.Corpus.curate(train, bench, rates,
+      minTokens = 10, dedupThreshold = 0.1, dupPairs = Some(pairs)))
+    assert(scratch.nonEmpty)
+    assert(reused == scratch)
+    val target = all.where(col("doc_id") % 23 === 0)
+    val trainD = all.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 23 =!= 0)
+    val scratchD = key(ops.Corpus.curateDsir(trainD, bench, target, k = 100,
+      minTokens = 10, dedupThreshold = 0.1))
+    val reusedD = key(ops.Corpus.curateDsir(trainD, bench, target, k = 100,
+      minTokens = 10, dedupThreshold = 0.1, dupPairs = Some(pairs)))
+    assert(reusedD == scratchD)
+  }
+
+  test("fuzzyDecontaminationReportFromPairs == from-scratch report") {
+    val bench = docs.where(col("doc_id") % 89 === 0)
+    val train = docs.where(col("doc_id") % 89 =!= 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scratch = key(ops.Dedup.fuzzyDecontaminationReport(
+      train, bench, 3, 32, 8, 0.1))
+    val pairs = ops.Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1)
+    val derived = key(ops.Dedup.fuzzyDecontaminationReportFromPairs(pairs,
+      t => t % 89 =!= 0, b => b % 89 === 0, 0.1))
+    assert(derived == scratch)
+  }
+
   test("lmPerplexity: hand-computed bigram LM; unseen-gram backoff; <2-token docs absent") {
     import spark.implicits._
     // independent in-test twin of the micro-nat contract

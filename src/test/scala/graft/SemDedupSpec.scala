@@ -64,6 +64,17 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: precomputed kmeans assignment gives identical output") {
+    val emb = fixture(40)
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val scratch = key(ops.Corpus.semanticDedup(emb, threshold = 0.9, k = 2, dim = Dim))
+    val assign = ops.Similarity.kmeans(emb, k = 2, iters = 3).localCheckpoint()
+    val reused = key(ops.Corpus.semanticDedup(emb, threshold = 0.9, k = 2,
+      dim = Dim, assignOpt = Some(assign)))
+    assert(reused == scratch)
+  }
+
   test("semanticDedup: one survivor per component, min id, groups intact") {
     val emb = fixture(40)
     val out = ops.Corpus.semanticDedup(emb, threshold = 0.9, k = 2, dim = Dim)
