@@ -42,6 +42,29 @@ object BenchExtra {
       else sorted.filter { case (n, _) => rest.exists(p => n.startsWith(p)) }
 
     mode match {
+      case "stages" =>
+        // stages <target> [warmQuery...] — run warm queries untimed (to
+        // populate the session caches the catalog order would have), then
+        // the target once with a per-stage listener (guide §1.1/§7.1:
+        // find WHERE the time goes before changing anything)
+        val target = args(1)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val secs = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+            if (secs >= 0.05)
+              println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%3d $secs%6.2f s  ${i.name.take(80)}")
+          }
+        })
+        for (w <- args.drop(2)) {
+          try SparkEntry.queries(w)(spark, sfDir).count() catch { case _: Throwable => }
+        }
+        println(s"=== warm done; running $target ===")
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(target)(spark, sfDir).count()
+        Thread.sleep(400)
+        println(f"TARGET $target rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2f s")
       case "plans" =>
         val outDir = Paths.get(args(1))
         Files.createDirectories(outDir)

@@ -776,8 +776,11 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     require(negatives >= 1, s"transeSamples: negatives must be >= 1")
     val B = 64L
-    val ents = triples.select(col("subj_id").as("e"))
-      .union(triples.select(col("obj_id"))).distinct()
+    // ONE scan exploding both triple sides (the old two-branch union
+    // doubled the scan partition count and the task launches); the
+    // window/offset construction is unchanged, so ids are identical
+    val ents = triples
+      .select(explode(array(col("subj_id"), col("obj_id"))).as("e")).distinct()
       .withColumn("b", pmod(graft.functions.F.poly_hash(col("e")), lit(B)))
     val inB = ents.withColumn("rn",
       row_number().over(Window.partitionBy("b").orderBy("e")).cast("long"))
@@ -786,8 +789,13 @@ object Analytics {
         Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("b", "off") // B rows — the tiny frame the global window runs on
+    // checkpointed: ids feeds THREE consumers (the n-row count, the probe
+    // join, and the collision re-pick join) and each re-evaluated the
+    // whole distinct + 64-bucket-window vocab DAG from scratch —
+    // measured ~3 duplicate evaluations per run at sf0.1 (guide §2.4)
     val ids = inB.join(broadcast(offs), "b")
       .select(col("e"), (col("off") + col("rn") - 1).as("eid"))
+      .localCheckpoint()
     val nRow = ids.agg(count(lit(1)).as("n")) // 1 row -> broadcast cross
     val probes = triples.select("subj_id", "pred", "obj_id").distinct()
       .crossJoin(broadcast(nRow))
