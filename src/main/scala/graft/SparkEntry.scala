@@ -83,6 +83,22 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Bench-slice (doc_id % 97 == 0) Bloom decontamination filter for a
+    * test dir, built once per (session, dir): q_bloom_decontaminate,
+    * q_curate and q_curate_dsir all decontaminate against the SAME bench
+    * slice with n=3, and each call paid the bench shingle scan + driver
+    * collect + bit-array build eagerly (~1 s each at sf0.1).
+    */
+  private val benchBloomCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Array[Long])]]
+  def benchBloom97(s: SparkSession, dir: String): (DataFrame, Array[Long]) = {
+    val perDir = benchBloomCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      Dedup.benchBloomBuild(
+        tbl(s, d, "documents").where(col("doc_id") % 97 === 0), 3))
+  }
+
   /** k-means assignment for a test dir's embeddings table (k=8, iters=3),
     * persisted per (session, dir) like [[minhashPairs]]: the Lloyd's
     * trainer costs ~1 s at sf0.1 x 32 cores and both q_kmeans and
@@ -243,10 +259,12 @@ object SparkEntry {
     "q_bloom_decontaminate" -> ((s, d) => {
       // same split/result as q_decontaminate; the Bloom pre-filter moves
       // the corpus-side filtering below the distinct's Exchange (exactness
-      // guaranteed by no-false-negatives + the trailing exact semi-join)
+      // guaranteed by no-false-negatives + the trailing exact semi-join);
+      // the bench filter itself is the session-cached build
       val docs = tbl(s, d, "documents")
-      Dedup.bloomDecontaminate(docs.where(col("doc_id") % 97 =!= 0),
-        docs.where(col("doc_id") % 97 === 0), 3)
+      val (bh, words) = benchBloom97(s, d)
+      Dedup.bloomDecontaminateWith(docs.where(col("doc_id") % 97 =!= 0),
+        bh, words, 3)
     }),
     // FUZZY decontamination: train docs that are MinHash near-dups of a
     // bench doc (catches paraphrased leakage the n-gram rule misses);
@@ -677,7 +695,8 @@ object SparkEntry {
       ops.Corpus.curate(docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
         SampleRates, minTokens = 10, dedupThreshold = 0.1,
-        dupPairs = Some(minhashPairs(s, d)))
+        dupPairs = Some(minhashPairs(s, d)),
+        benchFilter = Some(benchBloom97(s, d)))
     }),
     // DSIR-targeted curation: gate -> dedup survivors -> decontaminate,
     // then importance-resample the 100 most target-like survivors
@@ -689,7 +708,8 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         docs.where(col("doc_id") % 23 === 0),
         k = 100, minTokens = 10, dedupThreshold = 0.1,
-        dupPairs = Some(minhashPairs(s, d)))
+        dupPairs = Some(minhashPairs(s, d)),
+        benchFilter = Some(benchBloom97(s, d)))
     })
   )
 

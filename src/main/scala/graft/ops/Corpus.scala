@@ -122,21 +122,40 @@ object Corpus {
              rates: Map[String, Double], minTokens: Int = 10,
              dedupThreshold: Double = 0.5,
              budget: Int = 512, shards: Int = 8,
-             dupPairs: Option[DataFrame] = None): DataFrame = {
-    val gated = docs.where(
-      size(TextStats.tokens(col("text"))) >= minTokens)
+             dupPairs: Option[DataFrame] = None,
+             benchFilter: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+    // ONE tokenization pass: the quality gate and the final packing both
+    // need size(tokens(text)) — compute it in the gate projection and
+    // carry the count through the (doc_id-keyed) stitches to
+    // packSequencesByCounts, instead of re-running the regex tokenizer
+    // over the survivors (guide §1.2 step 2: don't compute things twice)
+    val gated = docs.select(col("doc_id"), col("lang"), col("text"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
     val survivors = gated.join(
       Dedup.dedupClustersFromPairs(gated,
           gatedPairs(gated, dupPairs, dedupThreshold))
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
-      Dedup.bloomDecontaminate(survivors, bench, 3).select("doc_id"),
+      decontaminated(survivors, bench, benchFilter).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val sampled = clean.join(
       stratifiedSample(clean, rates).select("doc_id"), Seq("doc_id"))
-    packSequences(sampled, budget, shards)
+    packSequencesByCounts(sampled.select(col("doc_id"), col("n_tokens")),
+      budget, shards)
   }
+
+  /** Bloom-decontamination stage over either a prebuilt bench filter
+    * (callers that share one bench slice across several composites —
+    * result-identical, see [[Dedup.benchBloomBuild]]) or built here.
+    */
+  private def decontaminated(survivors: DataFrame, bench: DataFrame,
+                             benchFilter: Option[(DataFrame, Array[Long])]): DataFrame =
+    benchFilter match {
+      case Some((bh, words)) => Dedup.bloomDecontaminateWith(survivors, bh, words, 3)
+      case None => Dedup.bloomDecontaminate(survivors, bench, 3)
+    }
 
   /** Near-dup pairs of the GATED corpus for the curate family.
     *
@@ -180,20 +199,24 @@ object Corpus {
                  k: Int = 100, minTokens: Int = 10,
                  dedupThreshold: Double = 0.5,
                  budget: Int = 512, shards: Int = 8,
-                 dupPairs: Option[DataFrame] = None): DataFrame = {
-    val gated = docs.where(
-      size(TextStats.tokens(col("text"))) >= minTokens)
+                 dupPairs: Option[DataFrame] = None,
+                 benchFilter: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+    // single tokenization pass for gate + packing, as in [[curate]]
+    val gated = docs.select(col("doc_id"), col("lang"), col("text"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
     val survivors = gated.join(
       Dedup.dedupClustersFromPairs(gated,
           gatedPairs(gated, dupPairs, dedupThreshold))
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
-      Dedup.bloomDecontaminate(survivors, bench, 3).select("doc_id"),
+      decontaminated(survivors, bench, benchFilter).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val selected = clean.join(
       TextStats.dsirSelect(clean, target, k).select("doc_id"), Seq("doc_id"))
-    packSequences(selected, budget, shards)
+    packSequencesByCounts(selected.select(col("doc_id"), col("n_tokens")),
+      budget, shards)
   }
 
   /** SemDeDup-style SEMANTIC dedup over the embedding table (Abbas et

@@ -1322,19 +1322,39 @@ object Dedup {
     */
   def bloomDecontaminate(docs: DataFrame, bench: DataFrame, n: Int,
                          bitsPerElement: Int = 16, k: Int = 5): DataFrame = {
+    val (benchHashes, words) = benchBloomBuild(bench, n, bitsPerElement, k)
+    bloomDecontaminateWith(docs, benchHashes, words, n, k)
+  }
+
+  /** Build side of [[bloomDecontaminate]], split out so callers that run
+    * several decontamination passes against the SAME bench slice (e.g. a
+    * session running q_bloom_decontaminate + both curate composites) pay
+    * the bench shingle scan + driver collect + bit-array build once
+    * (guide §2.4). Returns the distinct bench hash frame (checkpointed —
+    * it is re-read by every apply's exact-verify broadcast) + the Bloom
+    * words array.
+    */
+  def benchBloomBuild(bench: DataFrame, n: Int, bitsPerElement: Int = 16,
+                      k: Int = 5): (DataFrame, Array[Long]) = {
     val benchHashes = shingleHashes(bench, n).select("shingle").distinct()
+      .localCheckpoint()
     // limit(N+1) bounds the collect (no sort: the set, not the order,
     // feeds the Bloom; > N rows only ever reaches the require below)
     val hs = benchHashes.limit(50000001).collect().map(_.getLong(0))
     require(hs.length <= 50000000,
       "bench side exceeds 50M distinct n-grams — shard the Bloom build")
-    val words = graft.functions.Bloom64.build(hs, bitsPerElement, k)
+    (benchHashes, graft.functions.Bloom64.build(hs, bitsPerElement, k))
+  }
+
+  /** Apply side of [[bloomDecontaminate]] over a prebuilt bench filter. */
+  def bloomDecontaminateWith(docs: DataFrame, benchHashes: DataFrame,
+                             words: Array[Long], n: Int,
+                             k: Int = 5): DataFrame =
     shingleHashStream(docs, n)
       .where(F.bloom_contains(col("shingle"), words, k)) // map-side, codegen'd
       .distinct()
       .join(broadcast(benchHashes), "shingle") // exact verify kills false positives
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-  }
 
   /** Exact n-gram Jaccard pairs >= threshold. The blocking key is the
     * shingle itself (pairs that share no shingle have J=0 and are never
