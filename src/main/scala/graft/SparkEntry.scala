@@ -67,6 +67,45 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Distinct (doc_id, 3-token shingle) table of a test dir's documents,
+    * persisted per (session, dir): the ONE tokenize+explode+distinct
+    * corpus pass the whole shingle family reads — the MinHash-LSH fill
+    * ([[minhashPairs]]), q_jaccard_pairs (xxhash64 projection),
+    * q_decontaminate (doc_id-filter + xxhash64) and the curate
+    * composites' decontamination stage (doc_id semi-join) each paid an
+    * independent corpus regex pass for the same rows (guide §2.4 / §1.2:
+    * don't compute the same thing four times). At 100 TB this IS the
+    * "materialize the shingle table" step every dedup+decontamination
+    * campaign starts with.
+    */
+  private val shinglesCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  def shingles3(s: SparkSession, dir: String): DataFrame = {
+    val perDir = shinglesCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      Dedup.shingles(tbl(s, d, "documents"), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** xxhash64 view of [[shingles3]], persisted separately: the
+    * equality-only consumers (q_jaccard_pairs scans its shingle table 4x,
+    * q_decontaminate twice, curate's Bloom stage once) otherwise re-read
+    * the STRING table and re-hash per consumer — the narrow 16-byte-row
+    * hashed table is what they actually join on. Derived from the string
+    * cache, so the corpus tokenize pass is still paid exactly once.
+    */
+  private val shingleHashCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  def shingleHashes3(s: SparkSession, dir: String): DataFrame = {
+    val perDir = shingleHashCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perDir.computeIfAbsent(dir, d =>
+      shingles3(s, d)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** MinHash-LSH verified dup pairs for a test dir's documents table,
     * persisted per (session, dir) like [[canonicalTriples]]: the LSH DAG
     * (shingle -> 32-slot signatures -> band join -> exact verify) costs
@@ -79,7 +118,8 @@ object SparkEntry {
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val perDir = dupPairsCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      Dedup.minhashDupPairs(tbl(s, d, "documents"), 3, 32, 8, 0.1)
+      Dedup.minhashDupPairs(tbl(s, d, "documents"), 3, 32, 8, 0.1,
+          shinglesOpt = Some(shingles3(s, d)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -251,10 +291,13 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
-      // at fixture scale; 13-gram at web scale)
-      val docs = tbl(s, d, "documents")
-      Dedup.decontaminate(docs.where(col("doc_id") % 97 =!= 0),
-        docs.where(col("doc_id") % 97 === 0), 3)
+      // at fixture scale; 13-gram at web scale). Both sides are doc_id
+      // slices of the SAME corpus, so they derive from the session-cached
+      // shingle table with a filter + xxhash64 projection instead of two
+      // more tokenization passes (result-identity: decontaminateHashed).
+      val sh = shingleHashes3(s, d)
+      Dedup.decontaminateHashed(sh.where(col("doc_id") % 97 =!= 0),
+        sh.where(col("doc_id") % 97 === 0))
     }),
     "q_bloom_decontaminate" -> ((s, d) => {
       // same split/result as q_decontaminate; the Bloom pre-filter moves
@@ -282,7 +325,10 @@ object SparkEntry {
       Dedup.fuzzyDecontaminationReportFromPairs(minhashPairs(s, d),
         t => t % 89 =!= 0, b => b % 89 === 0, 0.1)),
     "q_jaccard_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1)),
+      // same (documents, n=3) shingle family as the MinHash fill — read
+      // the session-cached table instead of a fourth corpus regex pass
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 3, 0.1,
+        shinglesOpt = Some(shingleHashes3(s, d)))),
     "q_minhash_dups" -> ((s, d) =>
       minhashPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
@@ -696,7 +742,8 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0),
         SampleRates, minTokens = 10, dedupThreshold = 0.1,
         dupPairs = Some(minhashPairs(s, d)),
-        benchFilter = Some(benchBloom97(s, d)))
+        benchFilter = Some(benchBloom97(s, d)),
+        docShingles = Some(shingleHashes3(s, d)))
     }),
     // DSIR-targeted curation: gate -> dedup survivors -> decontaminate,
     // then importance-resample the 100 most target-like survivors
@@ -709,7 +756,8 @@ object SparkEntry {
         docs.where(col("doc_id") % 23 === 0),
         k = 100, minTokens = 10, dedupThreshold = 0.1,
         dupPairs = Some(minhashPairs(s, d)),
-        benchFilter = Some(benchBloom97(s, d)))
+        benchFilter = Some(benchBloom97(s, d)),
+        docShingles = Some(shingleHashes3(s, d)))
     })
   )
 

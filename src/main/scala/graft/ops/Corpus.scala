@@ -123,7 +123,8 @@ object Corpus {
              dedupThreshold: Double = 0.5,
              budget: Int = 512, shards: Int = 8,
              dupPairs: Option[DataFrame] = None,
-             benchFilter: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+             benchFilter: Option[(DataFrame, Array[Long])] = None,
+             docShingles: Option[DataFrame] = None): DataFrame = {
     // ONE tokenization pass: the quality gate and the final packing both
     // need size(tokens(text)) — compute it in the gate projection and
     // carry the count through the (doc_id-keyed) stitches to
@@ -138,7 +139,7 @@ object Corpus {
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
-      decontaminated(survivors, bench, benchFilter).select("doc_id"),
+      decontaminated(survivors, bench, benchFilter, docShingles).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val sampled = clean.join(
       stratifiedSample(clean, rates).select("doc_id"), Seq("doc_id"))
@@ -149,11 +150,19 @@ object Corpus {
   /** Bloom-decontamination stage over either a prebuilt bench filter
     * (callers that share one bench slice across several composites —
     * result-identical, see [[Dedup.benchBloomBuild]]) or built here.
+    * `docShingles`: a precomputed HASHED distinct (doc_id, shingle: long)
+    * table covering the corpus (the xxhash64 view of the same shingle
+    * table the dedup stage's pair table was derived from) — the apply
+    * side then restricts it by doc_id instead of re-tokenizing the
+    * survivors (one fewer corpus regex pass; see
+    * [[Dedup.bloomDecontaminateWith]] for the result-identity argument).
     */
   private def decontaminated(survivors: DataFrame, bench: DataFrame,
-                             benchFilter: Option[(DataFrame, Array[Long])]): DataFrame =
+                             benchFilter: Option[(DataFrame, Array[Long])],
+                             docShingles: Option[DataFrame] = None): DataFrame =
     benchFilter match {
-      case Some((bh, words)) => Dedup.bloomDecontaminateWith(survivors, bh, words, 3)
+      case Some((bh, words)) =>
+        Dedup.bloomDecontaminateWith(survivors, bh, words, 3, shinglesOpt = docShingles)
       case None => Dedup.bloomDecontaminate(survivors, bench, 3)
     }
 
@@ -200,7 +209,8 @@ object Corpus {
                  dedupThreshold: Double = 0.5,
                  budget: Int = 512, shards: Int = 8,
                  dupPairs: Option[DataFrame] = None,
-                 benchFilter: Option[(DataFrame, Array[Long])] = None): DataFrame = {
+                 benchFilter: Option[(DataFrame, Array[Long])] = None,
+                 docShingles: Option[DataFrame] = None): DataFrame = {
     // single tokenization pass for gate + packing, as in [[curate]]
     val gated = docs.select(col("doc_id"), col("lang"), col("text"),
         size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -211,7 +221,7 @@ object Corpus {
         .where(col("keep")).select("doc_id"),
       Seq("doc_id"))
     val clean = survivors.join(
-      decontaminated(survivors, bench, benchFilter).select("doc_id"),
+      decontaminated(survivors, bench, benchFilter, docShingles).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val selected = clean.join(
       TextStats.dsirSelect(clean, target, k).select("doc_id"), Seq("doc_id"))

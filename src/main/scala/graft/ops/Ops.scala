@@ -1291,9 +1291,20 @@ object Dedup {
     * through with one shuffle for the per-doc hit count. Returns
     * (doc_id, n_hits) for thresholding by the caller.
     */
-  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
-    val d = shingleHashes(docs, n)
-    val b = broadcast(shingleHashes(bench, n).select("shingle").distinct())
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int): DataFrame =
+    decontaminateHashed(shingleHashes(docs, n), shingleHashes(bench, n))
+
+  /** [[decontaminate]] core over prehashed distinct (doc_id, shingle)
+    * frames — callers holding a session-cached shingle table (see
+    * SparkEntry.shingles3) derive both sides with a doc_id filter + an
+    * xxhash64 projection instead of re-tokenizing the corpus. A frame of
+    * hashed DISTINCT-STRING shingles is exactly the oracle's arithmetic
+    * (the SQL twin counts distinct shingle strings); it can differ from
+    * the stream-hash form only on a 2^-64 intra-doc hash collision — the
+    * same caveat [[shingleHashes]] already carries.
+    */
+  def decontaminateHashed(d: DataFrame, bench: DataFrame): DataFrame = {
+    val b = broadcast(bench.select("shingle").distinct())
     d.join(b, "shingle") // d is distinct (doc, shingle) → count = distinct hits
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
@@ -1346,11 +1357,22 @@ object Dedup {
     (benchHashes, graft.functions.Bloom64.build(hs, bitsPerElement, k))
   }
 
-  /** Apply side of [[bloomDecontaminate]] over a prebuilt bench filter. */
+  /** Apply side of [[bloomDecontaminate]] over a prebuilt bench filter.
+    * `shinglesOpt`: a precomputed HASHED distinct (doc_id, shingle: long)
+    * table covering at least `docs` (e.g. the session-cached xxhash64
+    * shingle view) — the apply side then restricts it with one doc_id
+    * semi-join instead of re-tokenizing `docs`; the Bloom probe still
+    * runs map-side before the (hit-sized) distinct Exchange.
+    * Result-identical per the [[decontaminateHashed]] argument.
+    */
   def bloomDecontaminateWith(docs: DataFrame, benchHashes: DataFrame,
                              words: Array[Long], n: Int,
-                             k: Int = 5): DataFrame =
-    shingleHashStream(docs, n)
+                             k: Int = 5,
+                             shinglesOpt: Option[DataFrame] = None): DataFrame =
+    (shinglesOpt match {
+      case Some(sh) => sh.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => shingleHashStream(docs, n)
+    })
       .where(F.bloom_contains(col("shingle"), words, k)) // map-side, codegen'd
       .distinct()
       .join(broadcast(benchHashes), "shingle") // exact verify kills false positives
@@ -1362,12 +1384,19 @@ object Dedup {
     * super-frequent shingles (stop-shingles) before the self-join.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxShingleFreq: Long = 1000L): DataFrame = {
+                        maxShingleFreq: Long = 1000L,
+                        shinglesOpt: Option[DataFrame] = None): DataFrame = {
     // the (doc, shingle) table feeds four consumers (both join sides, the
     // stop-shingle DF, sizes); materialize once instead of four scans +
     // shuffles of the raw corpus — at 100 TB this is the standard
-    // "materialize the shingle table" step (MEMORY_AND_DISK spills cleanly)
-    val sh = persistShingles(shingleHashes(docs, n))
+    // "materialize the shingle table" step (MEMORY_AND_DISK spills cleanly).
+    // shinglesOpt: a precomputed HASHED distinct (doc_id, shingle: long)
+    // table for the SAME docs/n — e.g. the session-cached xxhash64 view
+    // of the string table the MinHash family reads. Hashing the
+    // distinct-string rows is exactly the oracle's blocking set (its SQL
+    // joins shingle strings) and can differ from shingleHashes only on a
+    // 2^-64 intra-doc collision, the caveat this op already documents.
+    val sh = shinglesOpt.getOrElse(persistShingles(shingleHashes(docs, n)))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shf = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -1422,25 +1451,37 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs + exact-Jaccard verification. */
-  def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+  /** Per-band join key as the RAW signature slots: struct(band, mh_{b·r}
+    * .. mh_{b·r+r-1}). Equality of this struct is EXACTLY equality of the
+    * old concat_ws(",", array_sort(["k:mh_k"...])) band-hash string for
+    * the same band — the k atoms of a fixed band are the same constants
+    * on both join sides, and a multiset of "k:v" atoms with distinct k
+    * prefixes determines (and is determined by) the per-k values — so
+    * the candidate set is identical while the band table sheds the
+    * string building (concat/array_sort) and shuffles r 8-byte longs
+    * instead of a ~45-byte string per row.
+    */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val shAll = persistShingles(shingles(docs, n))
-    // band hash strings built straight from the wide signature row —
-    // byte-identical to the old collect_list form (same "k:mh" atoms,
-    // same lexical array_sort)
     val bandStructs = (0 until bands).map { b =>
-      val parts = (b * rows until (b + 1) * rows)
-        .map(k => concat_ws(":", lit(k), col(s"mh_$k")))
-      struct(lit(b).as("band"), concat_ws(",", array_sort(array(parts: _*))).as("bh"))
+      val slots = (0 until rows).map(i => col(s"mh_${b * rows + i}").as(s"m$i"))
+      struct(lit(b).as("band") +: slots: _*)
     }
-    val sig = signaturesWide(shAll, numHashes)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verification. `shinglesOpt`: a
+    * precomputed distinct (doc_id, shingle-STRING) table for the same
+    * (docs, n) — e.g. the session-cached whole-corpus table — replacing
+    * the tokenize+explode+distinct derivation here (guide §2.4).
+    */
+  def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5,
+                      shinglesOpt: Option[DataFrame] = None): DataFrame = {
+    val shAll = shinglesOpt.getOrElse(persistShingles(shingles(docs, n)))
+    val sig = bandKeys(signaturesWide(shAll, numHashes), numHashes, bands)
     val cand = sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact jaccard (semi-join back to the
@@ -1474,22 +1515,12 @@ object Dedup {
   def minhashCrossPairs(docsA: DataFrame, docsB: DataFrame, n: Int = 3,
                         numHashes: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
     val shA = persistShingles(shingles(docsA, n))
     val shB = persistShingles(shingles(docsB, n))
-    def bandsOf(sh: DataFrame) = {
-      val bandStructs = (0 until bands).map { b =>
-        val parts = (b * rows until (b + 1) * rows)
-          .map(k => concat_ws(":", lit(k), col(s"mh_$k")))
-        struct(lit(b).as("band"),
-          concat_ws(",", array_sort(array(parts: _*))).as("bh"))
-      }
-      signaturesWide(sh, numHashes)
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("s"))
-        .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
-    }
+    def bandsOf(sh: DataFrame) =
+      bandKeys(signaturesWide(sh, numHashes), numHashes, bands)
     val cand = bandsOf(shA).as("a").join(bandsOf(shB).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val szA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -226,6 +226,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(reusedD == scratchD)
   }
 
+  test("shared shingle table: jaccard/decontaminate/bloom/curate derived paths == from-scratch") {
+    // one distinct (doc_id, shingle-string) table, the derived forms the
+    // session cache feeds (SparkEntry.shingles3) — each must reproduce
+    // its from-scratch twin exactly on the real fixture
+    val sh3 = ops.Dedup.shingles(docs, 3).localCheckpoint()
+    val hsh3 = sh3.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
+    def pairKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacScratch = pairKey(ops.Dedup.ngramJaccardPairs(docs, 3, 0.1))
+    val jacDerived = pairKey(ops.Dedup.ngramJaccardPairs(docs, 3, 0.1,
+      shinglesOpt = Some(hsh3)))
+    assert(jacScratch.nonEmpty && jacDerived == jacScratch)
+    val mhScratch = pairKey(ops.Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1))
+    val mhDerived = pairKey(ops.Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1,
+      shinglesOpt = Some(sh3)))
+    assert(mhScratch.nonEmpty && mhDerived == mhScratch)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    def hitKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = hitKey(ops.Dedup.decontaminate(train, bench, 3))
+    val hashed = hitKey(ops.Dedup.decontaminateHashed(
+      hsh3.where(col("doc_id") % 97 =!= 0),
+      hsh3.where(col("doc_id") % 97 === 0)))
+    assert(exact.nonEmpty && hashed == exact)
+    val (bh, words) = ops.Dedup.benchBloomBuild(bench, 3)
+    assert(hitKey(ops.Dedup.bloomDecontaminateWith(train, bh, words, 3,
+      shinglesOpt = Some(hsh3))) == exact)
+    val rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8, "fr" -> 1.0, "es" -> 0.125)
+    def packKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val cScratch = packKey(ops.Corpus.curate(train, bench, rates,
+      minTokens = 10, dedupThreshold = 0.1))
+    val cDerived = packKey(ops.Corpus.curate(train, bench, rates,
+      minTokens = 10, dedupThreshold = 0.1,
+      benchFilter = Some((bh, words)), docShingles = Some(hsh3)))
+    assert(cScratch.nonEmpty && cDerived == cScratch)
+  }
+
   test("fuzzyDecontaminationReportFromPairs == from-scratch report") {
     val bench = docs.where(col("doc_id") % 89 === 0)
     val train = docs.where(col("doc_id") % 89 =!= 0)
