@@ -80,8 +80,8 @@ object Corpus {
     * vocab join to [[packSequences]]'s single shard-key shuffle.
     */
   def packBpe(docs: DataFrame, merges: DataFrame, budget: Int = 512,
-              shards: Int = 8): DataFrame = {
-    val sizes = TextStats.bpeVocab(docs, merges)
+              shards: Int = 8, vocabOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = vocabOpt.getOrElse(TextStats.bpeVocab(docs, merges))
       .select(col("w"), size(col("syms")).cast("long").as("k"))
     val counts = docs
       .select(col("doc_id"),

@@ -222,12 +222,18 @@ object TextStats {
     * when it is) plus a broadcast single-row V. Docs with <2 tokens have
     * no bigrams and are absent from the output (documented contract).
     */
-  def lmPerplexity(docs: DataFrame, model: DataFrame = null): DataFrame = {
+  def lmPerplexity(docs: DataFrame, model: DataFrame = null): DataFrame =
+    lmPerplexityFrom(lmScoreMicro(docs, model))
+
+  /** Projection tail of [[lmPerplexity]] over a precomputed
+    * [[lmScoreMicro]] frame — callers session-caching the integer score
+    * table (it also feeds [[ccnetBuckets]]) skip the second LM build.
+    */
+  def lmPerplexityFrom(scored: DataFrame): DataFrame = {
     val avg = -(col("sum_mn").cast("double") / (col("n_grams") * lit(1e6)))
-    lmScoreMicro(docs, model)
-      .select(col("doc_id"), col("n_grams"),
-        round(avg, 6).as("avg_neg_logp"),
-        round(exp(avg), 6).as("perplexity"))
+    scored.select(col("doc_id"), col("n_grams"),
+      round(avg, 6).as("avg_neg_logp"),
+      round(exp(avg), 6).as("perplexity"))
   }
 
   /** Integer core of [[lmPerplexity]]: (doc_id, n_grams, sum_mn) with
@@ -290,8 +296,13 @@ object TextStats {
     * avoid. Zero/one-token docs have no bigrams and are absent (the
     * [[lmPerplexity]] contract).
     */
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val scored = lmScoreMicro(docs)
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    ccnetBucketsFrom(lmScoreMicro(docs), docs)
+
+  /** Bucketing tail of [[ccnetBuckets]] over a precomputed
+    * [[lmScoreMicro]] frame (see [[lmPerplexityFrom]]). */
+  def ccnetBucketsFrom(lmScored: DataFrame, docs: DataFrame): DataFrame = {
+    val scored = lmScored
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"),
         expr("((-sum_mn) * 1000000) div n_grams").as("ppl_pico"))
@@ -630,7 +641,12 @@ object TextStats {
     */
   def dsirLogWeights(raw: DataFrame, target: DataFrame): DataFrame = {
     val m = DsirBuckets
-    val cr = dsirFeats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    // feats(raw) feeds BOTH the raw-model counts and the final per-doc
+    // scoring join; materialize the narrow (doc_id, b) stream once
+    // instead of running the tokenize+bigram+hash derivation twice
+    // (guide §2.4 — the same duplicate-subtree cut as transeSamples)
+    val fr = dsirFeats(raw).localCheckpoint()
+    val cr = fr.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = dsirFeats(target).groupBy("b").agg(count(lit(1)).as("ct"))
     // 1-row totals; broadcast cross joins keep each a single job
     val tot = cr.agg(sum("cr").as("rtot"))
@@ -648,7 +664,7 @@ object TextStats {
       .select(col("b"),
         (lamOf(col("ct"), col("ttot")) - lamOf(col("cr"), col("rtot")))
           .as("lam"))
-    dsirFeats(raw)
+    fr
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("lam").as("logw_micro"))
@@ -760,8 +776,9 @@ object TextStats {
     * encode path (slovnet/bert.py:12-43) applies a shipped subword vocab
     * the same way this applies the shipped merge table.
     */
-  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val vocab = bpeVocab(docs, merges)
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                vocabOpt: Option[DataFrame] = None): DataFrame = {
+    val vocab = vocabOpt.getOrElse(bpeVocab(docs, merges))
     val pieceIds = vocab.select(explode(col("syms")).as("piece")).distinct()
       .withColumn("piece_id",
         row_number().over(Window.orderBy("piece")).cast("long"))
@@ -802,11 +819,12 @@ object TextStats {
     * the [[bpeEncode]] argument — scored with integer fx, and returned
     * sorted by piece for determinism.
     */
-  def unigramScores(docs: DataFrame, merges: DataFrame): DataFrame = {
+  def unigramScores(docs: DataFrame, merges: DataFrame,
+                    vocabOpt: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val wf = docs.select(explode(tokens(F.lower_simple(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val counts = wf.join(bpeVocab(docs, merges), "w")
+    val counts = wf.join(vocabOpt.getOrElse(bpeVocab(docs, merges)), "w")
       .select(col("n"), explode(col("syms")).as("piece"))
       .groupBy("piece").agg(sum("n").as("cnt"))
     val rows = counts.collect().map(r => (r.getString(0), r.getLong(1)))
@@ -835,8 +853,9 @@ object TextStats {
     * pinned-model inference shape, NOT a per-corpus-row UDF); the
     * corpus pays one word-keyed equi-join exactly like [[bpeEncode]].
     */
-  def unigramEncodeWith(docs: DataFrame, scores: DataFrame): DataFrame = {
-    val segmented = unigramVocab(docs, scores)
+  def unigramEncodeWith(docs: DataFrame, scores: DataFrame,
+                        uniVocabOpt: Option[DataFrame] = None): DataFrame = {
+    val segmented = uniVocabOpt.getOrElse(unigramVocab(docs, scores))
     val corpus = docs.select(col("doc_id"),
       posexplode(tokens(F.lower_simple(col("text"))))).toDF("doc_id", "pos", "w")
     corpus.join(segmented, "w")
@@ -911,12 +930,15 @@ object TextStats {
     * Both sides read counts off their distinct-word vocab tables —
     * pieces are never exploded at corpus scale.
     */
-  def tokenizerCompare(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val bpe = bpeFertility(docs, merges)
+  def tokenizerCompare(docs: DataFrame, merges: DataFrame,
+                       vocabOpt: Option[DataFrame] = None,
+                       uniVocabOpt: Option[DataFrame] = None): DataFrame = {
+    val bpe = bpeFertility(docs, merges, vocabOpt)
       .select(col("lang"), col("pieces_per_word_ppm").as("bpe_ppw_ppm"))
     val uni = docs
       .select(col("lang"), explode(tokens(F.lower_simple(col("text")))).as("w"))
-      .join(unigramVocab(docs, unigramScores(docs, merges))
+      .join(uniVocabOpt
+        .getOrElse(unigramVocab(docs, unigramScores(docs, merges, vocabOpt)))
         .select(col("w"), col("n_pieces")), "w")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
@@ -965,8 +987,9 @@ object TextStats {
     * exploded — only size(syms) and the word length travel), then a
     * per-language two-phase agg. Languages, not docs, are the output rows.
     */
-  def bpeFertility(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val vocab = bpeVocab(docs, merges).select(col("w"),
+  def bpeFertility(docs: DataFrame, merges: DataFrame,
+                   vocabOpt: Option[DataFrame] = None): DataFrame = {
+    val vocab = vocabOpt.getOrElse(bpeVocab(docs, merges)).select(col("w"),
       size(col("syms")).cast("long").as("k"),
       length(col("w")).cast("long").as("chars"))
     docs.select(col("lang"), explode(tokens(F.lower_simple(col("text")))).as("w"))
