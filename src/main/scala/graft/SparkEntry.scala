@@ -19,6 +19,27 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Input-skew guard (guide §2.5 "one huge unsplittable file"): each
+    * test-dir table is ONE small parquet file → one scan split, so the
+    * expansion-heavy map work (regex tokenize, shingle/feature explode,
+    * vector math) otherwise runs on a single core until the first
+    * Exchange. Spread such scans to session parallelism with one tiny
+    * Exchange of the RAW rows — the table is KB–MB scale; the expansion
+    * happens after. Guarded to a no-op whenever the scan already carries
+    * >= parallelism splits (the 100 TB case, files >> cores), so this
+    * never down-partitions a real corpus; round-robin repartition is
+    * deterministic (sort-before-repartition) and every consumer below is
+    * row-local or order-independent.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+  private def docsS(s: SparkSession, dir: String): DataFrame =
+    spread(s, tbl(s, dir, "documents"))
+  private def embS(s: SparkSession, dir: String): DataFrame =
+    spread(s, tbl(s, dir, "embeddings"))
+
   // one broadcast pack per SparkSession (pinned model state for executors)
   private val packCache = new graft.runtime.SessionCache[Broadcast[ModelPack]]
   def packBc(s: SparkSession): Broadcast[ModelPack] =
@@ -84,7 +105,7 @@ object SparkEntry {
   def shingles3(s: SparkSession, dir: String): DataFrame = {
     val perDir = shinglesCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      Dedup.shingles(tbl(s, d, "documents"), 3)
+      Dedup.shingles(docsS(s, d), 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -151,7 +172,7 @@ object SparkEntry {
   def kmeansAssign8(s: SparkSession, dir: String): DataFrame = {
     val perDir = kmeansCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      ops.Similarity.kmeans(tbl(s, d, "embeddings"), k = 8, iters = 3)
+      ops.Similarity.kmeans(embS(s, d), k = 8, iters = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -167,7 +188,7 @@ object SparkEntry {
   def bpeMerges6(s: SparkSession, dir: String): DataFrame = {
     val perDir = bpeMergesCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      TextStats.bpeMerges(tbl(s, d, "documents"), rounds = 6))
+      TextStats.bpeMerges(docsS(s, d), rounds = 6))
   }
 
   /** Integer bigram-LM score table (doc_id, n_grams, sum_mn) for a test
@@ -182,7 +203,7 @@ object SparkEntry {
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val perDir = lmScoreCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      TextStats.lmScoreMicro(tbl(s, d, "documents"))
+      TextStats.lmScoreMicro(docsS(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -198,7 +219,7 @@ object SparkEntry {
   def bpeVocab6(s: SparkSession, dir: String): DataFrame = {
     val perDir = bpeVocabCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      TextStats.bpeVocab(tbl(s, d, "documents"), bpeMerges6(s, d)))
+      TextStats.bpeVocab(docsS(s, d), bpeMerges6(s, d)))
   }
 
   /** Unigram piece-score table over the BPE inventory (driver-local
@@ -211,7 +232,7 @@ object SparkEntry {
   def uniScores6(s: SparkSession, dir: String): DataFrame = {
     val perDir = uniScoresCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      TextStats.unigramScores(tbl(s, d, "documents"), bpeMerges6(s, d),
+      TextStats.unigramScores(docsS(s, d), bpeMerges6(s, d),
         vocabOpt = Some(bpeVocab6(s, d))))
   }
 
@@ -226,7 +247,7 @@ object SparkEntry {
   def uniVocab6(s: SparkSession, dir: String): DataFrame = {
     val perDir = uniVocabCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      TextStats.unigramVocab(tbl(s, d, "documents"), uniScores6(s, d))
+      TextStats.unigramVocab(docsS(s, d), uniScores6(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -253,12 +274,12 @@ object SparkEntry {
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, d) => Dedup.exact(tbl(s, d, "documents"))),
     "q_dup_spans" -> ((s, d) =>
-      Dedup.dupNgramSpans(tbl(s, d, "documents"), k = 20, minDocs = 2)),
+      Dedup.dupNgramSpans(docsS(s, d), k = 20, minDocs = 2)),
     // apply side of the dup-span detector: corpus rewritten with every
     // duplicated island removed (Lee et al. exact-substring dedup rewrite;
     // see Dedup.removeDupSpans)
     "q_remove_dup_spans" -> ((s, d) =>
-      Dedup.removeDupSpans(tbl(s, d, "documents"), k = 20, minDocs = 2)),
+      Dedup.removeDupSpans(docsS(s, d), k = 20, minDocs = 2)),
     "q_repetition" -> ((s, d) => TextStats.repetition(tbl(s, d, "documents"))),
     "q_pii_scrub" -> ((s, d) => {
       // the synthetic corpus carries no PII — plant a deterministic
@@ -273,12 +294,12 @@ object SparkEntry {
       TextStats.piiScrub(tbl(s, d, "documents").select(col("doc_id"), aug.as("text")))
     }),
     "q_ngram_counts" -> ((s, d) =>
-      TextStats.ngramCounts(tbl(s, d, "documents"), 2, 5)),
+      TextStats.ngramCounts(docsS(s, d), 2, 5)),
     // the 100 TB shuffle-diet shape (8-byte hash keys in the count
     // shuffle, survivors' text recovered in a second pass) certified
     // against the SAME oracle as the one-scan variant
     "q_ngram_counts_hashed" -> ((s, d) =>
-      TextStats.ngramCountsHashed(tbl(s, d, "documents"), 2, 5)),
+      TextStats.ngramCountsHashed(docsS(s, d), 2, 5)),
     // CCNet-style quality signal: add-one bigram LM trained on the corpus,
     // every doc scored by perplexity under it (integer micro-nat contract
     // — see TextStats.lmPerplexity)
@@ -292,50 +313,50 @@ object SparkEntry {
     // keyword extraction: per-doc top-3 TF-IDF terms (integer micro-nat
     // idf — see TextStats.tfidfTop)
     "q_tfidf_top" -> ((s, d) =>
-      TextStats.tfidfTop(tbl(s, d, "documents"), topK = 3)),
+      TextStats.tfidfTop(docsS(s, d), topK = 3)),
     // collocation mining: corpus bigram PMI, count floor 5
     "q_pmi_colloc" -> ((s, d) =>
-      TextStats.pmiCollocations(tbl(s, d, "documents"), minCount = 5)),
+      TextStats.pmiCollocations(docsS(s, d), minCount = 5)),
     // tokenizer training: first 6 BPE merges learned from the corpus
     "q_bpe_merges" -> ((s, d) => bpeMerges6(s, d)),
     // tokenizer APPLY: encode the corpus with the learned merge table —
     // one row per subword piece with a deterministic dense piece id
     "q_bpe_encode" -> ((s, d) =>
-      TextStats.bpeEncode(tbl(s, d, "documents"), bpeMerges6(s, d),
+      TextStats.bpeEncode(docsS(s, d), bpeMerges6(s, d),
         vocabOpt = Some(bpeVocab6(s, d)))),
     // sequence packing costed in REAL learned-BPE pieces (the budget a
     // training run actually spends), not regex words
     "q_pack_bpe" -> ((s, d) =>
-      ops.Corpus.packBpe(tbl(s, d, "documents"), bpeMerges6(s, d), 512, 8,
+      ops.Corpus.packBpe(docsS(s, d), bpeMerges6(s, d), 512, 8,
         vocabOpt = Some(bpeVocab6(s, d)))),
     // unigram-LM Viterbi re-encode over the BPE piece inventory
     // (SentencePiece-style; integer centibit scores, see
     // TextStats.unigramScores/unigramEncodeWith)
     "q_unigram_encode" -> ((s, d) =>
-      TextStats.unigramEncodeWith(tbl(s, d, "documents"), uniScores6(s, d),
+      TextStats.unigramEncodeWith(docsS(s, d), uniScores6(s, d),
         uniVocabOpt = Some(uniVocab6(s, d)))),
     // BPE vs unigram fertility per language (see TextStats.tokenizerCompare)
     "q_tok_compare" -> ((s, d) =>
-      TextStats.tokenizerCompare(tbl(s, d, "documents"), bpeMerges6(s, d),
+      TextStats.tokenizerCompare(docsS(s, d), bpeMerges6(s, d),
         vocabOpt = Some(bpeVocab6(s, d)),
         uniVocabOpt = Some(uniVocab6(s, d)))),
     // tokenizer fertility per language under the learned merges (integer
     // ppm ratios — see TextStats.bpeFertility)
     "q_bpe_fertility" -> ((s, d) =>
-      TextStats.bpeFertility(tbl(s, d, "documents"), bpeMerges6(s, d),
+      TextStats.bpeFertility(docsS(s, d), bpeMerges6(s, d),
         vocabOpt = Some(bpeVocab6(s, d)))),
     // deterministic HLL distinct-token sketch (register-max merge —
     // exactly checkable; see TextStats.hllTokenDistinct)
     "q_hll_distinct" -> ((s, d) =>
-      TextStats.hllTokenDistinct(tbl(s, d, "documents"))),
+      TextStats.hllTokenDistinct(docsS(s, d))),
     // Count-Min heavy hitters (register-sum merge — exactly checkable;
     // the hot-entity/salting-hint sketch; see TextStats.cmsTopK)
-    "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(tbl(s, d, "documents"))),
+    "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(docsS(s, d))),
     // DSIR importance resampling (Xie et al. 2023): target = the
     // doc_id%23 in-domain slice, raw = the rest; Gumbel-top-k draw of
     // the 20 most target-like-weighted docs (see TextStats.dsirSelect)
     "q_dsir" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = docsS(s, d)
       TextStats.dsirSelect(docs.where(col("doc_id") % 23 =!= 0),
         docs.where(col("doc_id") % 23 === 0), 20)
     }),
@@ -343,17 +364,17 @@ object SparkEntry {
     // the doc_id%11 in-domain slice vs the rest, every doc scored+labeled
     // (integer micro-nat contract — see TextStats.nbQualityScores)
     "q_nb_quality" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = docsS(s, d)
       TextStats.nbQualityScores(docs.where(col("doc_id") % 11 === 0),
         docs.where(col("doc_id") % 11 =!= 0), docs)
     }),
     // word2vec skip-gram co-occurrence counts, symmetric window 2,
     // min-count 5 — the SGNS/GloVe input matrix (see TextStats.skipgramPairs)
     "q_skipgram" -> ((s, d) =>
-      TextStats.skipgramPairs(tbl(s, d, "documents"), window = 2, minCount = 5)),
+      TextStats.skipgramPairs(docsS(s, d), window = 2, minCount = 5)),
     // per-source KL(domain ‖ corpus) over unigrams — the mixture-weighting
     // signal (integer micro-nat contract — see TextStats.domainKl)
-    "q_domain_kl" -> ((s, d) => TextStats.domainKl(tbl(s, d, "documents"))),
+    "q_domain_kl" -> ((s, d) => TextStats.domainKl(docsS(s, d))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -370,7 +391,7 @@ object SparkEntry {
       // the corpus-side filtering below the distinct's Exchange (exactness
       // guaranteed by no-false-negatives + the trailing exact semi-join);
       // the bench filter itself is the session-cached build
-      val docs = tbl(s, d, "documents")
+      val docs = docsS(s, d)
       val (bh, words) = benchBloom97(s, d)
       Dedup.bloomDecontaminateWith(docs.where(col("doc_id") % 97 =!= 0),
         bh, words, 3)
@@ -399,28 +420,28 @@ object SparkEntry {
       minhashPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
     "q_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
-    "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(tbl(s, d, "embeddings"), 0.4)),
+    "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(embS(s, d), 0.4)),
 
     // ---- similarity search ----
     "q_ann_topk" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = embS(s, d)
       Similarity.bruteTopK(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     "q_ann_lsh" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = embS(s, d)
       Similarity.annLsh(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     "q_ann_ivf" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = embS(s, d)
       Similarity.annIvf(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     "q_ann_ivfpq" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = embS(s, d)
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     // recall@5 of the LSH and IVF indexes vs brute-force truth (ppm)
     "q_ann_recall" -> ((s, d) => {
-      val e = tbl(s, d, "embeddings")
+      val e = embS(s, d)
       val q = e.where(col("vec_id") % 97 === 0)
       Similarity.annRecall(Similarity.bruteTopK(e, q, 5), Seq(
         "lsh" -> Similarity.annLsh(e, q, 5),
@@ -430,7 +451,7 @@ object SparkEntry {
     // a cell-keyed SHUFFLE join — neither side broadcast, the 10^9x10^9
     // shape (see Similarity.knnGraph)
     "q_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(tbl(s, d, "embeddings"), k = 3)),
+      Similarity.knnGraph(embS(s, d), k = 3)),
     // offline IVF-centroid trainer: integer-quantized Lloyd's k-means
     // (see Similarity.kmeans exactness contract)
     "q_kmeans" -> ((s, d) => kmeansAssign8(s, d)),
@@ -438,7 +459,7 @@ object SparkEntry {
     // pairs -> CC survivors (ops/Corpus.semanticDedup); the kmeans
     // assignment is the session-cached frame q_kmeans also returns
     "q_semdedup" -> ((s, d) =>
-      ops.Corpus.semanticDedup(tbl(s, d, "embeddings"), 0.4,
+      ops.Corpus.semanticDedup(embS(s, d), 0.4,
         assignOpt = Some(kmeansAssign8(s, d)))),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
@@ -501,7 +522,7 @@ object SparkEntry {
       import s.implicits._
       val vocab = Seq("scan", "filter", "join", "agg", "window", "sort")
         .zipWithIndex.toDF("word", "word_id")
-      tbl(s, d, "documents")
+      docsS(s, d)
         .select(col("doc_id"), explode(TextStats.tokens(F.lower_simple(col("text")))).as("word"))
         .join(broadcast(vocab), Seq("word"), "left")
         .groupBy("doc_id")
@@ -533,7 +554,7 @@ object SparkEntry {
     "q_bm25" -> ((s, d) => { // inverted-index BM25 relevance search
       import s.implicits._
       val queries = BmQueries.toDF("query_id", "term")
-      ops.Search.bm25TopK(tbl(s, d, "documents"), queries, k = 5)
+      ops.Search.bm25TopK(docsS(s, d), queries, k = 5)
     }),
     "q_length_stats" -> ((s, d) => ops.TextStats.lengthStats(tbl(s, d, "documents"))),
     // bounded-state histogram quantiles (the 100 TB stand-in for exact
@@ -543,7 +564,7 @@ object SparkEntry {
 
     "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
       ops.Skew.saltedCount(
-        tbl(s, d, "documents")
+        docsS(s, d)
           .select(explode(TextStats.tokens(F.lower_simple(col("text")))).as("word")),
         col("word"), 16)
         .select(col("k").as("word"), col("n"))),
@@ -800,7 +821,7 @@ object SparkEntry {
     // decontamination vs the doc_id%97 bench slice -> stratified sample
     // -> sequence packing, all one DAG (ops/Corpus.curate)
     "q_curate" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = docsS(s, d)
       // dupPairs = the session-cached whole-corpus pair table; curate
       // restricts it to its gated slice (pairwise restriction equivalence,
       // see Corpus.gatedPairs) instead of re-deriving the LSH DAG
@@ -815,7 +836,7 @@ object SparkEntry {
     // then importance-resample the 100 most target-like survivors
     // (target = the doc_id%23 slice) instead of per-language rates
     "q_curate_dsir" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = docsS(s, d)
       ops.Corpus.curateDsir(
         docs.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 23 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
