@@ -251,6 +251,35 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** ANN top-5 result frames (brute truth, LSH, IVF) for a test dir's
+    * embeddings, persisted per (session, dir): each is consumed by its
+    * own catalog query AND by q_ann_recall with the same config.
+    */
+  private val annCache =
+    new graft.runtime.SessionCache[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  private def annCached(s: SparkSession, key: String)
+                       (build: => DataFrame): DataFrame = {
+    val perKey = annCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
+    perKey.computeIfAbsent(key, _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+  def annTopk5(s: SparkSession, d: String): DataFrame =
+    annCached(s, s"$d|topk") {
+      val e = embS(s, d)
+      ops.Similarity.bruteTopK(e, e.where(col("vec_id") % 97 === 0), 5)
+    }
+  def annLsh5(s: SparkSession, d: String): DataFrame =
+    annCached(s, s"$d|lsh") {
+      val e = embS(s, d)
+      ops.Similarity.annLsh(e, e.where(col("vec_id") % 97 === 0), 5)
+    }
+  def annIvf5(s: SparkSession, d: String): DataFrame =
+    annCached(s, s"$d|ivf") {
+      val e = embS(s, d)
+      ops.Similarity.annIvf(e, e.where(col("vec_id") % 97 === 0), 5)
+    }
+
   /** Flagship: the full KG-construction pipeline (sentenize -> batched
     * NER+morph+syntax inference -> dep-pattern triples -> entity linking ->
     * canonicalization) on the deterministic interleaved corpus.
@@ -423,30 +452,23 @@ object SparkEntry {
     "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(embS(s, d), 0.4)),
 
     // ---- similarity search ----
-    "q_ann_topk" -> ((s, d) => {
-      val e = embS(s, d)
-      Similarity.bruteTopK(e, e.where(col("vec_id") % 97 === 0), 5)
-    }),
-    "q_ann_lsh" -> ((s, d) => {
-      val e = embS(s, d)
-      Similarity.annLsh(e, e.where(col("vec_id") % 97 === 0), 5)
-    }),
-    "q_ann_ivf" -> ((s, d) => {
-      val e = embS(s, d)
-      Similarity.annIvf(e, e.where(col("vec_id") % 97 === 0), 5)
-    }),
+    // the brute/LSH/IVF top-5 frames are each consumed twice per catalog
+    // pass (their own query + q_ann_recall's truth/approx inputs) with
+    // identical (emb, queries, k) configs — session-cache the query-count
+    // x k result frames (deterministic: sequential-fold cosines, total
+    // tie-breaks) instead of re-deriving the scoring DAGs (guide §2.4)
+    "q_ann_topk" -> ((s, d) => annTopk5(s, d)),
+    "q_ann_lsh" -> ((s, d) => annLsh5(s, d)),
+    "q_ann_ivf" -> ((s, d) => annIvf5(s, d)),
     "q_ann_ivfpq" -> ((s, d) => {
       val e = embS(s, d)
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     // recall@5 of the LSH and IVF indexes vs brute-force truth (ppm)
-    "q_ann_recall" -> ((s, d) => {
-      val e = embS(s, d)
-      val q = e.where(col("vec_id") % 97 === 0)
-      Similarity.annRecall(Similarity.bruteTopK(e, q, 5), Seq(
-        "lsh" -> Similarity.annLsh(e, q, 5),
-        "ivf" -> Similarity.annIvf(e, q, 5)))
-    }),
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(annTopk5(s, d), Seq(
+        "lsh" -> annLsh5(s, d),
+        "ivf" -> annIvf5(s, d)))),
     // all-vectors kNN graph (GNN/kNN-LM precursor): IVF cell blocking with
     // a cell-keyed SHUFFLE join — neither side broadcast, the 10^9x10^9
     // shape (see Similarity.knnGraph)
