@@ -345,7 +345,7 @@ object SparkEntry {
       TextStats.tfidfTop(docsS(s, d), topK = 3)),
     // collocation mining: corpus bigram PMI, count floor 5
     "q_pmi_colloc" -> ((s, d) =>
-      TextStats.pmiCollocations(docsS(s, d), minCount = 5)),
+      TextStats.pmiCollocations(tbl(s, d, "documents"), minCount = 5)),
     // tokenizer training: first 6 BPE merges learned from the corpus
     "q_bpe_merges" -> ((s, d) => bpeMerges6(s, d)),
     // tokenizer APPLY: encode the corpus with the learned merge table —
@@ -377,15 +377,15 @@ object SparkEntry {
     // deterministic HLL distinct-token sketch (register-max merge —
     // exactly checkable; see TextStats.hllTokenDistinct)
     "q_hll_distinct" -> ((s, d) =>
-      TextStats.hllTokenDistinct(docsS(s, d))),
+      TextStats.hllTokenDistinct(tbl(s, d, "documents"))),
     // Count-Min heavy hitters (register-sum merge — exactly checkable;
     // the hot-entity/salting-hint sketch; see TextStats.cmsTopK)
-    "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(docsS(s, d))),
+    "q_cms_topk" -> ((s, d) => TextStats.cmsTopK(tbl(s, d, "documents"))),
     // DSIR importance resampling (Xie et al. 2023): target = the
     // doc_id%23 in-domain slice, raw = the rest; Gumbel-top-k draw of
     // the 20 most target-like-weighted docs (see TextStats.dsirSelect)
     "q_dsir" -> ((s, d) => {
-      val docs = docsS(s, d)
+      val docs = tbl(s, d, "documents")
       TextStats.dsirSelect(docs.where(col("doc_id") % 23 =!= 0),
         docs.where(col("doc_id") % 23 === 0), 20)
     }),
@@ -393,7 +393,7 @@ object SparkEntry {
     // the doc_id%11 in-domain slice vs the rest, every doc scored+labeled
     // (integer micro-nat contract — see TextStats.nbQualityScores)
     "q_nb_quality" -> ((s, d) => {
-      val docs = docsS(s, d)
+      val docs = tbl(s, d, "documents")
       TextStats.nbQualityScores(docs.where(col("doc_id") % 11 === 0),
         docs.where(col("doc_id") % 11 =!= 0), docs)
     }),
@@ -403,7 +403,7 @@ object SparkEntry {
       TextStats.skipgramPairs(docsS(s, d), window = 2, minCount = 5)),
     // per-source KL(domain ‖ corpus) over unigrams — the mixture-weighting
     // signal (integer micro-nat contract — see TextStats.domainKl)
-    "q_domain_kl" -> ((s, d) => TextStats.domainKl(docsS(s, d))),
+    "q_domain_kl" -> ((s, d) => TextStats.domainKl(tbl(s, d, "documents"))),
     "q_bucketed_join" -> ((s, d) => ops.Bucketed.ordersPerSegment(s, d)),
     "q_decontaminate" -> ((s, d) => {
       // benchmark slice = every 97th doc; train = the rest (3-gram rule
@@ -449,7 +449,7 @@ object SparkEntry {
       minhashPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))),
     "q_simhash" -> ((s, d) => Dedup.simhash(tbl(s, d, "documents"))),
-    "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(embS(s, d), 0.4)),
+    "q_embed_dups" -> ((s, d) => Dedup.embeddingDupPairs(tbl(s, d, "embeddings"), 0.4)),
 
     // ---- similarity search ----
     // the brute/LSH/IVF top-5 frames are each consumed twice per catalog
@@ -461,7 +461,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => annLsh5(s, d)),
     "q_ann_ivf" -> ((s, d) => annIvf5(s, d)),
     "q_ann_ivfpq" -> ((s, d) => {
-      val e = embS(s, d)
+      val e = tbl(s, d, "embeddings")
       Similarity.annIvfPq(e, e.where(col("vec_id") % 97 === 0), 5)
     }),
     // recall@5 of the LSH and IVF indexes vs brute-force truth (ppm)
@@ -481,7 +481,7 @@ object SparkEntry {
     // pairs -> CC survivors (ops/Corpus.semanticDedup); the kmeans
     // assignment is the session-cached frame q_kmeans also returns
     "q_semdedup" -> ((s, d) =>
-      ops.Corpus.semanticDedup(embS(s, d), 0.4,
+      ops.Corpus.semanticDedup(tbl(s, d, "embeddings"), 0.4,
         assignOpt = Some(kmeansAssign8(s, d)))),
 
     // ---- relational analogues of the reference's aggregation/sort ops ----
@@ -544,7 +544,7 @@ object SparkEntry {
       import s.implicits._
       val vocab = Seq("scan", "filter", "join", "agg", "window", "sort")
         .zipWithIndex.toDF("word", "word_id")
-      docsS(s, d)
+      tbl(s, d, "documents")
         .select(col("doc_id"), explode(TextStats.tokens(F.lower_simple(col("text")))).as("word"))
         .join(broadcast(vocab), Seq("word"), "left")
         .groupBy("doc_id")
@@ -586,7 +586,7 @@ object SparkEntry {
 
     "q_salted_wordcount" -> ((s, d) => // two-phase salted agg == plain groupBy
       ops.Skew.saltedCount(
-        docsS(s, d)
+        tbl(s, d, "documents")
           .select(explode(TextStats.tokens(F.lower_simple(col("text")))).as("word")),
         col("word"), 16)
         .select(col("k").as("word"), col("n"))),

@@ -644,8 +644,11 @@ object TextStats {
     // feats(raw) feeds BOTH the raw-model counts and the final per-doc
     // scoring join; materialize the narrow (doc_id, b) stream once
     // instead of running the tokenize+bigram+hash derivation twice
-    // (guide §2.4 — the same duplicate-subtree cut as transeSamples)
-    val fr = dsirFeats(raw).localCheckpoint()
+    // (guide §2.4 — the same duplicate-subtree cut as transeSamples).
+    // persist, not localCheckpoint: lazy + compressed columnar, no
+    // eager row write of the corpus-scale feature stream
+    val fr = dsirFeats(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cr = fr.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = dsirFeats(target).groupBy("b").agg(count(lit(1)).as("ct"))
     // 1-row totals; broadcast cross joins keep each a single job
