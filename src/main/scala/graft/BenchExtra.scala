@@ -53,8 +53,12 @@ object BenchExtra {
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val i = sc.stageInfo
             val secs = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-            if (secs >= 0.05)
-              println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%3d $secs%6.2f s  ${i.name.take(80)}")
+            if (secs >= 0.05) {
+              val site = i.details.linesIterator
+                .find(l => l.contains("graft") && !l.contains("BenchExtra"))
+                .getOrElse(i.name).trim
+              println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%3d $secs%6.2f s  ${i.name.take(50)} @ ${site.take(90)}")
+            }
           }
         })
         for (w <- args.drop(2)) {
@@ -65,6 +69,49 @@ object BenchExtra {
         val n = SparkEntry.queries(target)(spark, sfDir).count()
         Thread.sleep(400)
         println(f"TARGET $target rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "minhash" =>
+        // A/B probe (guide §1.4): the old two-table string fill
+        // (distinct strings persisted, xxhash64 view persisted on top)
+        // vs the one-pass double-hash fill, and the string-verified pair
+        // set vs minhashDupPairsFromHashes. Checks outputs are identical
+        // on this data before trusting the timings.
+        import org.apache.spark.sql.functions._
+        import graft.ops.Dedup
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        def time[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          r
+        }
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        for (i <- 1 to 5) {
+          val shStr = Dedup.shingles(docs, 3).persist(MEMORY_AND_DISK)
+          time(s"old string fill r$i")(shStr.count())
+          val shView = shStr
+            .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+            .persist(MEMORY_AND_DISK)
+          time(s"old hash view r$i")(shView.count())
+          val dh = Dedup.shingleDoubleHashes(docs, 3).persist(MEMORY_AND_DISK)
+          time(s"new double-hash fill r$i")(dh.count())
+          time(s"pairs from strings r$i")(
+            Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1,
+              shinglesOpt = Some(shStr)).write.format("noop").mode("overwrite").save())
+          time(s"pairs from hashes r$i")(
+            Dedup.minhashDupPairsFromHashes(dh, 32, 8, 0.1)
+              .write.format("noop").mode("overwrite").save())
+          if (i == 1) {
+            val a = Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1,
+              shinglesOpt = Some(shStr)).collect().map(_.toString).sorted
+            val b = Dedup.minhashDupPairsFromHashes(dh, 32, 8, 0.1)
+              .collect().map(_.toString).sorted
+            val va = shView.collect().map(_.toString).sorted
+            val vb = dh.select("doc_id", "shingle").collect().map(_.toString).sorted
+            println(s"PROBE pairsEqual=${a.sameElements(b)} rows=${a.length} " +
+              s"viewEqual=${va.sameElements(vb)} viewRows=${va.length}")
+          }
+          shStr.unpersist(); shView.unpersist(); dh.unpersist()
+        }
       case "plans" =>
         val outDir = Paths.get(args(1))
         Files.createDirectories(outDir)

@@ -88,44 +88,36 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** Distinct (doc_id, 3-token shingle) table of a test dir's documents,
+  /** Distinct double-hashed 3-token shingle table (doc_id,
+    * shingle=xxhash64, mdh=md5-base-hash) of a test dir's documents,
     * persisted per (session, dir): the ONE tokenize+explode+distinct
     * corpus pass the whole shingle family reads — the MinHash-LSH fill
-    * ([[minhashPairs]]), q_jaccard_pairs (xxhash64 projection),
-    * q_decontaminate (doc_id-filter + xxhash64) and the curate
-    * composites' decontamination stage (doc_id semi-join) each paid an
-    * independent corpus regex pass for the same rows (guide §2.4 / §1.2:
-    * don't compute the same thing four times). At 100 TB this IS the
-    * "materialize the shingle table" step every dedup+decontamination
-    * campaign starts with.
-    */
-  private val shinglesCache =
-    new graft.runtime.SessionCache[
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
-  def shingles3(s: SparkSession, dir: String): DataFrame = {
-    val perDir = shinglesCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
-    perDir.computeIfAbsent(dir, d =>
-      Dedup.shingles(docsS(s, d), 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
-
-  /** xxhash64 view of [[shingles3]], persisted separately: the
-    * equality-only consumers (q_jaccard_pairs scans its shingle table 4x,
-    * q_decontaminate twice, curate's Bloom stage once) otherwise re-read
-    * the STRING table and re-hash per consumer — the narrow 16-byte-row
-    * hashed table is what they actually join on. Derived from the string
-    * cache, so the corpus tokenize pass is still paid exactly once.
+    * ([[minhashPairs]], mdh column), q_jaccard_pairs, q_decontaminate
+    * and the curate composites' decontamination stage (xxhash64 column)
+    * each paid an independent corpus regex pass for the same rows
+    * (guide §2.4 / §1.2: don't compute the same thing four times). Both
+    * hashes are computed row-locally BEFORE the distinct, so no shingle
+    * string ever shuffles or persists (guide §2.2) — a string table
+    * (formerly `shingles3`) that existed only to be hashed cost ~2.9 s
+    * at sf0.1 x 32 where this 24-byte-row table costs ~1.3 s. At 100 TB
+    * this IS the "materialize the shingle table" step every
+    * dedup+decontamination campaign starts with.
     */
   private val shingleHashCache =
     new graft.runtime.SessionCache[
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
-  def shingleHashes3(s: SparkSession, dir: String): DataFrame = {
+  private def shingleTable3(s: SparkSession, dir: String): DataFrame = {
     val perDir = shingleHashCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      shingles3(s, d)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      Dedup.shingleDoubleHashes(docsS(s, d), 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** (doc_id, shingle=xxhash64) view of [[shingleTable3]] for the
+    * equality-only consumers — a column-pruned projection of the one
+    * persisted table, not a second cache. */
+  def shingleHashes3(s: SparkSession, dir: String): DataFrame =
+    shingleTable3(s, dir).select(col("doc_id"), col("shingle"))
 
   /** MinHash-LSH verified dup pairs for a test dir's documents table,
     * persisted per (session, dir) like [[canonicalTriples]]: the LSH DAG
@@ -139,8 +131,7 @@ object SparkEntry {
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val perDir = dupPairsCache.getOrUpdate(s)(_ => new java.util.concurrent.ConcurrentHashMap)
     perDir.computeIfAbsent(dir, d =>
-      Dedup.minhashDupPairs(tbl(s, d, "documents"), 3, 32, 8, 0.1,
-          shinglesOpt = Some(shingles3(s, d)))
+      Dedup.minhashDupPairsFromHashes(shingleTable3(s, d), 32, 8, 0.1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

@@ -1290,6 +1290,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct (doc_id, shingle=xxhash64, mdh=md5-base-hash) in ONE pass:
+    * both hashes every shingle consumer needs, computed row-locally on the
+    * exploded shingle string BEFORE the distinct, so the corpus-scale
+    * distinct Exchange carries three 8-byte longs per row instead of the
+    * UTF-8 shingle text (guide §2.2: shuffle fewer bytes). Equality-only
+    * consumers read (doc_id, shingle); the MinHash signature min-aggregate
+    * reads mdh — a min over a per-doc value SET is unchanged by the
+    * distinct being taken on (xx, mdh) pairs rather than strings unless
+    * two distinct shingles of one doc collide on BOTH 64-bit hashes
+    * simultaneously (~2^-124), strictly rarer than the 2^-64 single-hash
+    * caveat [[shingleHashes]] has always documented. */
+  def shingleDoubleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), TextStats.tokens(F.lower_simple(col("text"))).as("toks"))
+    t.select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"),
+        baseHash(col("shingle")).as("mdh"))
+      .distinct()
+  }
+
   /** Distinct (doc, shingle) with the shingle reduced to its xxhash64 —
     * for equality-only consumers (decontamination, Jaccard blocking) the
     * text is dead weight: an 8-byte long cuts the distinct + self-join
@@ -1322,7 +1343,7 @@ object Dedup {
 
   /** [[decontaminate]] core over prehashed distinct (doc_id, shingle)
     * frames — callers holding a session-cached shingle table (see
-    * SparkEntry.shingles3) derive both sides with a doc_id filter + an
+    * SparkEntry.shingleTable3) derive both sides with a doc_id filter + an
     * xxhash64 projection instead of re-tokenizing the corpus. A frame of
     * hashed DISTINCT-STRING shingles is exactly the oracle's arithmetic
     * (the SQL twin counts distinct shingle strings); it can differ from
@@ -1445,7 +1466,7 @@ object Dedup {
     * (('0x'||substring(md5(s),1,15))::BIGINT % P).
     */
   val MinhashP = 2147483647L // 2^31-1; (a*h+b) stays < 2^62, no overflow
-  private def baseHash(shingle: Column): Column =
+  private[graft] def baseHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
 
   /** MinHash signatures: k affine slots mh_k = (a_k*h + b_k) mod P over the
@@ -1465,16 +1486,21 @@ object Dedup {
   /** (doc_id, mh_0..mh_{numHashes-1}): per-slot affine constants are plain
     * Scala longs, arithmetic identical to the previous per-row form.
     */
-  private def signaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def signaturesWide(sh: DataFrame, numHashes: Int): DataFrame =
+    signaturesWideOnH(sh.select(col("doc_id"), baseHash(col("shingle")).as("h")),
+      numHashes)
+
+  /** Signature slots over a precomputed base-hash column (doc_id, h) —
+    * min per slot is duplicate-insensitive, so any frame carrying the
+    * same per-doc SET of base hashes yields identical signatures. */
+  private[graft] def signaturesWideOnH(dh: DataFrame, numHashes: Int): DataFrame = {
     val p = lit(MinhashP)
     val aggs = (0 until numHashes).map { k =>
       val ak = 2654435761L * (k + 1) % MinhashP
       val bk = 40503L * (k + 7) % MinhashP
       min((lit(ak) * col("h") + lit(bk)) % p).as(s"mh_$k")
     }
-    sh.select(col("doc_id"), baseHash(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    dh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-band join key as the RAW signature slots: struct(band, mh_{b·r}
@@ -1487,7 +1513,7 @@ object Dedup {
     * string building (concat/array_sort) and shuffles r 8-byte longs
     * instead of a ~45-byte string per row.
     */
-  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val slots = (0 until rows).map(i => col(s"mh_${b * rows + i}").as(s"m$i"))
@@ -1506,13 +1532,35 @@ object Dedup {
                       shinglesOpt: Option[DataFrame] = None): DataFrame = {
     val shAll = shinglesOpt.getOrElse(persistShingles(shingles(docs, n)))
     val sig = bandKeys(signaturesWide(shAll, numHashes), numHashes, bands)
+    lshVerifiedPairs(sig, shAll, threshold)
+  }
+
+  /** [[minhashDupPairs]] over a precomputed [[shingleDoubleHashes]] table
+    * (doc_id, shingle=xxhash64, mdh=md5-base-hash): signatures take the
+    * mdh set (min per slot — identical to the string path, see
+    * [[shingleDoubleHashes]]), the exact-Jaccard verify joins on the
+    * xxhash64 column (the batch-5 caveat), and no corpus string ever
+    * shuffles. Asserted pair-set-equal to the string path in CorpusSpec. */
+  def minhashDupPairsFromHashes(hashed: DataFrame, numHashes: Int = 32,
+                                bands: Int = 8,
+                                threshold: Double = 0.5): DataFrame = {
+    val sig = bandKeys(signaturesWideOnH(
+      hashed.select(col("doc_id"), col("mdh").as("h")), numHashes),
+      numHashes, bands)
+    lshVerifiedPairs(sig, hashed.select("doc_id", "shingle"), threshold)
+  }
+
+  /** Band-bucket candidate join + exact-Jaccard verify over any
+    * (doc_id, shingle) table whose shingle column supports equality
+    * (string or 64-bit hash) — the shared tail of the two pair builders. */
+  private def lshVerifiedPairs(sig: DataFrame, sh: DataFrame,
+                               threshold: Double): DataFrame = {
     val cand = sig.as("a").join(sig.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact jaccard (semi-join back to the
     // already-materialized shingle table)
-    val sh = shAll
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand.join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

@@ -228,7 +228,7 @@ class CorpusSpec extends AnyFunSuite {
 
   test("shared shingle table: jaccard/decontaminate/bloom/curate derived paths == from-scratch") {
     // one distinct (doc_id, shingle-string) table, the derived forms the
-    // session cache feeds (SparkEntry.shingles3) — each must reproduce
+    // session cache feeds (SparkEntry.shingleTable3) — each must reproduce
     // its from-scratch twin exactly on the real fixture
     val sh3 = ops.Dedup.shingles(docs, 3).localCheckpoint()
     val hsh3 = sh3.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -243,6 +243,15 @@ class CorpusSpec extends AnyFunSuite {
     val mhDerived = pairKey(ops.Dedup.minhashDupPairs(docs, 3, 32, 8, 0.1,
       shinglesOpt = Some(sh3)))
     assert(mhScratch.nonEmpty && mhDerived == mhScratch)
+    // one-pass double-hash table: its xxhash64 view must equal (as a
+    // multiset) the xxhash64 of the distinct STRING table, and the pair
+    // builder over it must reproduce the string-path pair set exactly
+    val dh3 = ops.Dedup.shingleDoubleHashes(docs, 3).localCheckpoint()
+    def viewKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viewKey(dh3.select("doc_id", "shingle")) == viewKey(hsh3))
+    val mhHashed = pairKey(ops.Dedup.minhashDupPairsFromHashes(dh3, 32, 8, 0.1))
+    assert(mhHashed == mhScratch)
     val bench = docs.where(col("doc_id") % 97 === 0)
     val train = docs.where(col("doc_id") % 97 =!= 0)
     def hitKey(df: org.apache.spark.sql.DataFrame) = df.collect()
