@@ -1589,10 +1589,16 @@ object Dedup {
   def minhashCrossPairs(docsA: DataFrame, docsB: DataFrame, n: Int = 3,
                         numHashes: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
-    val shA = persistShingles(shingles(docsA, n))
-    val shB = persistShingles(shingles(docsB, n))
+    // same one-pass double-hash shape as the whole-corpus builder: md5
+    // base hash feeds the signatures, xxhash64 feeds the verify join, no
+    // shingle string crosses an Exchange (the train side is the 10^12-doc
+    // one — its shingle text is exactly the shuffle this op cannot afford)
+    val shA = persistShingles(shingleDoubleHashes(docsA, n))
+    val shB = persistShingles(shingleDoubleHashes(docsB, n))
     def bandsOf(sh: DataFrame) =
-      bandKeys(signaturesWide(sh, numHashes), numHashes, bands)
+      bandKeys(signaturesWideOnH(
+        sh.select(col("doc_id"), col("mdh").as("h")), numHashes),
+        numHashes, bands)
     val cand = bandsOf(shA).as("a").join(bandsOf(shB).as("b"),
         col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
