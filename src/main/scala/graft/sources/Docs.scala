@@ -28,17 +28,25 @@ object Docs {
     // across 8 vs 32 cores. The old defaultParallelism*8 rule made task
     // size shrink as cores grew, inflating per-task overhead + pad waste
     // at the 4N leg (+13% CPU at 32 cores) — a decomposition artifact a
-    // real N->4N cluster reading fixed-size splits never sees. Bounds:
-    // at least one task per core (tiny inputs), at most 256 tasks (local
-    // sandbox cap ≈ 8 waves on 32 cores; a real 100 TB input brings
-    // millions of data-sized splits and no cap).
+    // real N->4N cluster reading fixed-size splits never sees. The
+    // data-sized count is then WAVE-ALIGNED (rounded to a full multiple
+    // of the session's core count, task size only coarsening or finening
+    // by <= half a wave): a 39-slice input on 32 cores otherwise runs 2
+    // waves at 61% occupancy — wave occupancy, not compute, capped the
+    // 25k-doc reference-dims leg's 8->32 wall scaling at ~0.61 (guide
+    // §2.5 stragglers; a real scheduler over millions of splits never
+    // sees a 1.2-wave layout). Bounds: at least one task per core (tiny
+    // inputs), at most 256 tasks (local sandbox cap ≈ 8 waves on 32
+    // cores, itself a multiple of every leg's core count; a real 100 TB
+    // input brings millions of data-sized splits and no cap).
     // graft.gen.slices overrides the count for granularity probes — unlike
     // a repartition() it keeps the generate->parse chain one fused
     // object-level stage (no encoder round-trip, no exchange)
     val slices = sys.props.get("graft.gen.slices").map(_.toInt).getOrElse {
-      val byData = nDocs / 640
-      math.min(math.max(spark.sparkContext.defaultParallelism,
-        math.min(byData, Int.MaxValue).toInt), 256)
+      val p = spark.sparkContext.defaultParallelism
+      val byData = math.min(nDocs / 640, 256L)
+      val waves = math.max(1L, math.round(byData.toDouble / p))
+      math.min(math.max(p.toLong, waves * p), 256L).toInt
     }
     spark.range(0, nDocs, 1, slices).as[Long].map { id =>
       // index straight off the array-backed spans — no intermediate

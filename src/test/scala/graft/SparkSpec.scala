@@ -73,6 +73,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(perSents > 10)
   }
 
+  test("russianDocs: output invariant to slice layout (wave alignment is safe)") {
+    // the wave-aligned slice count changes only HOW docs are split across
+    // tasks; per-doc generation is id-keyed, so any layout must produce
+    // the same triples (the contract the bench-leg slicing change relies on)
+    def run(): Set[(String, Int, String, String, String)] =
+      graft.kg.Kg.triples(Pipeline.parse(
+          Docs.sentences(Docs.russianDocs(spark, 50L)), SparkEntry.packBc(spark)))
+        .collect().map(t => (t.docId, t.spanOrder, t.subj, t.pred, t.obj)).toSet
+    val base = run()
+    assert(base.nonEmpty)
+    for (n <- Seq("1", "3", "17")) {
+      sys.props("graft.gen.slices") = n
+      try assert(run() == base, s"slices=$n changed the output")
+      finally sys.props.remove("graft.gen.slices")
+    }
+  }
+
   test("triples equal golden planted triples exactly") {
     import spark.implicits._
     val nDocs = 50L
